@@ -1,0 +1,77 @@
+"""Event-time window aggregation operators (reference A1/A2/W1/W2).
+
+The reference's Gold computation is a 15-minute tumbling-window grouped
+average (`src/jobs/spark_streaming_job.py:105-117`, batch twin
+`src/jobs/spark_batch_backfill.py:56-67`) whose ``window`` struct is
+flattened to ``window_start``/``window_end`` (P7, `:122-126`). Here the
+same shape is one reusable operator covering tumbling, sliding and
+session windows, batch or streaming.
+
+Scale: ``groupBy(window(...), keys)`` plans a two-phase HashAggregate —
+partial map-side combine, one shuffle on (window, keys), final
+aggregate. That is the minimal-shuffle plan for this computation; the
+only tuning that matters at 100 TB is the shuffle partition count
+(AQE coalesces) and skewed keys (AQE skew-join/salting).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    df: DataFrame,
+    event_time: str,
+    window_duration: str,
+    keys: Sequence[str],
+    aggs: Mapping[str, Column],
+    slide: str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation, flattened.
+
+    ``aggs`` maps output column name → aggregate Column. Output columns:
+    ``window_start``, ``window_end``, ``*keys``, ``*aggs``.
+    """
+    if watermark_delay is not None:
+        df = df.withWatermark(event_time, watermark_delay)
+    win = (
+        F.window(F.col(event_time), window_duration, slide)
+        if slide
+        else F.window(F.col(event_time), window_duration)
+    )
+    grouped = df.groupBy(win.alias("window"), *[F.col(k) for k in keys])
+    out = grouped.agg(*[expr.alias(name) for name, expr in aggs.items()])
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def session_windowed_agg(
+    df: DataFrame,
+    event_time: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Mapping[str, Column],
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Session-window aggregation (gap-based), flattened like above."""
+    if watermark_delay is not None:
+        df = df.withWatermark(event_time, watermark_delay)
+    grouped = df.groupBy(
+        F.session_window(F.col(event_time), gap).alias("window"),
+        *[F.col(k) for k in keys],
+    )
+    out = grouped.agg(*[expr.alias(name) for name, expr in aggs.items()])
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )

@@ -1,0 +1,254 @@
+"""Medallion-pipeline queries over the `events` table.
+
+These re-express the reference's bronze→silver→gold capability surface
+(SURVEY §2.3–§2.6) on the driver's testdata: JSON decoding against an
+explicit schema (P2), epoch↔timestamp (P3), bool normalization with
+unknown→NULL (P4), guarded ratio (P6), deterministic dedup (D2 fixed),
+15-minute tumbling-window grouped averages with the window struct
+flattened (A1/A2 + P7), and Soda-style DQ checks (A4).
+
+Every query here has a DuckDB oracle; the streaming twins of these
+transforms live in ``real_time_data_pipeline_spark.streaming`` and are
+pytest-verified for batch/stream parity instead (not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from real_time_data_pipeline_spark.operators import quality
+from real_time_data_pipeline_spark.operators.dedup import dedup_deterministic
+from real_time_data_pipeline_spark.operators.normalize import (
+    decode_json_col,
+    epoch_to_ts,
+    guarded_ratio,
+    normalize_bool,
+)
+from real_time_data_pipeline_spark.operators.windows import windowed_agg
+from real_time_data_pipeline_spark.queries.registry import query
+from real_time_data_pipeline_spark.sources.tables import load_table
+
+PROPS_SCHEMA = StructType([StructField("k", IntegerType(), True)])
+
+
+def silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared silver transform: decode props, derive typed columns."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = decode_json_col(ev, "props", PROPS_SCHEMA, drop=True)
+    return (
+        dec.withColumn("event_epoch", F.unix_timestamp("ts"))
+        .withColumn("event_ts", epoch_to_ts("event_epoch"))
+        .withColumn("flag", normalize_bool(F.col("k") % 3))
+        .withColumn("pct_value", guarded_ratio("value", "value", "k"))
+    )
+
+
+@query(
+    "pipeline_silver_normalize",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      event_type,
+      CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k,
+      CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS event_epoch,
+      date_trunc('second', ts) AS event_ts,
+      CASE
+        WHEN CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) % 3 = 1 THEN TRUE
+        WHEN CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) % 3 = 0 THEN FALSE
+        ELSE NULL
+      END AS flag,
+      CASE
+        WHEN value + CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) > 0
+        THEN round(value / (value + CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER)), 9)
+        ELSE NULL
+      END AS pct_value
+    FROM events
+    """,
+)
+def q_silver_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver normalization chain: JSON decode (P2), epoch→ts (P3),
+    bool normalization incl. unknown→NULL (P4), guarded ratio (P6).
+
+    Rebuilds `src/jobs/spark_streaming_job.py:61-92` as pure column
+    expressions — single narrow stage, whole-stage codegen, no shuffle.
+    """
+    s = silver_events(spark, sf_dir)
+    return s.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "k",
+        "event_epoch",
+        "event_ts",
+        "flag",
+        F.round("pct_value", 9).alias("pct_value"),
+    )
+
+
+@query(
+    "pipeline_dedup_latest",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM (
+      SELECT event_id, user_id, event_type, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup (D2, fixed): latest event per (user, type).
+
+    Replaces the reference's arbitrary-row ``dropDuplicates``
+    (`src/jobs/spark_batch_backfill.py:44`) with an explicit
+    row_number tie-break so results are rerun- and oracle-stable.
+    One shuffle on the key columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup_deterministic(
+        ev, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("event_id", "user_id", "event_type", "ts", "value")
+
+
+GOLD_ORACLE = """
+    SELECT
+      time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+      time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
+      event_type,
+      round(avg(value), 6) AS avg_value,
+      round(CAST(sum(value) AS DOUBLE), 4) AS sum_value,
+      count(*) AS n_events,
+      count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("pipeline_gold_15m", oracle=GOLD_ORACLE)
+def q_gold_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold: 15-minute tumbling-window grouped aggregates (A1/A2 + W2 + P7).
+
+    The reference's Gold computation
+    (`src/jobs/spark_streaming_job.py:105-126`) generalized: tumbling
+    window on event time, grouped by a dimension, several aggregates,
+    window struct flattened to window_start/window_end. Plan:
+    partial HashAggregate → single exchange on (window, event_type) →
+    final HashAggregate. Distinct-count adds an expand; still one
+    logical shuffle tree — verified via .explain in tests.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_agg(
+        ev,
+        event_time="ts",
+        window_duration="15 minutes",
+        keys=["event_type"],
+        aggs={
+            "avg_value": F.round(F.avg("value"), 6),
+            "sum_value": F.round(F.sum("value"), 4),
+            "n_events": F.count(F.lit(1)),
+            "n_users": F.count_distinct(F.col("user_id")),
+        },
+    )
+
+
+@query(
+    "pipeline_gold_hourly_sliding",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, user_id, value
+      FROM events
+    ), offsets AS (
+      SELECT unnest(range(4)) AS i
+    )
+    SELECT
+      b - i * INTERVAL '15 minutes' AS window_start,
+      b - i * INTERVAL '15 minutes' + INTERVAL '1 hour' AS window_end,
+      round(avg(value), 6) AS avg_value,
+      count(*) AS n_events
+    FROM buckets CROSS JOIN offsets
+    GROUP BY 1, 2
+    """,
+)
+def q_gold_hourly_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 15 min slide) global aggregates.
+
+    Extends the reference's tumbling-only surface (SURVEY §2.6 notes no
+    sliding windows) — each event lands in 4 overlapping windows. The
+    oracle reproduces window assignment via bucket + offset expansion.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_agg(
+        ev,
+        event_time="ts",
+        window_duration="1 hour",
+        keys=[],
+        aggs={
+            "avg_value": F.round(F.avg("value"), 6),
+            "n_events": F.count(F.lit(1)),
+        },
+        slide="15 minutes",
+    )
+
+
+@query(
+    "pipeline_dq_checks",
+    oracle="""
+    WITH gold AS (
+      SELECT
+        time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+        event_type,
+        avg(value) AS avg_value,
+        count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'row_count' AS check_name,
+           CAST(count(*) AS DOUBLE) AS metric_value,
+           count(*) >= 1 AS passed
+    FROM gold
+    UNION ALL
+    SELECT 'missing_count_event_type',
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) <= 0
+    FROM gold
+    UNION ALL
+    SELECT 'avg_n_events',
+           round(CAST(avg(n_events) AS DOUBLE), 6),
+           avg(n_events) BETWEEN 0 AND 1000000
+    FROM gold
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soda-equivalent DQ checks (A4) evaluated engine-side in one pass.
+
+    Mirrors `soda/checks/checks_gold.yml:2-11` semantics (row_count>0,
+    missing_count=0, avg between bounds) against the Gold aggregate,
+    returning (check_name, metric_value, passed).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gold = windowed_agg(
+        ev,
+        event_time="ts",
+        window_duration="15 minutes",
+        keys=["event_type"],
+        aggs={"avg_value": F.avg("value"), "n_events": F.count(F.lit(1))},
+    )
+    checked = quality.run_checks(
+        gold,
+        [
+            quality.row_count(),
+            quality.missing_count("event_type"),
+            quality.avg_between("n_events", 0.0, 1_000_000.0),
+        ],
+    )
+    return checked.withColumn(
+        "metric_value",
+        F.when(F.col("check_name") == "avg_n_events", F.round("metric_value", 6)).otherwise(
+            F.col("metric_value")
+        ),
+    )

@@ -1,0 +1,78 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference never tunes Spark (default 200 shuffle partitions, no AQE
+config — BASELINE.md "Shuffle partitions" row). This engine centralizes
+session construction so every entry point (tests, bench, driver) gets
+the same scale posture:
+
+- AQE on (runtime partition coalescing, skew-join splitting) — on a
+  1000-executor cluster this is what keeps one hot key from stalling a
+  stage; locally it collapses tiny shuffles.
+- UTC session timezone — deterministic event-time semantics across
+  driver/oracle/cluster.
+- Arrow enabled — any unavoidable pandas-UDF path moves columnar
+  batches, never pickled rows.
+- Shuffle partitions sized from the environment (local test = cores;
+  a real deployment overrides via ``spark.sql.shuffle.partitions`` —
+  AQE coalescing makes the initial number a ceiling, not a target).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for local[N] testing; on a real cluster the same code
+# runs with spark-submit --conf overrides (every setting here is a
+# plain Spark conf, nothing engine-private).
+_DEFAULTS = {
+    # --- adaptive execution: the 100 TB safety net ---------------------
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- determinism ---------------------------------------------------
+    "spark.sql.session.timeZone": "UTC",
+    # --- python boundary: Arrow batches only ---------------------------
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # --- scans: keep splits big enough to amortize task overhead -------
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
+    # parquet footer-level pruning works out of the box; make sure
+    # nothing disables vectorized reads
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # auto-broadcast threshold: dims like region/nation/supplier must
+    # broadcast, never shuffle (10 MiB default is fine; be explicit)
+    "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    # streaming micro-batches should not inherit batch shuffle width
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # Cap in-flight UI/event history memory in long local runs.
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "real-time-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver
+    contract); pass an explicit master URL for cluster deployment.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    else:
+        conf["spark.sql.shuffle.partitions"] = cpus
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,72 @@
+"""Batch table catalog over the driver's parquet testdata.
+
+The reference reads one Bronze parquet path for backfill
+(`src/jobs/spark_batch_backfill.py:32` in the reference); here the same
+primitive is generalized to a catalog of named parquet tables rooted at
+a scale-factor directory.
+
+Scale notes: `spark.read.parquet` gives vectorized columnar scans with
+predicate pushdown and column pruning for free — every query in the
+registry should show `PushedFilters` / narrow `ReadSchema` in
+`.explain("formatted")` when it filters or projects. At 100 TB the only
+change is the path (object store) and a partitioned layout; the scan
+operator is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one named parquet table from ``sf_dir``.
+
+    Normalizes two environment quirks so every caller (including the
+    driver's own SparkSession) sees clean types:
+
+    - ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
+      default (PARQUET_TYPE_ILLEGAL). We read it via the
+      ``nanosAsLong`` legacy conf and floor-divide to microseconds —
+      bit-identical to DuckDB's nanos→micros truncation, so oracle
+      comparisons stay exact.
+    - session timezone pinned to UTC for deterministic event-time
+      semantics regardless of host TZ.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read the full catalog as a dict of DataFrames."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the catalog to ``spark.sql`` as temp views."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

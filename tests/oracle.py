@@ -1,0 +1,82 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a registry query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, column names, and
+order-insensitive values. Stricter than the driver in one way (it
+diffs actual values, so a mismatch is debuggable) and tolerant in one
+way (floats compared to 1e-9 relative, since queries already round
+both sides).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con.execute(sql).fetchdf()
+
+
+def _cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return "∅"
+    try:
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonical row order: stringify every cell (nulls normalized), sort
+    key = df.map(_cell).agg("|".join, axis=1)
+    return df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
+
+
+def assert_matches(spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 1e-9) -> None:
+    got = _canon(spark_df.toPandas())
+    want = _canon(duckdb_run(oracle_sql, sf_dir))
+    assert list(got.columns) == list(want.columns), (
+        f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count mismatch: spark={len(got)} oracle={len(want)}"
+    for col in got.columns:
+        g, w = got[col], want[col]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            for i, (a, b) in enumerate(zip(g, w)):
+                an, bn = pd.isna(a), pd.isna(b)
+                assert an == bn, f"{col}[{i}]: null mismatch {a!r} vs {b!r}"
+                if not an:
+                    assert math.isclose(float(a), float(b), rel_tol=float_tol, abs_tol=1e-9), (
+                        f"{col}[{i}]: {a!r} != {b!r}"
+                    )
+        else:
+            ga, wa = g.map(_cell).tolist(), w.map(_cell).tolist()
+            assert ga == wa, (
+                f"{col}: value mismatch; first diff at "
+                f"{next((i for i, (a, b) in enumerate(zip(ga, wa)) if a != b), None)}: "
+                f"{[(a, b) for a, b in zip(ga, wa) if a != b][:5]}"
+            )
