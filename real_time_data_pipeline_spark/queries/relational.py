@@ -1,1 +1,788 @@
-"""Relational completeness suite over the TPC-H-ish tables (stub — filled next)."""
+"""Relational completeness suite over the TPC-H-ish tables.
+
+The reference contains no joins, sorts, set ops, or window functions
+(SURVEY §2.7) — this module supplies that surface as idiomatic
+DataFrame programs, each with a DuckDB oracle.
+
+Determinism conventions (shared with the oracles):
+- Monetary sums accumulate EXACT integer cents
+  (``sum(round(x*100)::long)/100.0``) — float summation order can
+  never flap the driver's value hash, at any scale factor.
+- Averages of non-integral doubles are rounded (6 dp); averages of
+  integral-valued doubles (quantities) are exact and left unrounded.
+- Every ORDER BY ... LIMIT carries a unique tie-break column.
+
+Scale notes are per-query docstrings; the common themes: dimension
+joins broadcast, top-k uses TakeOrderedAndProject (per-partition
+heaps), per-group ranking shuffles once on the group keys, and all
+filters/projections sit directly on the parquet scan so Catalyst
+pushes them down (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    broadcast_join,
+    range_join,
+    semi_join,
+)
+from real_time_data_pipeline_spark.operators.topk import topk, topk_per_group
+from real_time_data_pipeline_spark.queries.registry import query
+from real_time_data_pipeline_spark.sources.tables import load_table
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer-cents representation of a 2-dp monetary double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def money(cents_sum: Column) -> Column:
+    """Exact-long cents back to a double amount (deterministic)."""
+    return cents_sum / F.lit(100.0)
+
+
+# --------------------------------------------------------------------------
+# Aggregation over a filtered scan (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      avg(l_quantity) AS avg_qty,
+      CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) / 100.0
+        AS sum_disc_price,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT))
+           AS BIGINT) / 100.0 AS sum_charge,
+      round(avg(l_extendedprice), 6) AS avg_price,
+      round(avg(l_discount), 9) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: filtered scan → grouped multi-aggregate.
+
+    Plan: parquet scan with l_shipdate pushed down + 7-column
+    ReadSchema → partial HashAggregate (map-side combine over only 6
+    groups) → tiny exchange → final HashAggregate. The partial
+    aggregate means the shuffle moves ~6 rows per task regardless of
+    input size — this is the query that must NOT regress at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.avg("l_quantity").alias("avg_qty"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        money(F.sum(cents("l_extendedprice"))).alias("sum_base_price"),
+        money(F.sum(cents(disc_price))).alias("sum_disc_price"),
+        money(F.sum(cents(charge))).alias("sum_charge"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 9).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way joins (TPC-H Q3 / Q5 shapes)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      o_orderdate,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        / 100.0 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter → 3-way join → grouped revenue → top-10.
+
+    The filtered customer side is small → broadcast into orders, then
+    the orders side joins lineitem on the shuffle. Revenue in exact
+    cents makes the top-10 cutoff deterministic; unique (revenue,
+    date, orderkey) ordering makes the LIMIT stable.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    joined = (
+        broadcast_join(orders, cust.select("c_custkey"), orders["o_custkey"] == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    grouped = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        money(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))).alias("revenue")
+    )
+    return topk(grouped, [F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")], 10)
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT
+      n_name,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        / 100.0 AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way star join with region filter → per-nation revenue.
+
+    supplier/nation/region are dimension-sized at any scale factor →
+    explicitly broadcast; only customer⋈orders⋈lineitem touch the
+    shuffle. Catalyst prunes nation/region columns to the join keys.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+
+    dims = broadcast_join(
+        broadcast_join(supp, nation, supp["s_nationkey"] == nation["n_nationkey"]),
+        region,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    joined = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(dims),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        money(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))).alias("revenue")
+    )
+
+
+@query(
+    "join_broadcast_enrich",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, n_name, r_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension enrichment: both dims broadcast, zero shuffle
+    of the customer side (BroadcastHashJoin ×2 — asserted in plan
+    tests). The canonical 100 TB join shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        broadcast_join(cust, nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 100000)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): no payload columns cross the shuffle —
+    the right side reduces to its join key before the exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return semi_join(cust, big_orders, cust["c_custkey"] == big_orders["o_custkey"]).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_totalprice > 200000)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the "orphan scan" primitive.
+
+    Customers with no large order (the filter keeps the result
+    non-degenerate on the synthetic data, where every customer has
+    at least one order)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return anti_join(cust, big_orders, cust["c_custkey"] == big_orders["o_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_outer_order_counts",
+    oracle="""
+    SELECT
+      c_custkey,
+      count(o_orderkey) AS n_orders,
+      CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) / 100.0
+        AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving zero-order customers, grouped counts.
+
+    count(col) null-skipping semantics give the correct 0 for
+    unmatched customers; spend in exact cents with explicit 0 default.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        money(F.coalesce(F.sum(cents("o_totalprice")), F.lit(0))).alias("total_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range and as-of joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_range_ship_within_30d",
+    oracle="""
+    SELECT
+      o_orderkey,
+      count(*) AS n_quick_ships,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS quick_revenue
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: equi key + time-range residual.
+
+    The equi key keeps this a hash/sort-merge join (the range is a
+    residual filter on matched pairs), so it scales like a normal
+    join — never a nested-loop.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = range_join(
+        orders,
+        li,
+        equi=[("o_orderkey", "l_orderkey")],
+        range_cond=(li["l_shipdate"] >= orders["o_orderdate"])
+        & (li["l_shipdate"] <= orders["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_quick_ships"),
+        money(F.sum(cents("l_extendedprice"))).alias("quick_revenue"),
+    )
+
+
+@query(
+    "join_asof_purchase_last_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts, value AS click_value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_ts AS click_ts_asof, c.click_value AS click_value_asof
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks the latest preceding click per user.
+
+    Implemented with the union-and-backfill operator (one shuffle on
+    user_id + per-key sort; see operators/joins.py) — the scalable
+    alternative to Spark's missing native as-of. Oracle uses DuckDB's
+    native ASOF LEFT JOIN.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks_raw = ev.where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        clicks_raw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="click_ts",
+        right_cols=["click_ts", "click_value"],
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_ops_customer_segments",
+    oracle="""
+    WITH building AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), big_spenders AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+    )
+    SELECT 'intersect' AS tag, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM big_spenders)
+    UNION ALL
+    SELECT 'except', c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM big_spenders)
+    UNION ALL
+    SELECT 'union', c_custkey FROM (SELECT * FROM building UNION SELECT * FROM big_spenders)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION-distinct in one tagged result.
+
+    Each set op shuffles on the full row; at scale prefer rewriting
+    hot set ops as semi/anti joins on the key — shown here in both
+    forms deliberately (the tags make the semantics oracle-checkable).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        orders.where(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        building.intersect(big).withColumn("tag", F.lit("intersect"))
+        .unionByName(building.exceptAll(big.distinct()).distinct().withColumn("tag", F.lit("except")))
+        .unionByName(building.union(big).distinct().withColumn("tag", F.lit("union")))
+        .select("tag", "c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube / pivot
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    enriched = broadcast_join(
+        cust, nation, cust["c_nationkey"] == nation["n_nationkey"]
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return enriched.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money(F.sum(cents("c_acctbal"))).alias("total_acctbal"),
+    )
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping combinations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money(F.sum(cents("o_totalprice"))).alias("total_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint group-bys in one pass)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "pivot_user_event_avgs",
+    oracle="""
+    SELECT user_id,
+           round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+           round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+           round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+           round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+           round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list.
+
+    Passing the pivot values avoids the extra distinct-scan Spark
+    otherwise runs to discover them — at 100 TB that discovery pass
+    is a full shuffle you don't want.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.avg("value"), 6))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window (analytic) functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rk <= 3
+    """,
+)
+def q_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (WindowGroupLimit pushes the
+    k-filter into the per-key sort, so only k rows per key survive)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    out = topk_per_group(
+        joined,
+        keys=["c_mktsegment"],
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        rank_col="rk",
+    )
+    return out.select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+
+
+@query(
+    "window_lag_lead_running",
+    oracle="""
+    SELECT
+      o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      lag(o_totalprice) OVER w AS prev_price,
+      lead(o_totalprice) OVER w AS next_price,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+        AS running_spend,
+      row_number() OVER w AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + explicit-ROWS-frame running total + sequence number.
+
+    One shuffle on o_custkey serves all four window functions (same
+    partitioning + ordering → single Window physical node).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        money(F.sum(cents("o_totalprice")).over(wf)).alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "orderby_limit_top50",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+)
+def q_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (per-partition heaps,
+    driver merge — no global sort). Unique tie-break keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return topk(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        50,
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct, stats, scalar subquery
+# --------------------------------------------------------------------------
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT
+      (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS n_suppliers,
+      (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_parts,
+      (SELECT count(*) FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem))
+        AS n_supp_part_pairs
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts in one aggregate (Catalyst
+    expands to a single Expand + two-phase aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
+        F.count_distinct(F.col("l_partkey")).alias("n_parts"),
+        F.count_distinct(F.col("l_suppkey"), F.col("l_partkey")).alias("n_supp_part_pairs"),
+    )
+
+
+@query("agg_approx_count_distinct")  # approximate → rows-only check (HLL sketches differ)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB cardinality
+    tool — constant memory vs the exact version's full shuffle.
+    DuckDB's approx sketch differs, so the driver records rows-only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+    )
+
+
+@query(
+    "agg_stats_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev + exact interpolated median per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+    )
+
+
+@query(
+    "subquery_above_avg_balance",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: the single-row aggregate is broadcast
+    into the filter (no driver round-trip, no collect())."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar expression coverage: CASE buckets, strings, dates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "case_balance_buckets",
+    oracle="""
+    SELECT
+      CASE WHEN c_acctbal < 0 THEN 'negative'
+           WHEN c_acctbal < 3000 THEN 'low'
+           WHEN c_acctbal < 7000 THEN 'mid'
+           ELSE 'high' END AS bucket,
+      count(*) AS n_customers,
+      round(avg(c_acctbal), 6) AS avg_balance
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def q_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + grouped agg (constant-foldable branches)."""
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return cust.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_balance"),
+    )
+
+
+@query(
+    "string_functions_parts",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_name) AS name_upper,
+      substring(p_name, 1, 4) AS name_prefix,
+      length(p_name) AS name_len,
+      concat(p_brand, ':', p_type) AS brand_type,
+      replace(p_name, ' ', '_') AS name_snake,
+      regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+      CAST(contains(p_name, 'red') AS BOOLEAN) AS has_red
+    FROM part
+    WHERE p_name LIKE '%bolt%' OR p_name LIKE 'red%'
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression coverage: case, substring, length, concat,
+    replace, regexp_extract, contains, LIKE pushdown."""
+    part = load_table(spark, sf_dir, "part")
+    return part.where(
+        F.col("p_name").like("%bolt%") | F.col("p_name").like("red%")
+    ).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.col("p_name").contains("red").alias("has_red"),
+    )
+
+
+@query(
+    "date_functions_orders",
+    oracle="""
+    SELECT
+      o_orderkey,
+      year(o_orderdate) AS order_year,
+      month(o_orderdate) AS order_month,
+      quarter(o_orderdate) AS order_quarter,
+      date_trunc('month', o_orderdate) AS month_start,
+      CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
+        AS days_since_t0
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time expression coverage: year/month/quarter, date_trunc,
+    day arithmetic — all JVM intrinsics, filter pushed to the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since_t0"),
+    )

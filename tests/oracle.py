@@ -51,6 +51,8 @@ def _cell(v) -> str:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) == 0:
+        return df
     # canonical row order: stringify every cell (nulls normalized), sort
     key = df.map(_cell).agg("|".join, axis=1)
     return df.loc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
