@@ -47,7 +47,8 @@ def int_with_default(col: Column | str, default: int = 0) -> Column:
     Reference: producer ``int(x, default 0)`` (`src/ingestion/producer.py:44-50`).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c.cast("int"), F.lit(default))
+    # try_cast: uncastable → NULL → default (ANSI mode would throw)
+    return F.coalesce(c.try_cast("int"), F.lit(default))
 
 
 def guarded_ratio(num: Column | str, den_a: Column | str, den_b: Column | str) -> Column:

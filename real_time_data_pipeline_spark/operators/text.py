@@ -1,0 +1,154 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+North-star extensions (BASELINE.json): language-ID, quality scoring,
+token counting, document fingerprinting, shingling. All pure column
+expressions — regexp/hash intrinsics evaluated JVM-side inside
+whole-stage codegen, so a 100 TB corpus pays zero Python overhead.
+
+Hash convention shared with the DuckDB oracles: ``md5(s)`` hex, with
+integer views taken as the first 8/15 hex chars parsed base-16
+(32/60-bit values — safely inside BIGINT for arithmetic on both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word-boundary stopword probes per language. Tiny by design — the
+# point is the operator shape (argmax over per-language evidence
+# columns), not linguistic accuracy; swap in real frequency tables for
+# production. Ties/zero evidence → 'und' (undetermined).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "and", "of"],
+    "es": ["el", "los", "una", "y", "que"],
+    "de": ["der", "und", "das", "ein", "nicht"],
+    "fr": ["le", "les", "une", "et", "dans"],
+}
+
+# BPE-ish pre-tokenization: word runs OR single non-word-non-space
+# marks — the shape GPT-style byte-pair encoders split on first.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def md5_hex(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def hash32(col: Column | str) -> Column:
+    """First 8 md5 hex chars as a 32-bit unsigned value in a long.
+
+    Oracle twin: ``('0x' || substr(md5(s), 1, 8))::BIGINT``.
+    """
+    return F.conv(F.substring(md5_hex(col), 1, 8), 16, 10).cast("long")
+
+
+def hash60(col: Column | str) -> Column:
+    """First 15 md5 hex chars (60 bits) as a non-negative long."""
+    return F.conv(F.substring(md5_hex(col), 1, 15), 16, 10).cast("long")
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text ([] for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col)).cast("long")
+
+
+def token_count_bpe_ish(col: Column | str) -> Column:
+    """BPE-style pre-token count (word runs + punctuation marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-grams (space-joined); [] when fewer than n words.
+
+    Built with sequence+transform — no explode needed until the caller
+    chooses to, so shingling composes with any downstream op.
+    """
+    w = words(col)
+    idx = F.sequence(F.lit(0), F.size(w) - n)  # 0-based start positions
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + k + 1) for k in range(n)]
+    )
+    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts over lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    return {
+        lang: sum(
+            (F.regexp_count(low, F.lit(rf"\b{wd}\b")) for wd in stops),
+            F.lit(0),
+        ).cast("long")
+        for lang, stops in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language over stopword evidence; 'und' when no evidence.
+
+    Fixed priority order (en > es > de > fr) breaks ties
+    deterministically — same CASE order as the SQL oracle.
+    """
+    scores = lang_scores(col)
+    langs = list(LANG_STOPWORDS)
+    best = None
+    expr = None
+    # best = max over langs with first-listed winning ties
+    mx = F.greatest(*[scores[lg] for lg in langs]) if len(langs) > 1 else scores[langs[0]]
+    for lg in langs:
+        cond = (scores[lg] == mx) & (mx > 0)
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    del best
+    return expr.otherwise("und")
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Heuristic quality signals (ratios rounded to 6 dp).
+
+    length, token count, mean token length, punctuation/digit/upper
+    ratios, stopword ratio — the standard cheap pre-filters before
+    expensive model-based scoring of a training corpus.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("long")
+    n_tok = token_count_ws(c)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
+    stop_hits = sum(
+        (F.regexp_count(F.lower(c), F.lit(rf"\b{wd}\b")) for wd in LANG_STOPWORDS["en"]),
+        F.lit(0),
+    ).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        # exact integer char-sum / token count → deterministic double
+        "avg_token_len": F.round(
+            F.aggregate(
+                F.transform(words(c), lambda w: F.length(w).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / safe_tok,
+            6,
+        ),
+        "punct_ratio": F.round(F.regexp_count(c, F.lit(r"[.,!?;:]")) / safe_chars, 6),
+        "digit_ratio": F.round(F.regexp_count(c, F.lit(r"[0-9]")) / safe_chars, 6),
+        "upper_ratio": F.round(F.regexp_count(c, F.lit(r"[A-Z]")) / safe_chars, 6),
+        "stopword_ratio": F.round(stop_hits / safe_tok, 6),
+    }

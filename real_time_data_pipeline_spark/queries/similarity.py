@@ -1,1 +1,231 @@
-"""Dedup/similarity-search queries over documents + embeddings (stub — filled next)."""
+"""Dedup + similarity-search queries over documents and embeddings.
+
+The dedup family (exact, n-gram Jaccard, MinHash+LSH, SimHash) and the
+similarity-search family (cosine near-dup, brute-force ANN, LSH
+bucketing) from the north star, each as a registry query.
+
+Oracle strategy: exact methods get exact SQL twins. MinHash+LSH's
+oracle is the EXACT Jaccard pair set — valid because the operator
+verifies candidates with exact Jaccard, and the banding parameters
+(48 bands × 2 rows) put P(missing a 0.5-Jaccard pair) ≈ 1e-6, so
+LSH recall is 1 on any realistic run. SimHash gets a full SQL
+replication of the bit-vote arithmetic. The hyperplane-LSH bucket map
+is deterministic md5 math, also SQL-replicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.similarity import (
+    ann_brute_topk,
+    cosine_neardup_pairs,
+    exact_dedup_groups,
+    hyperplane_lsh_bucket,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_postings,
+    simhash32,
+)
+from real_time_data_pipeline_spark.queries.registry import query
+from real_time_data_pipeline_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.5
+
+_EXACT_JACCARD_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM words
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s FROM idx
+      WHERE len(w) >= 3
+    ), counts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           round(p.inter * 1.0 / (ca.n + cb.n - p.inter), 6) AS jaccard
+    FROM pairs p
+      JOIN counts ca ON p.id_a = ca.doc_id
+      JOIN counts cb ON p.id_b = cb.doc_id
+    WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one uniform-key shuffle; the
+    canonical-id pick (min) makes keep-one deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query("dedup_ngram_jaccard_pairs", oracle=_EXACT_JACCARD_ORACLE)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle-posting
+    self-join (inverted index — only docs sharing a shingle meet)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_EXACT_JACCARD_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (96 hashes) + banded LSH (48×2) candidates, verified
+    with exact Jaccard ≥ 0.5.
+
+    The oracle is the exact-Jaccard pair set: candidate verification
+    makes precision exact, and the band parameters make recall 1 up
+    to ~1e-6. Unlike the inverted-index query, candidate volume here
+    is corpus-size independent (bucket collisions only) — this is the
+    100 TB dedup path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", n=3)
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+
+    # Verify candidates with exact Jaccard over shingle postings.
+    sh = shingle_postings(docs, "doc_id", "text", 3)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_simhash_signatures",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), tok AS (
+      SELECT DISTINCT doc_id, unnest(w) AS word FROM words
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM tok
+    ), bits AS (
+      SELECT doc_id, h, unnest(range(32)) AS j FROM h
+    ), votes AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash signatures (bit-vote arithmetic,
+    SQL-replicated exactly). Near-dup = small Hamming distance;
+    production pairs via band-of-bits buckets like MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id", "text")
+
+
+@query(
+    "embed_cosine_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    """,
+)
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked by label (cluster id).
+
+    Quadratic only within a block; Spark's zip_with/aggregate cosine
+    is bit-identical to DuckDB's list_cosine_similarity (verified), so
+    the threshold needs no tolerance band.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", "label", threshold=0.3)
+
+
+@query(
+    "embed_ann_brute_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                        DESC, c.vec_id
+             ) AS rk
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rk <= 5
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast the
+    query set, scan the corpus once, per-query heap. The exact
+    baseline every ANN variant is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return ann_brute_topk(queries_df, emb, "vec_id", "embedding", k=5)
+
+
+@query(
+    "embed_lsh_bucket_histogram",
+    oracle="""
+    WITH planes AS (
+      SELECT e.vec_id, j.j,
+             list_sum(list_transform(e.embedding::DOUBLE[],
+               (x, i) -> x * (('0x' || substr(md5('plane-' || j.j || '-' || (i - 1)), 1, 8))
+                              ::BIGINT % 1000 - 500)))
+               AS dot
+      FROM embeddings e, (SELECT unnest(range(8)) AS j) j
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0
+                      THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM planes GROUP BY vec_id
+    )
+    SELECT bucket, count(*) AS n_vectors FROM buckets GROUP BY bucket
+    """,
+)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (8 planes → 256 buckets).
+
+    The deterministic md5-derived planes are replicated in the oracle,
+    so the bucket assignment itself is correctness-checked — this is
+    the candidate generator that makes cosine ANN sub-linear at scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(hyperplane_lsh_bucket(emb, "embedding", 8).alias("bucket"))
+    return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))

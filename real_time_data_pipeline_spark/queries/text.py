@@ -1,1 +1,218 @@
-"""Text-analysis queries over documents (stub — filled next)."""
+"""Text-analysis queries over the `documents` table.
+
+Each query pairs a column-expression operator from operators/text.py
+with a DuckDB oracle. Several oracles are generated from the same
+Python constants (stopword lists) that drive the Spark expressions, so
+the two sides can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.text import (
+    LANG_STOPWORDS,
+    hash60,
+    lang_id,
+    lang_scores,
+    quality_features,
+    token_count_bpe_ish,
+    token_count_ws,
+    word_shingles,
+)
+from real_time_data_pipeline_spark.queries.registry import query
+from real_time_data_pipeline_spark.sources.tables import load_table
+
+
+def _sql_hits(lang: str) -> str:
+    """DuckDB expression: stopword hit count for one language."""
+    return " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in LANG_STOPWORDS[lang]
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT
+      doc_id,
+      n_chars,
+      CAST(length(text) AS BIGINT) AS n_chars_actual,
+      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+        AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace and BPE-ish pre-tokenization.
+
+    Pure regexp intrinsics — a 100 TB corpus tokenizes inside
+    whole-stage codegen with zero Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        token_count_ws("text").alias("n_ws_tokens"),
+        token_count_bpe_ish("text").alias("n_bpe_tokens"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS w
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(w) AS BIGINT) AS n_tokens,
+      round(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+            / greatest(len(w), 1), 6) AS avg_token_len,
+      round(len(regexp_extract_all(text, '[.,!?;:]')) / greatest(length(text), 1.0), 6)
+        AS punct_ratio,
+      round(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1.0), 6)
+        AS digit_ratio,
+      round(len(regexp_extract_all(text, '[A-Z]')) / greatest(length(text), 1.0), 6)
+        AS upper_ratio,
+      round(({_sql_hits("en")}) / greatest(len(w), 1.0), 6) AS stopword_ratio
+    FROM base
+"""
+
+
+@query("text_quality_scores", oracle=_QUALITY_ORACLE)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: the cheap pre-filters every training
+    corpus runs before model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select("doc_id", *[expr.alias(name) for name, expr in feats.items()])
+
+
+_LANGS = list(LANG_STOPWORDS)
+_LANG_ID_ORACLE = (
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+    """
+    + ",\n".join(f"         CAST({_sql_hits(lg)} AS BIGINT) AS hits_{lg}" for lg in _LANGS)
+    + f"""
+      FROM documents
+    ), best AS (
+      SELECT *, greatest({", ".join("hits_" + lg for lg in _LANGS)}) AS mx FROM scored
+    )
+    SELECT doc_id, lang AS lang_declared,
+      CASE
+    """
+    + "\n".join(f"    WHEN mx > 0 AND hits_{lg} = mx THEN '{lg}'" for lg in _LANGS)
+    + """
+        ELSE 'und' END AS lang_pred,
+      CAST(mx AS BIGINT) AS evidence
+    FROM best
+    """
+)
+
+
+@query("text_lang_id", oracle=_LANG_ID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-evidence argmax (deterministic
+    tie-break), alongside the declared lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        lang_id("text").alias("lang_pred"),
+        F.greatest(*[scores[lg] for lg in _LANGS]).alias("evidence"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      md5(text) AS content_md5,
+      CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60,
+      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS normalized_md5
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: raw + whitespace/case-normalized
+    content hashes, and a 60-bit integer fingerprint for compact
+    join keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_md5"),
+        hash60("text").alias("fp60"),
+        F.md5(normalized).alias("normalized_md5"),
+    )
+
+
+@query(
+    "text_top_ngrams",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM words
+    )
+    SELECT array_to_string(w[i:i+2], ' ') AS ngram, count(*) AS n
+    FROM idx
+    GROUP BY 1
+    HAVING count(*) >= 3
+    """,
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent word-3-grams (explode → count → having).
+
+    The n-gram array is built per-row with sequence/transform (no
+    UDF); the explode feeds a two-phase count, so the shuffle carries
+    one row per distinct n-gram per task — corpus-size independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_shingles("text", 3)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+    )
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS content_md5,
+      substr(md5(text), 1, 8) AS magic
+    FROM documents
+    """,
+)
+def q_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing (multimodal pattern): payload byte
+    length + content hash + header prefix, all on a `binary` column.
+
+    Real image/audio payloads would flow through the same schema; the
+    decode/feature stage lives in operators/multimodal.py as an
+    Arrow-batched mapInPandas (stubbed deterministically — codec libs
+    are not in this container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("magic"),
+    )
