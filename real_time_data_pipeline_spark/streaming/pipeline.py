@@ -1,0 +1,87 @@
+"""Medallion streaming pipeline: bronze → silver → gold (SURVEY §3.1).
+
+The reference runs three concurrent streaming queries off one Kafka
+lineage (`src/jobs/spark_streaming_job.py:65-146`). This module keeps
+the same capability — raw append (bronze), typed/deduped silver,
+watermarked windowed gold — as composable DataFrame→DataFrame
+transforms that work identically on a batch or streaming frame, which
+is what gives batch/stream parity for free (the reference needs a
+separate backfill job, `src/jobs/spark_batch_backfill.py`, because its
+transforms are welded into the job scripts).
+
+Fixes over the reference, by design:
+- watermark BEFORE stateful dedup (`dropDuplicatesWithinWatermark`) so
+  dedup state is evicted (the reference's D1 dedup at `:85` precedes
+  its watermark at `:107` → unbounded state);
+- the gold aggregate emits in append mode after window close instead
+  of update+blind-JDBC-append (the reference's W3 duplicate-row
+  behavior), with an idempotent upsert sink for the update-mode case.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.windows import windowed_agg
+
+
+def silver_transform(
+    bronze: DataFrame,
+    event_time: str,
+    dedup_keys: list[str] | None = None,
+    watermark_delay: str = "2 hours",
+    streaming: bool | None = None,
+) -> DataFrame:
+    """Typed/deduped silver layer from a bronze frame.
+
+    Works on both batch and streaming inputs: streaming dedup uses
+    watermark-bounded ``dropDuplicatesWithinWatermark``; batch uses
+    plain ``dropDuplicates`` (same keys → same surviving set when the
+    batch data respects the watermark bound).
+    """
+    df = bronze
+    is_streaming = df.isStreaming if streaming is None else streaming
+    if dedup_keys:
+        if is_streaming:
+            df = df.withWatermark(event_time, watermark_delay)
+            df = df.dropDuplicatesWithinWatermark(dedup_keys)
+        else:
+            df = df.dropDuplicates(dedup_keys)
+    return df
+
+
+def gold_transform(
+    silver: DataFrame,
+    event_time: str,
+    window_duration: str,
+    keys: list[str],
+    aggs: Mapping[str, Column],
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window gold aggregate, window flattened.
+
+    Same operator as the batch gold (operators/windows.py) — the
+    watermark is a no-op on batch frames, so one definition serves
+    the streaming query and its backfill.
+    """
+    delay = watermark_delay if silver.isStreaming else None
+    return windowed_agg(
+        silver,
+        event_time=event_time,
+        window_duration=window_duration,
+        keys=keys,
+        aggs=aggs,
+        watermark_delay=delay,
+    )
+
+
+def default_gold_aggs(value_col: str = "value") -> dict[str, Column]:
+    """The reference's Gold measures generalized: avg + count
+    (`src/jobs/spark_streaming_job.py:112-116` uses three avgs)."""
+    return {
+        "avg_value": F.avg(value_col),
+        "n_events": F.count(F.lit(1)),
+    }

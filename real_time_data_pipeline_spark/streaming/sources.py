@@ -1,0 +1,75 @@
+"""Streaming source builders behind one interface (SURVEY §2.1 S1/S2).
+
+The reference hard-codes a Kafka source
+(`src/jobs/spark_streaming_job.py:51-59`); here Kafka, file-replay and
+rate sources share a builder so pipelines are source-agnostic:
+
+- kafka:  production ingestion (same options as the reference —
+  subscribe, startingOffsets, failOnDataLoss);
+- files:  deterministic replay of parquet/json drops — the test- and
+  backfill-time twin of the Kafka feed (maxFilesPerTrigger paces
+  micro-batches);
+- rate:   synthetic load for soak tests.
+
+The reference's HTTP poller (S1, `src/ingestion/producer.py:26-76`) is
+a *feeder* process, not a Spark source; its Spark-side equivalent is
+`json_feed_to_stream` decoding the same payload shape from any of the
+sources above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from real_time_data_pipeline_spark.operators.normalize import decode_json_col
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Kafka streaming source (value as binary; decode downstream)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """File-drop streaming source with paced micro-batches."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic (timestamp, value) load generator."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def decode_kafka_json(raw: DataFrame, schema: StructType) -> DataFrame:
+    """Kafka binary value → typed columns (reference P1+P2:
+    CAST(value AS STRING) then from_json against the declared schema,
+    flattened)."""
+    with_str = raw.select(F.col("value").cast("string").alias("json_str"))
+    return decode_json_col(with_str, "json_str", schema)

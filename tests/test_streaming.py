@@ -1,0 +1,205 @@
+"""Streaming layer tests: batch/stream parity, watermarked dedup,
+idempotent upsert, custom stateful op.
+
+Strategy (the reference's own backfill-parity idea, SURVEY §3.2): the
+same transform functions run over (a) the events table as a batch
+frame and (b) a file-replay stream of the same rows split across
+micro-batches — results must agree.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.sources.tables import load_table
+from real_time_data_pipeline_spark.streaming.pipeline import (
+    default_gold_aggs,
+    gold_transform,
+    silver_transform,
+)
+from real_time_data_pipeline_spark.streaming.sinks import upsert_parquet
+from real_time_data_pipeline_spark.streaming.sources import file_stream
+
+
+@pytest.fixture(scope="module")
+def replay_dir(tmp_path_factory):
+    """events split into 4 time-ordered parquet drops (micro-batches)."""
+    from real_time_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="rtdp-tests", shuffle_partitions=8)
+    d = str(tmp_path_factory.mktemp("events_replay"))
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").orderBy("ts")
+    n = ev.count()
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # parquet NANOS would break Spark's reader
+    chunk = (n + 3) // 4
+    for i in range(4):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            part.to_parquet(os.path.join(d, f"batch_{i}.parquet"), index=False)
+    yield d, ev.schema
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream_to_memory(df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def _canon(df):
+    return sorted(map(tuple, df.toPandas().astype(str).values.tolist()))
+
+
+def test_stream_batch_parity_gold(spark, replay_dir):
+    """Streaming gold (complete mode over file replay) == batch gold."""
+    d, schema = replay_dir
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    aggs = default_gold_aggs("value")
+
+    gold_stream = gold_transform(
+        silver_transform(stream, "ts"),
+        "ts", "15 minutes", ["event_type"], aggs,
+    )
+    _run_stream_to_memory(gold_stream, "gold_complete", "complete")
+    got = spark.table("gold_complete").select(
+        "window_start", "window_end", "event_type",
+        F.round("avg_value", 6).alias("avg_value"), "n_events",
+    )
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = gold_transform(
+        silver_transform(batch, "ts"),
+        "ts", "15 minutes", ["event_type"], aggs,
+    ).select(
+        "window_start", "window_end", "event_type",
+        F.round("avg_value", 6).alias("avg_value"), "n_events",
+    )
+    assert _canon(got) == _canon(want)
+
+
+def test_stream_append_mode_emits_closed_windows(spark, replay_dir):
+    """Append mode emits only watermark-closed windows — a subset of
+    the batch result (the late tail stays open)."""
+    d, schema = replay_dir
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    gold = gold_transform(
+        silver_transform(stream, "ts"),
+        "ts", "15 minutes", ["event_type"], default_gold_aggs("value"),
+        watermark_delay="30 minutes",
+    )
+    _run_stream_to_memory(gold, "gold_append", "append")
+    got = spark.table("gold_append")
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = gold_transform(
+        silver_transform(batch, "ts"),
+        "ts", "15 minutes", ["event_type"], default_gold_aggs("value"),
+    )
+    got_keys = {(str(r.window_start), r.event_type) for r in got.collect()}
+    want_keys = {(str(r.window_start), r.event_type) for r in want.collect()}
+    assert got_keys  # something closed
+    assert got_keys.issubset(want_keys)
+    # emitted rows carry final (fully-aggregated) values
+    want_map = {
+        (str(r.window_start), r.event_type): (r.n_events, round(r.avg_value, 6))
+        for r in want.collect()
+    }
+    for r in got.collect():
+        assert want_map[(str(r.window_start), r.event_type)] == (
+            r.n_events,
+            round(r.avg_value, 6),
+        )
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes redelivered rows."""
+    import pandas as pd
+
+    d = str(tmp_path / "dup_replay")
+    os.makedirs(d)
+    base = pd.DataFrame(
+        {
+            "k": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:01:00", "2024-01-01 00:02:00"]),
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    base["ts"] = base["ts"].astype("datetime64[us]")
+    base.to_parquet(os.path.join(d, "b0.parquet"), index=False)
+    # second drop redelivers k=1,2 (same keys) plus a new k=4
+    redeliver = pd.DataFrame(
+        {
+            "k": [1, 2, 4],
+            "ts": pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:01:00", "2024-01-01 00:03:00"]),
+            "v": [1.0, 2.0, 4.0],
+        }
+    )
+    redeliver["ts"] = redeliver["ts"].astype("datetime64[us]")
+    redeliver.to_parquet(os.path.join(d, "b1.parquet"), index=False)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    deduped = silver_transform(stream, "ts", dedup_keys=["k"], watermark_delay="1 hour")
+    _run_stream_to_memory(deduped, "dedup_stream", "append")
+    got = spark.table("dedup_stream")
+    assert sorted(r.k for r in got.collect()) == [1, 2, 3, 4]
+
+
+def test_upsert_parquet_idempotent(spark, tmp_path):
+    path = str(tmp_path / "gold_upsert")
+    b1 = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "k int, g string, v double")
+    upsert_parquet(b1, path, ["k"])
+    # re-delivery of batch 1 (retry) must not duplicate
+    upsert_parquet(b1, path, ["k"])
+    # batch 2 revises k=2 and adds k=3
+    b2 = spark.createDataFrame([(2, "b", 25.0), (3, "c", 30.0)], "k int, g string, v double")
+    upsert_parquet(b2, path, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 25.0, 3: 30.0}
+
+
+def test_running_totals_stateful(spark, replay_dir):
+    """applyInPandasWithState running totals converge to batch totals."""
+    from real_time_data_pipeline_spark.streaming.stateful import running_totals
+
+    d, schema = replay_dir
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    totals = running_totals(stream, "user_id", "value")
+    _run_stream_to_memory(totals, "running_totals", "update")
+    got = spark.table("running_totals")
+    # last update per key should equal the batch aggregate
+    import pandas as pd
+
+    pdf = got.toPandas()
+    final = pdf.groupby("key").last()  # memory sink appends updates in order
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    for k, row in final.iterrows():
+        assert row["n_events"] == batch.loc[k, "n"]
+        assert abs(row["total_value"] - batch.loc[k, "total"]) < 1e-6
