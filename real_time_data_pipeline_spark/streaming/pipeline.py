@@ -28,6 +28,16 @@ from pyspark.sql import functions as F
 from real_time_data_pipeline_spark.operators.windows import windowed_agg
 
 
+def has_watermark(df: DataFrame) -> bool:
+    """True if the frame's lineage already defines an event-time
+    watermark (re-defining one downstream of a stateful operator is
+    disallowed by Spark)."""
+    try:
+        return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+
+
 def silver_transform(
     bronze: DataFrame,
     event_time: str,
@@ -67,7 +77,7 @@ def gold_transform(
     watermark is a no-op on batch frames, so one definition serves
     the streaming query and its backfill.
     """
-    delay = watermark_delay if silver.isStreaming else None
+    delay = watermark_delay if (silver.isStreaming and not has_watermark(silver)) else None
     return windowed_agg(
         silver,
         event_time=event_time,
