@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Benchmark harness: every registry query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "<dir>"}
+
+Each query executes to a `noop` sink — full computation of every
+output column, zero driver-side collection — so timings reflect the
+distributed plan, not toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from real_time_data_pipeline_spark.session import get_spark
+    from real_time_data_pipeline_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="rtdp-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,20 @@ MINHASH_NUM = 96
 MINHASH_BAND_ROWS = 2  # 48 bands of 2 rows → P(miss | jaccard=0.5) ≈ 1e-6
 
 
+def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Re-parallelize before a row-multiplying op (explode, pair join).
+
+    A small input (one parquet file locally; one hot partition on a
+    cluster) otherwise funnels the whole fan-out through one task —
+    the repartition costs one narrow shuffle of the SMALL pre-explode
+    rows and buys full-width parallelism for the expensive stage.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if cols:
+        return df.repartition(par, *[F.col(c) for c in cols])
+    return df.repartition(par)
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-duplicate groups by content hash.
 
@@ -48,7 +62,8 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) postings list — DISTINCT word n-grams per doc."""
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        _fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -94,47 +109,86 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = MINHASH_NUM
 ) -> DataFrame:
-    """(id, i, sig) MinHash signature rows.
+    """(id, sig: array<long>[num_hashes]) MinHash signatures.
 
     Each shingle's base hash x (32-bit md5 prefix) runs through the
-    universal-hash family h_i(x) = ((2i+1)·x + 7919·i + 1) mod p; the
-    per-doc minimum over shingles is the signature element. Computed
-    as one explode over (shingle × hash-index) then a min-groupBy —
-    partial aggregation collapses rows map-side before the shuffle.
+    universal-hash family h_i(x) = ((2i+1)·x + 7919·i + 1) mod p,
+    producing one num_hashes-array PER (doc, shingle) ROW; the per-doc
+    signature is the element-wise minimum, computed as num_hashes
+    min-aggregates in ONE groupBy. No row explosion: the shuffle moves
+    |postings| rows, not |postings|×num_hashes (the partial aggregate
+    collapses them to one row per doc per task first).
     """
     sh = shingle_postings(df, id_col, text_col, n).withColumn("x", hash32("shingle"))
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
-    expanded = sh.select(F.col(id_col), F.col("x"), idx)
-    h = (
-        (F.lit(2) * F.col("i") + 1) * F.col("x") + F.lit(7919) * F.col("i") + 1
-    ) % F.lit(MINHASH_PRIME)
-    return expanded.select(F.col(id_col), F.col("i"), h.alias("h")).groupBy(
-        id_col, "i"
-    ).agg(F.min("h").alias("sig"))
+    harr = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: ((2 * i + 1) * F.col("x") + 7919 * i + 1) % F.lit(MINHASH_PRIME),
+    )
+    rows = sh.select(F.col(id_col), harr.alias("harr"))
+    mins = [
+        F.min(F.element_at(F.col("harr"), i + 1)).alias(f"__h{i}") for i in range(num_hashes)
+    ]
+    wide = rows.groupBy(id_col).agg(*mins)
+    return wide.select(
+        F.col(id_col), F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, band_rows: int = MINHASH_BAND_ROWS
+    signatures: DataFrame,
+    id_col: str,
+    band_rows: int = MINHASH_BAND_ROWS,
+    num_hashes: int = MINHASH_NUM,
 ) -> DataFrame:
     """Candidate pairs from banded LSH over MinHash signatures.
 
-    Band key = (band index, concatenated in-band signature values);
-    docs collide iff a whole band matches. Self-join per bucket →
-    distinct pairs. Bucket sizes are tiny for non-near-dup corpora, so
-    the join is sparse; the full-corpus cross join never happens.
+    Each signature array splits into num_hashes/band_rows bands; the
+    band key is the joined in-band values. Docs collide iff a whole
+    band matches: self-join on (band, key) → distinct pairs. Bucket
+    sizes stay tiny for non-near-dup corpora, so the join is sparse —
+    the full-corpus cross join never happens.
     """
-    banded = signatures.withColumn("band", (F.col("i") / band_rows).cast("int"))
-    keys = banded.groupBy(id_col, "band").agg(
-        F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "i", "sig")))).alias(
-            "band_key"
+    n_bands = num_hashes // band_rows
+    band = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * band_rows + 1, band_rows),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ).alias("key"),
+            ),
         )
     )
-    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    keys = signatures.select(F.col(id_col), band.alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    )
+    # Bucket-collect instead of a self-join: one shuffle on the band
+    # key, pairs expanded inside each (tiny) bucket array. A self-join
+    # would recompute the whole signature pipeline on both branches
+    # (Catalyst does not CSE across join inputs).
+    buckets = keys.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a: F.transform(
+                    F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
     return (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.where(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -149,7 +203,8 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     every intermediate comfortably in BIGINT on both engines.
     """
     w = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, 1)).alias("word"))
+        _fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.explode(word_shingles(text_col, 1)).alias("word"))
         .distinct()
         .withColumn("h", hash32("word"))
     )
@@ -194,8 +249,11 @@ def cosine_neardup_pairs(
     the join sparse at corpus scale.
     Output: (id_a, id_b, <block_col>, cos) with id_a < id_b.
     """
-    v = df.select(
-        F.col(id_col), F.col(block_col), F.col(vec_col).cast("array<double>").alias("v")
+    v = _fan_out(
+        df.select(
+            F.col(id_col), F.col(block_col), F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        block_col,
     )
     a = v.select(F.col(id_col).alias("id_a"), F.col(block_col), F.col("v").alias("va"))
     b = v.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("__blk"), F.col("v").alias("vb"))
@@ -227,8 +285,10 @@ def ann_brute_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    c = _fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+        )
     )
     cos = cosine(F.col("qv"), F.col("cv"))
     scored = (

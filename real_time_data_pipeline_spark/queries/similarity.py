@@ -99,25 +99,37 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(docs, "doc_id", "text", n=3)
     cands = lsh_candidate_pairs(sigs, "doc_id")
 
-    # Verify candidates with exact Jaccard over shingle postings.
-    sh = shingle_postings(docs, "doc_id", "text", 3)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Verify candidates with exact Jaccard. Shingle sets are computed
+    # ONCE: each candidate pair explodes into two (pair, doc) roles,
+    # joins the per-doc shingle array (semi-filtered to candidate docs
+    # — a tiny fraction of the corpus), and the pair's two sets meet
+    # again via a single groupBy. No branch of the plan recomputes the
+    # posting explode.
+    pair_roles = cands.select(
+        F.struct("id_a", "id_b").alias("pair"),
+        F.explode(F.array("id_a", "id_b")).alias("doc_id"),
     )
-    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
-        .where(jac >= JACCARD_THRESHOLD)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    sh = shingle_postings(docs, "doc_id", "text", 3)
+    sets = (
+        sh.join(pair_roles.select("doc_id").distinct(), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+    )
+    per_pair = (
+        pair_roles.join(sets, "doc_id")
+        .groupBy("pair")
+        .agg(F.collect_list("shs").alias("two_sets"))
+        .where(F.size("two_sets") == 2)
+    )
+    s1 = F.element_at("two_sets", 1)
+    s2 = F.element_at("two_sets", 2)
+    inter = F.size(F.array_intersect(s1, s2))
+    union = F.size(s1) + F.size(s2) - inter
+    jac = inter / union
+    return per_pair.where(jac >= JACCARD_THRESHOLD).select(
+        F.col("pair.id_a").alias("id_a"),
+        F.col("pair.id_b").alias("id_b"),
+        F.round(jac, 6).alias("jaccard"),
     )
 
 

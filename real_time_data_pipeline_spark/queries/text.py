@@ -181,8 +181,10 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per distinct n-gram per task — corpus-size independent.
     """
     docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
     return (
-        docs.select(F.explode(word_shingles("text", 3)).alias("ngram"))
+        docs.repartition(par)
+        .select(F.explode(word_shingles("text", 3)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 3)

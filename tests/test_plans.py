@@ -1,0 +1,87 @@
+"""Physical-plan audits: the scale properties that must never regress.
+
+These assert on `.explain`-level facts, not timings — the properties
+that decide whether a plan survives a 100× scale-up: filter/column
+pushdown into the parquet scan, broadcast joins for dimensions,
+TakeOrderedAndProject for global top-k, whole-stage codegen coverage,
+and partial aggregation before exchanges.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.queries import REGISTRY
+from real_time_data_pipeline_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_and_column_pushdown(spark, sf_dir):
+    df = REGISTRY["tpch_q1_pricing_summary"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    # unused columns (l_orderkey etc.) are pruned from ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(REGISTRY["join_broadcast_enrich"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(REGISTRY["tpch_q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_topk_uses_heap_not_sort(spark, sf_dir):
+    plan = _plan(REGISTRY["orderby_limit_top50"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node — per-partition heaps + driver merge
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    semi = _plan(REGISTRY["join_semi_customers_with_orders"].fn(spark, sf_dir))
+    anti = _plan(REGISTRY["join_anti_customers_without_orders"].fn(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_gold_agg_is_two_phase(spark, sf_dir):
+    plan = _plan(REGISTRY["pipeline_gold_15m"].fn(spark, sf_dir))
+    # partial + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_on_scalar_chain(spark, sf_dir):
+    plan = _plan(REGISTRY["pipeline_silver_normalize"].fn(spark, sf_dir))
+    # "*(n)" prefixes mark whole-stage-codegen subtrees in the tree string
+    assert "*(" in plan
+    # the normalization chain must not fall back to Python evaluation
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Only the deliberate broadcast-scalar patterns may cross join;
+    nothing may plan a non-broadcast CartesianProduct."""
+    for name, spec in REGISTRY.items():
+        plan = _plan(spec.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_window_group_limit_pushdown(spark, sf_dir):
+    """Per-group top-k filters rows inside the sort, not after it."""
+    plan = _plan(REGISTRY["window_topk_orders_per_segment"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
