@@ -66,6 +66,34 @@ def range_join(
     return left.join(right, on=cond, how=how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: salt the (skewed) left side, replicate
+    the right side ``salt`` ways.
+
+    A hot key that would pin one reducer is spread across ``salt``
+    partitions; the right side's matching rows are exploded once per
+    salt bucket so every bucket can complete the join locally. The
+    salt is a deterministic hash of the whole left row — no RNG, so
+    reruns produce identical partitioning. Use when AQE's skew-join
+    splitting isn't available (e.g. a non-AQE stage or a stream-static
+    join); cost = right side inflated ×salt, so keep the right side
+    the smaller input.
+    """
+    lsalt = F.pmod(F.abs(F.hash(*[F.col(c) for c in left.columns])), F.lit(salt))
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    cond = (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"])
+    out = l.join(r, cond, how)
+    return out.drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

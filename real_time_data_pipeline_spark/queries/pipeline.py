@@ -252,3 +252,52 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("metric_value")
         ),
     )
+
+
+@query(
+    "pipeline_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS window_start,
+           max(ts) + INTERVAL 30 MINUTE AS window_end,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — batch form.
+
+    Spark's session_window merges events whose gaps are < the timeout;
+    window_end = last event + gap. The oracle reproduces the merge
+    with the classic gaps-and-islands window-function rewrite. The
+    same operator runs on a stream with a watermark (SURVEY §2.6
+    notes the reference has no session windows at all).
+    """
+    from real_time_data_pipeline_spark.operators.windows import session_windowed_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_windowed_agg(
+        ev,
+        event_time="ts",
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "avg_value": F.round(F.avg("value"), 6),
+        },
+    ).select("user_id", "window_start", "window_end", "n_events", "avg_value")

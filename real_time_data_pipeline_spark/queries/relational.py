@@ -786,3 +786,311 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since_t0"),
     )
+
+
+# --------------------------------------------------------------------------
+# Additional TPC-H shapes (Q4/Q6/Q10/Q14/Q18/Q19 adapted to this schema)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT
+      CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0
+        AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+aggregate — the pushdown stress test.
+    All three predicates reach the parquet scan; the aggregate is a
+    single partial+final pair over a handful of surviving rows."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money(F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "tpch_q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated filter → grouped count
+    (semi join carries no lineitem payload through the shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20.
+    nation broadcasts; exact-cents revenue makes the cutoff stable."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    grouped = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        money(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))).alias("revenue")
+    )
+    return topk(grouped, [F.desc("revenue"), F.asc("c_custkey")], 20)
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT
+      round(
+        100.0 * (CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                   THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) * 1.0)
+        / (CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           * 1.0),
+        6
+      ) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional revenue share over a part-dimension
+    broadcast join (exact-cents numerator AND denominator → the ratio
+    is a deterministic division of two exact longs)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("long")))
+    total = F.sum(rev)
+    return joined.agg(
+        F.round(F.lit(100.0) * (promo * 1.0) / (total * 1.0), 6).alias("promo_pct")
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate, total_qty
+    FROM (
+      SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+    ) big
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    WHERE total_qty > 120
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-style aggregate feeding a join, top 100.
+    The per-order quantity aggregate runs FIRST (smallest intermediate),
+    then joins back — aggregate-before-join is the 100 TB ordering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 120)
+    )
+    joined = big.join(orders, big["l_orderkey"] == orders["o_orderkey"]).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return topk(
+        joined.select("c_custkey", "o_orderkey", "o_orderdate", "total_qty"),
+        [F.desc("total_qty"), F.asc("o_orderkey")],
+        100,
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    oracle="""
+    SELECT
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        / 100.0 AS revenue,
+      count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across both join sides — Catalyst splits
+    the common conjuncts and pushes per-table residuals into each scan
+    while the cross-table disjunction evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), part["p_partkey"] == li["l_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(20, 30))
+    )
+    return joined.where(cond).agg(
+        money(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window-function breadth, min_by/max_by, array functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_distribution",
+    oracle="""
+    SELECT
+      c_custkey,
+      c_acctbal,
+      ntile(4) OVER w AS balance_quartile,
+      round(percent_rank() OVER w, 9) AS pct_rank,
+      round(cume_dist() OVER w, 9) AS cume,
+      rank() OVER w AS rnk,
+      dense_rank() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth: ntile/percent_rank/cume_dist/rank/
+    dense_rank over one global ordering (single-partition window —
+    fine for dimension-sized inputs; partition it for facts)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+      arg_max(o_orderkey, o_totalprice) AS priciest_order,
+      min(o_totalprice) AS min_price,
+      max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) aggregates — fetch the id of the
+    extreme row without a join-back or window sort.
+
+    o_totalprice has no duplicate values within a priority group in
+    this dataset, so the argmin/argmax winners are unique (otherwise
+    both engines would tie-break arbitrarily)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "array_functions_user_values",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, list(round(value, 2) ORDER BY value, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      user_id,
+      CAST(len(vals) AS INTEGER) AS n_vals,
+      list_min(vals) AS min_val,
+      list_max(vals) AS max_val,
+      array_to_string(list_transform(vals[1:3], x -> CAST(x AS VARCHAR)), ',')
+        AS smallest3
+    FROM per_user
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column pipeline: collect → sort → slice/min/max →
+    stringify. The collect_list is bounded per key (events per user) —
+    at scale guard with a size cap or pre-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    collected = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.round("value", 2).alias("v"), F.col("event_id").alias("e")))
+        ).alias("pairs")
+    )
+    vals = F.transform(F.col("pairs"), lambda p: p["v"])
+    return collected.select(
+        "user_id",
+        F.size(vals).alias("n_vals"),
+        F.array_min(vals).alias("min_val"),
+        F.array_max(vals).alias("max_val"),
+        F.array_join(
+            F.transform(F.slice(vals, 1, 3), lambda x: x.cast("string")), ","
+        ).alias("smallest3"),
+    )

@@ -81,3 +81,19 @@ def test_multimodal_pipeline_plumbing(spark, sf_dir):
     # deterministic: same payload → same feature
     again = {r.media_id: r.feature for r in extract_features(media).collect()}
     assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from real_time_data_pipeline_spark.operators.joins import salted_join
+
+    # skewed left: one hot key
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1), (3, 2)], "k int, payload int"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "a"), (4, "d")], "rk int, label string")
+    plain = left.join(right, left["k"] == right["rk"]).select("k", "payload", "label")
+    salted = salted_join(left, right, "k", "rk", salt=4).select("k", "payload", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # outer flavor: unmatched left rows survive with NULL labels
+    salted_left = salted_join(left, right, "k", "rk", salt=4, how="left")
+    assert salted_left.where(F.col("label").isNull()).count() == 1  # k=3
