@@ -10,27 +10,24 @@ and partial aggregation before exchanges.
 import pytest
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.plans import (
+    executed_plan as _plan,
+    formatted_plan as _formatted,
+    pushed_filters,
+    read_schema_columns,
+)
 from real_time_data_pipeline_spark.queries import REGISTRY
 from real_time_data_pipeline_spark.sources.tables import load_table
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
-
-
 def test_filter_and_column_pushdown(spark, sf_dir):
     df = REGISTRY["tpch_q1_pricing_summary"].fn(spark, sf_dir)
-    plan = _formatted(df)
     # shipdate predicate reaches the parquet scan
-    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    assert any("l_shipdate" in f for f in pushed_filters(df))
     # unused columns (l_orderkey etc.) are pruned from ReadSchema
-    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
-    assert "l_orderkey" not in read_schema
-    assert "l_quantity" in read_schema
+    (cols,) = read_schema_columns(df)
+    assert "l_orderkey" not in cols
+    assert "l_quantity" in cols
 
 
 def test_dimension_joins_broadcast(spark, sf_dir):
