@@ -27,18 +27,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def with_trigger(writer, trigger: str | None):
+    """Apply a trigger policy (reference W5 exposes none — SURVEY §2.6).
+
+    ``trigger``: None → default as-fast-as-available micro-batches;
+    "Ns"/"N seconds" → processing-time cadence; "once" → single batch
+    then stop (backfill-style); "available-now" → drain all available
+    data in bounded batches then stop.
+    """
+    if trigger is None:
+        return writer
+    if trigger == "once":
+        return writer.trigger(once=True)
+    if trigger == "available-now":
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=trigger)
+
+
 def parquet_append_sink(
-    df: DataFrame, path: str, checkpoint: str, query_name: str
+    df: DataFrame, path: str, checkpoint: str, query_name: str, trigger: str | None = None
 ) -> StreamingQuery:
     """Append-mode parquet sink with its own checkpoint (bronze/silver)."""
-    return (
+    writer = (
         df.writeStream.format("parquet")
         .outputMode("append")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
-        .start()
     )
+    return with_trigger(writer, trigger).start()
 
 
 def upsert_parquet(batch_df: DataFrame, path: str, keys: Sequence[str]) -> None:

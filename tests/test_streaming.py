@@ -203,3 +203,78 @@ def test_running_totals_stateful(spark, replay_dir):
     for k, row in final.iterrows():
         assert row["n_events"] == batch.loc[k, "n"]
         assert abs(row["total_value"] - batch.loc[k, "total"]) < 1e-6
+
+
+def test_stream_static_join_enrichment(spark, replay_dir):
+    """Stream enriched with a static dimension: every output row carries
+    the dim attributes; join is broadcast (no stream shuffle)."""
+    from real_time_data_pipeline_spark.streaming.joins import stream_static_join
+
+    d, schema = replay_dir
+    stream = file_stream(spark, d, schema, max_files_per_trigger=2)
+    dim = spark.createDataFrame(
+        [(t, t.upper()) for t in ["click", "error", "purchase", "signup", "view"]],
+        "et string, label string",
+    )
+    joined = stream_static_join(stream, dim, F.col("event_type") == F.col("et")).select(
+        "event_id", "event_type", "label"
+    )
+    _run_stream_to_memory(joined, "enriched", "append")
+    got = spark.table("enriched")
+    assert got.count() == 1000
+    assert got.where(F.col("label") != F.upper("event_type")).count() == 0
+
+
+def test_stream_stream_interval_join(spark, replay_dir):
+    """Watermarked interval join between two event streams equals the
+    equivalent batch interval join."""
+    from real_time_data_pipeline_spark.streaming.joins import stream_stream_interval_join
+
+    d, schema = replay_dir
+    base = file_stream(spark, d, schema, max_files_per_trigger=2)
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    clicks = (
+        file_stream(spark, d, schema, max_files_per_trigger=2)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+    )
+    joined = stream_stream_interval_join(
+        purchases, clicks,
+        left_time="p_ts", right_time="c_ts",
+        keys=F.col("p_user") == F.col("c_user"),
+        interval="30 MINUTES",
+        left_watermark="2 hours", right_watermark="2 hours",
+    ).select("p_id", "c_id")
+    _run_stream_to_memory(joined, "ssjoin", "append")
+    got = {(r.p_id, r.c_id) for r in spark.table("ssjoin").collect()}
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    want_df = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    want = {(r.p_id, r.c_id) for r in want_df.collect()}
+    assert got == want
+
+
+def test_trigger_available_now(spark, replay_dir, tmp_path):
+    """available-now trigger drains the source then stops on its own."""
+    from real_time_data_pipeline_spark.streaming.sinks import parquet_append_sink
+
+    d, schema = replay_dir
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    out = str(tmp_path / "bronze_an")
+    q = parquet_append_sink(stream, out, str(tmp_path / "ck_an"), "bronze_an", trigger="available-now")
+    q.awaitTermination(120)
+    assert not q.isActive  # stopped by itself after draining
+    assert spark.read.parquet(out).count() == 1000
