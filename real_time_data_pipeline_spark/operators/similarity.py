@@ -305,7 +305,11 @@ def ann_brute_topk(
 
 
 def hyperplane_lsh_bucket(
-    df: DataFrame, vec_col: str, num_planes: int = 8, seed_tag: str = "plane"
+    df: DataFrame,
+    vec_col: str,
+    num_planes: int = 8,
+    seed_tag: str = "plane",
+    dim: int | None = None,
 ) -> Column:
     """Random-hyperplane LSH bucket id (0 .. 2^num_planes − 1).
 
@@ -315,25 +319,30 @@ def hyperplane_lsh_bucket(
     random projections — the standard sub-linear candidate generator
     for cosine ANN.
     """
+    import hashlib
+
+    def plane_component(j: int, d: int) -> float:
+        # md5("plane-j-d") first 8 hex → int in [-500, 500); identical
+        # to the SQL form ('0x'||substr(md5(...),1,8))::BIGINT % 1000 - 500
+        h = int(hashlib.md5(f"{seed_tag}-{j}-{d}".encode()).hexdigest()[:8], 16)
+        return float(h % 1000 - 500)
+
+    if dim is None:
+        # One cheap lookup of the vector width (plan-build time only).
+        dim = len(df.select(F.col(vec_col)).first()[0])
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
+    # Plane components are BAKED IN as literal arrays at plan-build
+    # time (the md5 math runs once in Python, not per row×dim×plane on
+    # the cluster) — same deterministic values the SQL oracle derives.
     for j in range(num_planes):
-        # component d of plane j: md5("plane-j-d") → int in [-500, 500)
-        comp = lambda d: (  # noqa: E731
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed_tag}-{j}-"), d.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1000
-            - 500
-        ).cast("double")
+        plane = F.array(*[F.lit(plane_component(j, d)) for d in range(dim)])
         dot = F.aggregate(
-            F.zip_with(v, F.transform(v, lambda _, i: comp(i)), lambda x, y: x * y),
+            F.zip_with(v, plane, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return bucket

@@ -641,7 +641,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
         F.count_distinct(F.col("user_id")).alias("exact_users"),
     )
 
