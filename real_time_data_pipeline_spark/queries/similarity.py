@@ -241,3 +241,57 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(hyperplane_lsh_bucket(emb, "embedding", 8).alias("bucket"))
     return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE
+    words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), idx AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM words
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s FROM idx
+      WHERE len(w) >= 3
+    ), cnts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), jpairs AS (
+      SELECT p.id_a, p.id_b
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+        JOIN cnts ca ON p.id_a = ca.doc_id
+        JOIN cnts cb ON p.id_b = cb.doc_id
+      WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM jpairs
+      UNION
+      SELECT id_b, id_a FROM jpairs
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM edges
+    ), reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a
+    )
+    SELECT node AS id_a, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@query("dedup_cluster_assignment", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters via iterative connected
+    components (keep-one dedup keeps cluster_id == doc_id).
+
+    The only iterative-fixpoint computation in the registry; the
+    oracle walks the same graph with a recursive CTE. Covers the
+    "pairs alone aren't dedup" gap: A~B, B~C must collapse to one
+    cluster even when A~C wasn't directly detected.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    return connected_components(pairs, "id_a", "id_b")
