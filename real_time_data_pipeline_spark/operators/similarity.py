@@ -405,3 +405,87 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_a), F.col("comp").alias("cluster_id"))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    centroid_stride: int = 29,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    The scale path past brute force: (1) pick deterministic centroids
+    (every `centroid_stride`-th corpus id — swap in k-means centroids
+    in production; determinism is what the oracle needs); (2) assign
+    each corpus vector to its nearest centroid — the inverted lists;
+    (3) per query, probe only the `nprobe` nearest lists and rank
+    candidates within them. Search cost drops from O(|corpus|) to
+    O(|corpus| · nprobe / n_lists) per query.
+
+    Plan at scale: centroids are tiny → both the assignment pass and
+    the probe pass are broadcast joins (the corpus never shuffles to
+    build lists); the candidate join shuffles on list id, so lists ≈
+    √n keeps partitions balanced; per-query top-k is a row_number
+    window over candidates only. All ranking tie-breaks on id, and
+    each corpus vector lives in exactly one list, so no dedup step.
+
+    Output: (query_id, neighbor_id, cos, rk) — same shape as
+    `ann_brute_topk` for recall measurement against the exact answer.
+    """
+    from pyspark.sql import Window
+
+    cents = corpus.where((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+
+    # Corpus → nearest list as ONE aggregate, not a window: the
+    # broadcast cross join emits each vector's n_centroid scores
+    # inside one input partition, so the partial max_by collapses them
+    # map-side — the exchange moves |corpus| rows, not |corpus|·n_lists.
+    # Tie-break: the order-by struct appends -cent_id, making the max
+    # unique (max cos, then min cent_id).
+    corpus_rows = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = corpus_rows.crossJoin(F.broadcast(cents)).select(
+        "nid", "cv", "cent_id", cosine(F.col("cv"), F.col("cvec")).alias("__ccos")
+    )
+    best = F.max_by(
+        F.struct(F.col("cent_id"), F.col("cv")),
+        F.struct(F.col("__ccos").alias("c"), (-F.col("cent_id")).alias("t")),
+    )
+    assign = (
+        scored.groupBy("nid").agg(best.alias("__b"))
+        .select("nid", F.col("__b.cent_id").alias("cent_id"), F.col("__b.cv").alias("cv"))
+    )
+
+    # Queries are small → a row_number window over their probe scores
+    # is cheap and keeps the top-nprobe lists per query.
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    qscored = qrows.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cvec")).alias("__ccos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__ccos"), F.asc("cent_id"))
+    probes = (
+        qscored.withColumn("__crk", F.row_number().over(wq))
+        .where(F.col("__crk") <= nprobe)
+        .drop("__ccos", "__crk")
+    )
+    cos = cosine(F.col("qv"), F.col("cv"))
+    cand = (
+        probes.join(assign, "cent_id")
+        .where(F.col("nid") != F.col("query_id"))
+        .select("query_id", F.col("nid").alias("neighbor_id"), cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )

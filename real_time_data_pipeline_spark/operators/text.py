@@ -152,3 +152,64 @@ def quality_features(col: Column | str) -> dict[str, Column]:
         "upper_ratio": F.round(F.regexp_count(c, F.lit(r"[A-Z]")) / safe_chars, 6),
         "stopword_ratio": F.round(stop_hits / safe_tok, 6),
     }
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Overlapping fixed-size character chunks (context-window prep).
+
+    Chunk i covers [i*stride, i*stride + size); the last chunk may be
+    short, and every character belongs to ≥1 chunk. Implemented as a
+    codegen `sequence` + `posexplode` — the explode multiplies rows by
+    len/stride, but each output row is bounded by `size`, so partition
+    sizes stay predictable at 100 TB (unlike exploding on raw
+    sentences). Token-based chunking swaps `length` for a token count
+    and substr for array slicing over the token array.
+
+    Output: (<id>, chunk_idx: int, chunk_text, chunk_len: long).
+    """
+    c = F.col(text_col)
+    n_chunks = (F.floor((F.length(c) - 1) / stride) + 1).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    exploded = df.where(F.length(c) > 0).select(
+        F.col(id_col), c.alias("__t"), F.explode(starts).alias("chunk_idx")
+    )
+    chunk = F.col("__t").substr(F.col("chunk_idx") * stride + 1, F.lit(size))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
+# PII-redaction patterns: portable regex subset (identical semantics in
+# Java regex and RE2/DuckDB — character classes, +, bounded repetition).
+REDACT_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "long_number": r"[0-9]{6,}",
+}
+
+
+def redact(col: Column | str, replacement: str = "[REDACTED]") -> Column:
+    """Replace every PII-pattern match with `replacement` (emails
+    first so their digit runs don't double-match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for pat in REDACT_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def redaction_counts(col: Column | str) -> dict[str, Column]:
+    """Per-pattern match counts (audit metric alongside `redact`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in REDACT_PATTERNS.items()
+    }

@@ -19,6 +19,7 @@ from real_time_data_pipeline_spark.queries.registry import (
 from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
     pipeline,
     relational,
+    tpch_extra,
     text,
     similarity,
 )

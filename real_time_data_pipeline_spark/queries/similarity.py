@@ -295,3 +295,61 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
     return connected_components(pairs, "id_a", "id_b")
+
+
+_IVF_ORACLE = """
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id % 29 = 0
+    ), assign AS (
+      SELECT vec_id AS nid, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                          c.cent_id
+               ) AS rk
+        FROM embeddings e, cents c
+      ) WHERE rk = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS qemb, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                          c.cent_id
+               ) AS rk
+        FROM embeddings e, cents c WHERE e.vec_id < 10
+      ) WHERE rk <= 3
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM (
+      SELECT p.query_id, a.nid AS neighbor_id,
+             list_cosine_similarity(p.qemb::DOUBLE[], a.embedding::DOUBLE[]) AS cos,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(p.qemb::DOUBLE[], a.embedding::DOUBLE[])
+                        DESC, a.nid
+             ) AS rk
+      FROM probes p JOIN assign a ON p.cent_id = a.cent_id AND a.nid <> p.query_id
+    ) WHERE rk <= 5
+"""
+
+
+@query("embed_ann_ivf_topk", oracle=_IVF_ORACLE)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for the same 10 query vectors as the
+    brute-force baseline: deterministic centroids (every 29th id),
+    nprobe=3 of ~n/29 inverted lists.
+
+    The oracle replays the identical index construction, so bucket
+    assignment, probe choice, AND final ranking are all value-checked
+    — recall loss vs `embed_ann_brute_topk` is visible by diffing the
+    two queries' outputs.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding",
+        k=5, centroid_stride=29, nprobe=3,
+    )

@@ -218,3 +218,145 @@ def q_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("content_md5"),
         F.substring(F.md5(F.col("text")), 1, 8).alias("magic"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data preparation: deterministic splits, chunking, redaction
+# --------------------------------------------------------------------------
+
+from real_time_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    hash_split,
+    sql_hash_bucket,
+)
+from real_time_data_pipeline_spark.operators.text import (  # noqa: E402
+    REDACT_PATTERNS,
+    chunk_documents,
+    redact,
+    redaction_counts,
+)
+
+_SPLIT_BUCKET = sql_hash_bucket("doc_id", "split", 100)
+
+_SPLIT_ORACLE = f"""
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+                  WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split, lang
+"""
+
+
+@query("data_hash_split", oracle=_SPLIT_ORACLE)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by
+    md5(doc_id) bucket, summarized per split × language.
+
+    The split is a pure column expression (no shuffle, no RNG): new
+    documents never move old ones between splits, and any engine with
+    md5 reproduces the assignment bit-for-bit — the property that
+    keeps eval sets uncontaminated across dataset versions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", salt="split", train=80, val=10)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+_CHUNK_ORACLE = """
+    WITH ex AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(floor((length(text) - 1) / 150) AS BIGINT) + 1))
+               AS chunk_idx
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           substring(md5(substring(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)), 1, 8)
+             AS chunk_md5,
+           CAST(length(substring(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)) AS BIGINT)
+             AS chunk_len
+    FROM ex
+"""
+
+
+@query("doc_chunking", oracle=_CHUNK_ORACLE)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char / 150-stride chunking of every document
+    (context-window prep). Checked by per-chunk md5 so the oracle
+    verifies chunk CONTENT, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", size=200, stride=150)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.substring(F.md5("chunk_text"), 1, 8).alias("chunk_md5"),
+        "chunk_len",
+    )
+
+
+_EMAIL_PAT = REDACT_PATTERNS["email"]
+_NUM_PAT = REDACT_PATTERNS["long_number"]
+
+_REDACT_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ref ' || CAST(doc_id * 7919 + 100000 AS VARCHAR) AS t
+      FROM documents
+    ), red AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(t, '{_EMAIL_PAT}', '[REDACTED]', 'g'),
+               '{_NUM_PAT}', '[REDACTED]', 'g') AS r
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_PAT}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_NUM_PAT}')) AS BIGINT) AS n_long_number,
+           CAST(length(r) AS BIGINT) AS redacted_len,
+           substring(md5(r), 1, 8) AS redacted_md5
+    FROM red
+"""
+
+
+@query("text_redact_pii", oracle=_REDACT_ORACLE)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, long digit runs) with per-pattern audit
+    counts. Documents are augmented with a synthetic email + reference
+    number derived from doc_id (identically in the oracle) so the
+    patterns actually fire; redacted content is md5-verified.
+
+    Pure regexp_replace/regexp_count — whole-stage codegen, no Python
+    on the 100 TB path. Patterns use the portable regex subset that
+    behaves identically under Java regex and RE2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref "),
+            (F.col("doc_id") * 7919 + 100000).cast("string"),
+        ).alias("t"),
+    )
+    counts = redaction_counts("t")
+    red = redact("t")
+    return aug.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_long_number"].alias("n_long_number"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.substring(F.md5(red), 1, 8).alias("redacted_md5"),
+    )
