@@ -115,3 +115,79 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.encode(F.col("text"), "UTF-8").alias("payload"),
         )
     )
+
+
+def resize_stub(payload: bytes, width: int, height: int, deterministic_fake: bool = False) -> bytes:
+    """Placeholder for image resize (e.g. PIL/opencv in production).
+
+    The fake path emits a deterministic `width*height`-byte payload by
+    cycling the source bytes — size-correct so downstream partition /
+    memory accounting is realistic.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image resize requires imaging libraries not present in this environment"
+        )
+    n = max(width * height, 0)
+    src = payload or b"\x00"
+    return (src * (n // len(src) + 1))[:n]
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, deterministic_fake: bool = True
+) -> DataFrame:
+    """Arrow-batched resize via ``mapInPandas`` (same plumbing contract
+    as `extract_features`: declared schema, per-batch Python, no
+    row-at-a-time pickling). Output replaces `payload` and updates
+    `n_bytes`; metadata columns pass through untouched."""
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("mime", StringType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("n_bytes", LongType(), True),
+        ]
+    )
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            resized = [
+                resize_stub(p, width, height, deterministic_fake=deterministic_fake)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "payload": resized,
+                    "n_bytes": [len(b) for b in resized],
+                }
+            )
+
+    return df.mapInPandas(resize_batches, schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    duration_col: str = "duration_s",
+    fps_col: str = "fps",
+    every_s: float = 1.0,
+) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per frame to decode.
+
+    Deliberately pure column arithmetic (sequence + explode on typed
+    METADATA — never touches payload bytes): at 100 TB the plan rows
+    are computed JVM-side and only then does an Arrow-batched decode
+    (`extract_features`-style) fetch the selected frames. Sampling
+    every `every_s` seconds; frame index = floor(t * fps).
+
+    Output: input columns + (sample_t_s: double, frame_idx: long).
+    """
+    n_samples = (F.floor(F.col(duration_col) / every_s) + 1).cast("int")
+    ts = F.explode(F.transform(F.sequence(F.lit(0), n_samples - 1), lambda i: i * every_s))
+    out = df.withColumn("sample_t_s", ts)
+    return out.withColumn(
+        "frame_idx", F.floor(F.col("sample_t_s") * F.col(fps_col)).cast("long")
+    )

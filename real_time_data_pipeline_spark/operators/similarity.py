@@ -478,8 +478,10 @@ def ivf_topk(
         .drop("__ccos", "__crk")
     )
     cos = cosine(F.col("qv"), F.col("cv"))
+    # The probe set is |queries|·nprobe rows → broadcast it: the
+    # corpus-side inverted lists are filtered in place, never shuffled.
     cand = (
-        probes.join(assign, "cent_id")
+        assign.join(F.broadcast(probes), "cent_id")
         .where(F.col("nid") != F.col("query_id"))
         .select("query_id", F.col("nid").alias("neighbor_id"), cos.alias("cos"))
     )

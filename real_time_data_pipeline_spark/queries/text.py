@@ -360,3 +360,46 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).cast("long").alias("redacted_len"),
         F.substring(F.md5(red), 1, 8).alias("redacted_md5"),
     )
+
+
+_MM_FEATURE_ORACLE = """
+    SELECT doc_id AS media_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           list_aggregate(
+             list_transform(range(8),
+               i -> substr(md5(text), CAST(i * 2 + 1 AS INTEGER), 2)),
+             'string_agg', ',') AS feature_bytes
+    FROM documents
+"""
+
+
+@query("multimodal_feature_extract", oracle=_MM_FEATURE_ORACLE)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal decode path — binary payload → Arrow batch
+    → Python decode → declared-schema features — value-checked end to
+    end: the deterministic-fake decoder derives features from the
+    payload md5, which the oracle replays in pure SQL.
+
+    This is the one Python-UDF stage in the registry, and exactly the
+    shape a real image/audio decoder drops into: only `decode_stub`'s
+    body changes, never the plumbing (schema, batching, partition
+    flow). Features re-quantize to their source bytes (hex, to dodge
+    float32-vs-double hashing) for the comparison.
+    """
+    from real_time_data_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(docs), deterministic_fake=True)
+    byte_hex = F.transform(
+        F.col("feature"),
+        lambda x: F.lower(F.lpad(F.hex(F.round(x * 255).cast("int")), 2, "0")),
+    )
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.array_join(byte_hex, ",").alias("feature_bytes"),
+    )

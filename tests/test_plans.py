@@ -82,3 +82,65 @@ def test_window_group_limit_pushdown(spark, sf_dir):
     """Per-group top-k filters rows inside the sort, not after it."""
     plan = _plan(REGISTRY["window_topk_orders_per_segment"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_q7_pushdown_and_broadcast_nations(spark, sf_dir):
+    df = REGISTRY["tpch_q7_nation_volume"].fn(spark, sf_dir)
+    # ship-date range reaches the lineitem scan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    plan = _plan(df)
+    # supplier + both nation sides broadcast; only the two fact joins shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q9_filtered_part_broadcasts(spark, sf_dir):
+    df = REGISTRY["tpch_q9_product_profit"].fn(spark, sf_dir)
+    # the LIKE filter is applied at/below the scan, not after the join
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan  # lineitem never shuffles for a dim
+
+
+def test_q15_scalar_subquery_broadcasts_back(spark, sf_dir):
+    plan = _plan(REGISTRY["tpch_q15_top_supplier"].fn(spark, sf_dir))
+    # the MAX joins back as a broadcast, never a shuffle of the rev side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q20_semi_join_chain(spark, sf_dir):
+    plan = _plan(REGISTRY["tpch_q20_excess_suppliers"].fn(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_hash_split_has_no_shuffle(spark, sf_dir):
+    from real_time_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(hash_split(docs, "doc_id"))
+    # split assignment is pure column arithmetic — no exchange at all
+    assert "Exchange" not in plan
+
+
+def test_ivf_assignment_aggregates_map_side(spark, sf_dir):
+    from real_time_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = ivf_topk(emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=5)
+    plan = _plan(df)
+    # centroids AND the probe set broadcast — the corpus never joins
+    # through a shuffle — and list assignment is an aggregate
+    # (partial/final max_by), not a window over corpus×centroids
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # list assignment aggregates with a map-side partial (partial_max_by
+    # collapses corpus×centroids to one row per vector BEFORE the
+    # exchange), rather than windowing over the full cross product
+    assert "partial_max_by" in plan
+
+
+def test_chunking_prunes_unused_document_columns(spark, sf_dir):
+    from real_time_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = chunk_documents(docs, "doc_id", "text")
+    schemas = read_schema_columns(df)
+    assert all("source" not in cols and "lang" not in cols for cols in schemas)
