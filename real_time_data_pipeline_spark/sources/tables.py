@@ -78,3 +78,38 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the catalog to ``spark.sql`` as temp views."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+):
+    """JDBC scan (reference S4: Soda's SQL checks against Gold).
+
+    Returned unexecuted. For any non-toy table, pass the partition
+    bounds: without them Spark reads the whole table through ONE
+    connection on one task — the classic JDBC-source scale trap.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("driver", "org.postgresql.Driver")
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader
