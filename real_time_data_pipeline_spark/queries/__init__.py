@@ -17,6 +17,7 @@ from real_time_data_pipeline_spark.queries.registry import (
 
 # Importing these modules populates REGISTRY via the @query decorator.
 from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
+    events_analytics,
     pipeline,
     relational,
     tpch_extra,
