@@ -8,7 +8,7 @@ the two sides can never drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.operators.text import (
@@ -402,4 +402,137 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mime",
         "n_bytes",
         F.array_join(byte_hex, ",").alias("feature_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus hygiene: decontamination, repetition, packing
+# --------------------------------------------------------------------------
+
+_CONTAM_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[i:i+4], ' ') AS g
+      FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+      WHERE len(w) >= 5
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < 20
+    ), hits AS (
+      SELECT DISTINCT gr.doc_id
+      FROM grams gr JOIN bench b ON gr.g = b.g
+      WHERE gr.doc_id >= 20
+    )
+    SELECT count(*) AS n_contaminated FROM hits
+    """
+
+
+@query("contamination_check", oracle=_CONTAM_ORACLE)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    5-gram with the benchmark set (docs 0–19 as stand-in) are flagged.
+
+    Plan at scale: the benchmark's gram set is tiny → broadcast
+    LEFT SEMI into the corpus grams (inverted-index semantics, no
+    pair blowup, no shuffle of the corpus side); distinct-per-doc
+    before the count. This is the n-gram-overlap decontamination used
+    by public LLM training pipelines, as one semi join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("g")
+    )
+    bench = grams.where(F.col("doc_id") < 20).select("g").distinct()
+    hits = (
+        grams.where(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return hits.agg(F.count(F.lit(1)).alias("n_contaminated"))
+
+
+_REPETITION_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      FROM words, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)
+      WHERE len(w) >= 2
+    ), freq AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(max(c) AS BIGINT) AS top_bigram_count,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(max(c) * 1.0 / sum(c), 6) AS top_bigram_ratio
+    FROM freq GROUP BY doc_id
+    """
+
+
+@query("text_repetition_ratio", oracle=_REPETITION_ORACLE)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: the share of a document
+    occupied by its most frequent bigram (high ⇒ boilerplate/spam).
+
+    Two-level aggregation — (doc, gram) counts, then per-doc max/sum
+    — both with map-side partials; the gram explode is the only row
+    growth and it re-collapses immediately.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("g")
+    )
+    freq = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_bigram_count"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_bigram_ratio"),
+    )
+
+
+_PACKING_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), planned AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - 1) / 512) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM planned GROUP BY pack_id
+    """
+
+
+@query("sequence_packing_plan", oracle=_PACKING_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence-packing plan: documents in stable id
+    order are assigned to 512-token packs by running-token-count
+    division — the shuffle-light way to plan fixed-budget training
+    sequences (vs. greedy bin packing, which is inherently serial).
+
+    The running sum is a single ordered window; at 100 TB the same
+    plan runs per-shard (partition by shard, order within) so no
+    global ordering is required — the global variant here matches the
+    oracle exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_count_ws("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    planned = toks.withColumn(
+        "pack_id", F.floor((F.sum("n_tokens").over(w) - 1) / 512).cast("long")
+    )
+    return planned.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
     )
