@@ -230,3 +230,95 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "json_map_extraction",
+    oracle="""
+    WITH built AS (
+      SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events
+    ), j AS (
+      SELECT '{"a": ' || k || ', "b": ' || (k * 2) || ', "m": ' || (k % 5) || '}' AS doc
+      FROM built
+    ), kv AS (
+      SELECT 'a' AS key, CAST(json_extract(doc, '$.a') AS BIGINT) AS val FROM j
+      UNION ALL
+      SELECT 'b', CAST(json_extract(doc, '$.b') AS BIGINT) FROM j
+      UNION ALL
+      SELECT 'm', CAST(json_extract(doc, '$.m') AS BIGINT) FROM j
+    )
+    SELECT key, count(*) AS n, CAST(sum(val) AS BIGINT) AS total,
+           round(avg(val), 6) AS mean
+    FROM kv GROUP BY key
+    """,
+)
+def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type coverage (absent from the reference — SURVEY §1.3
+    notes no maps anywhere): JSON → `map<string,int>` → explode →
+    per-key aggregate.
+
+    The map column stays JVM-side (`from_json` map decode + explode
+    are codegen); the per-key aggregate sees 3 keys regardless of
+    corpus size. Dynamic-schema JSON (unknown keys) is exactly where
+    map beats struct: no schema evolution needed to aggregate new keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    doc = F.concat(
+        F.lit('{"a": '), k.cast("string"),
+        F.lit(', "b": '), (k * 2).cast("string"),
+        F.lit(', "m": '), (k % 5).cast("string"),
+        F.lit("}"),
+    )
+    kv = (
+        ev.select(F.from_json(doc, "map<string,int>").alias("m"))
+        .select(F.explode("m").alias("key", "val"))
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("long").alias("total"),
+        F.round(F.avg("val"), 6).alias("mean"),
+    )
+
+
+@query(
+    "json_corrupt_tolerance",
+    oracle="""
+    WITH j AS (
+      SELECT CASE WHEN event_id % 7 = 0
+                  THEN '{"v": ' || (event_id % 100)
+                  ELSE '{"v": ' || (event_id % 100) || '}' END AS doc
+      FROM events
+    ), parsed AS (
+      SELECT CASE WHEN json_valid(doc)
+                  THEN CAST(json_extract(doc, '$.v') AS INTEGER) END AS v
+      FROM j
+    )
+    SELECT count(*) AS n_rows,
+           count(v) AS n_parsed,
+           count(*) - count(v) AS n_corrupt,
+           CAST(sum(v) AS BIGINT) AS sum_v
+    FROM parsed
+    """,
+)
+def q_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record tolerance: a deterministic 1-in-7 slice of the
+    JSON column is truncated mid-object; PERMISSIVE `from_json` yields
+    NULL for those rows instead of failing the job — the semantics a
+    100 TB ingest needs (quarantine + continue, never abort on one bad
+    record). Counts and the valid-side aggregate are oracle-checked.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat(F.lit('{"v": '), (F.col("event_id") % 100).cast("string")),
+    ).otherwise(
+        F.concat(F.lit('{"v": '), (F.col("event_id") % 100).cast("string"), F.lit("}"))
+    )
+    parsed = ev.select(F.from_json(doc, "v int").alias("r")).select(F.col("r.v").alias("v"))
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_corrupt"),
+        F.sum("v").cast("long").alias("sum_v"),
+    )

@@ -441,8 +441,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     by public LLM training pipelines, as one semi join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
-        "doc_id", F.explode(word_shingles("text", 5)).alias("g")
+    par = spark.sparkContext.defaultParallelism
+    grams = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .repartition(par)  # fan out BEFORE the explode (one input file otherwise serializes it)
+        .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
     )
     bench = grams.where(F.col("doc_id") < 20).select("g").distinct()
     hits = (
@@ -483,8 +486,11 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth and it re-collapses immediately.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
-        "doc_id", F.explode(word_shingles("text", 2)).alias("g")
+    par = spark.sparkContext.defaultParallelism
+    grams = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .repartition(par)  # fan out BEFORE the explode
+        .select("doc_id", F.explode(word_shingles("text", 2)).alias("g"))
     )
     freq = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     return freq.groupBy("doc_id").agg(
