@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): semantic invariants that golden
+rows can't cover. Each example ships a BATCH of generated rows through
+one DataFrame evaluation, so Spark round-trips stay bounded.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.normalize import normalize_bool
+from real_time_data_pipeline_spark.operators.sampling import hash_bucket
+from real_time_data_pipeline_spark.operators.text import chunk_documents, quality_features
+
+SETTINGS = dict(max_examples=10, deadline=None)
+
+_spark = None
+
+
+@given(vals=st.lists(st.one_of(st.none(), st.integers(-5, 5)), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_normalize_bool_total(vals):
+    df = _spark.createDataFrame([(v,) for v in vals], "v int")
+    out = [r.b for r in df.select(normalize_bool("v").alias("b")).collect()]
+    for v, b in zip(vals, out):
+        if v == 1:
+            assert b is True
+        elif v == 0:
+            assert b is False
+        else:
+            assert b is None  # unknown / NULL → NULL, never a guess
+
+
+@given(keys=st.lists(st.integers(0, 10**12), min_size=1, max_size=100), salt=st.text("ab", min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_hash_bucket_range_and_stability(keys, salt):
+    df = _spark.createDataFrame([(k,) for k in keys], "k long")
+    b1 = [r.b for r in df.select(hash_bucket("k", salt).alias("b")).collect()]
+    b2 = [r.b for r in df.repartition(5).select(hash_bucket("k", salt).alias("b")).orderBy(F.lit(1)).collect()]
+    assert all(0 <= b < 100 for b in b1)
+    # same key+salt → same bucket regardless of layout
+    m1 = dict(zip(keys, b1))
+    got = {r.k: r.b for r in df.repartition(5).select("k", hash_bucket("k", salt).alias("b")).collect()}
+    assert got == m1
+    del b2
+
+
+@given(
+    texts=st.lists(
+        st.text(st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=700),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_chunking_reconstructs_any_text(texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(df, "doc_id", "text", size=100, stride=60).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in rows:
+        got = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert got, f"doc {i} produced no chunks"
+        rebuilt = ""
+        for r in got:
+            start = r.chunk_idx * 60
+            assert t[start : start + 100] == r.chunk_text
+            rebuilt = rebuilt[:start] + r.chunk_text
+        assert rebuilt == t
+
+
+@given(texts=st.lists(st.text(max_size=300), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_quality_ratios_bounded(texts):
+    df = _spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    feats = quality_features("text")
+    out = df.select(
+        feats["punct_ratio"].alias("p"),
+        feats["digit_ratio"].alias("d"),
+        feats["upper_ratio"].alias("u"),
+        feats["stopword_ratio"].alias("s"),
+    ).collect()
+    for r in out:
+        for v in (r.p, r.d, r.u, r.s):
+            assert v is not None and 0.0 <= v <= 1.0 and math.isfinite(v)
+
+
+# hypothesis tests can't take pytest fixtures per-example; bind the
+# session-scoped SparkSession into the module global before each test
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _bind_spark(spark):
+    global _spark
+    _spark = spark
+    yield
