@@ -38,6 +38,10 @@ def main() -> None:
         spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        families[name.split("_")[0]] = round(families.get(name.split("_")[0], 0.0) + sec, 3)
+
     print(
         json.dumps(
             {
@@ -45,6 +49,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "families": families,
+                "n_queries": len(timings),
                 "sf": SF_DIR,
             }
         )

@@ -402,23 +402,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # The old label is already in this join, so the convergence
+        # flag rides along — one action per iteration (the checkpoint
+        # materialization), no separate old-vs-new join.
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 F.col("node"),
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
-                    "comp"
+                    "new_comp"
                 ),
+                (
+                    F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp")))
+                    != F.col("comp")
+                ).alias("__chg"),
             )
+            .withColumnRenamed("new_comp", "comp")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).count()  # on materialized data
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_a), F.col("comp").alias("cluster_id"))

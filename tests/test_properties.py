@@ -97,3 +97,42 @@ def _bind_spark(spark):
     global _spark
     _spark = spark
     yield
+
+
+def _py_jaccard_pairs(texts, n=3, threshold=0.5):
+    """Pure-python oracle: word n-gram Jaccard over a tiny corpus."""
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    out = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                inter = len(sh[a] & sh[b])
+                if inter:
+                    j = inter / len(sh[a] | sh[b])
+                    if j >= threshold:
+                        out[(a, b)] = round(j, 6)
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("red blue green bolt ring widget small large".split()),
+                 min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_jaccard_pairs_match_python_brute_force(texts):
+    from real_time_data_pipeline_spark.operators.similarity import jaccard_pairs
+
+    df = _spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert got == _py_jaccard_pairs(texts)
