@@ -518,3 +518,223 @@ def q_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__p")[3], 6).alias("p95"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: market share (conditional aggregation ratio by year)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH all_sales AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS vol_cents,
+             n.n_name AS supp_nation
+      FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = (SELECT n_name FROM nation
+                                                   ORDER BY n_nationkey LIMIT 1)
+                          THEN vol_cents ELSE 0 END) AS BIGINT) * 1.0
+                 / CAST(sum(vol_cents) AS BIGINT), 6) AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part order volume
+    per year — conditional-sum ratio over a 5-way join.
+
+    Plan at scale: filtered part broadcasts (lineitem keeps only its
+    matches), supplier/nation broadcast, orders⋈lineitem is the one
+    real shuffle; the share is numerator-CASE / denominator in a
+    single aggregate pass (no second scan, no self-join). Exact-cents
+    on both sides of the division keep the ratio deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    target = nation.orderBy("n_nationkey").limit(1).select(
+        F.col("n_name").alias("__target")
+    )
+    vol = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    df = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(target))
+    )
+    num = F.sum(F.when(F.col("n_name") == F.col("__target"), vol).otherwise(F.lit(0)))
+    return (
+        df.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(num * 1.0 / F.sum(vol), 6).alias("mkt_share"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: two-way conditional counts by a derived class
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q12_priority_class_counts",
+    oracle="""
+    SELECT CAST(l.l_linenumber % 3 AS INTEGER) AS ship_mode_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q12_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high/low-priority line counts per shipping
+    class (derived stand-in for l_shipmode, which the dataset lacks) —
+    the two-CASE conditional count pattern.
+
+    Plan at scale: date range pushes to the lineitem scan; one shuffle
+    joins orders (projected to key+priority only); the aggregate's
+    3-key space collapses map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy((F.col("l_linenumber") % 3).cast("int").alias("ship_mode_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape: distinct-count with NOT IN exclusion
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_size IN (1, 4, 9, 16, 25)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute group,
+    excluding a NOT-IN supplier set (→ broadcast anti join — never a
+    per-row subquery).
+
+    Plan at scale: part's brand/size filters prune before its
+    broadcast; the excluded-supplier set is tiny and broadcasts as
+    LeftAnti; count(DISTINCT) expands to a two-phase aggregate
+    (dedup on group+suppkey map-side, then count) — no row explosion.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3") & (F.col("p_size").isin(1, 4, 9, 16, 25))
+    )
+    excluded = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(excluded), li["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape: EXISTS + NOT EXISTS on the same fact table
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q21_sole_late_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+    FROM supplier s
+      JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late = 1) l1
+        ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM li l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM li l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.late = 1
+      )
+    GROUP BY 1, 2
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on
+    multi-supplier orders (late = shipped >90 days after order date,
+    standing in for the missing commit/receipt dates) — EXISTS +
+    NOT EXISTS against the same fact table.
+
+    Decorrelation: instead of two correlated subqueries, aggregate the
+    fact ONCE per (order, supplier) and then per order compute
+    n_suppliers and n_late_suppliers; the predicate becomes a plain
+    filter (n_suppliers > 1 AND n_late_suppliers = 1 AND me-late) —
+    two aggregates and one broadcast dim join, no self-joins at all.
+    The oracle keeps the literal EXISTS form to prove equivalence.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+    ).otherwise(0)
+    per_os = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+    )
+    waiting = (
+        per_os.where(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
