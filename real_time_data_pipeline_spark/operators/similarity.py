@@ -520,3 +520,49 @@ def ivf_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
     )
+
+
+def simhash_band_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_bands: int = 4,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures via band buckets.
+
+    Candidates meet only when one `band_bits`-bit slice of their
+    signatures matches exactly (pigeonhole: any pair within
+    `n_bands - 1` bit flips shares at least one intact band, so
+    max_hamming < n_bands has NO false negatives); the exact Hamming
+    check then filters false positives with one xor+bit_count — the
+    same bucket-join shape as MinHash-LSH, corpus-size independent.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    mask = (1 << band_bits) - 1
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col(sig_col), band_bits * j).bitwiseAND(F.lit(mask))
+            for j in range(n_bands)
+        ]
+    )
+    bands = sigs.select(F.col(id_col), F.col(sig_col), F.posexplode(band_arr).alias("b", "k"))
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sa"), "b", "k"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sb"),
+        F.col("b").alias("__b"), F.col("k").alias("__k"),
+    )
+    cand = (
+        a.join(b, (F.col("b") == F.col("__b")) & (F.col("k") == F.col("__k")))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.where(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )

@@ -262,7 +262,9 @@ def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Dynamic-schema JSON (unknown keys) is exactly where
     map beats struct: no schema evolution needed to aggregate new keys.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one input file otherwise serializes the parse+explode stage
     k = F.get_json_object("props", "$.k").cast("int")
     doc = F.concat(
         F.lit('{"a": '), k.cast("string"),

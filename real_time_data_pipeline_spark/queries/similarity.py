@@ -353,3 +353,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding",
         k=5, centroid_stride=29, nprobe=3,
     )
+
+
+_SIMHASH_SQL = """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), tok AS (
+      SELECT DISTINCT doc_id, unnest(w) AS word FROM words
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM tok
+    ), bits AS (
+      SELECT doc_id, h, unnest(range(32)) AS j FROM h
+    ), votes AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY 1, 2
+    ), sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+_SIMHASH_PAIRS_ORACLE = (
+    _SIMHASH_SQL
+    + """
+    , bands AS (
+      SELECT s.doc_id, s.simhash, j.j,
+             (s.simhash >> CAST(j.j * 8 AS INTEGER)) & 255 AS k
+      FROM sigs s, (SELECT unnest(range(4)) AS j) j
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+)
+
+
+@query("dedup_simhash_band_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (Hamming ≤ 3) via 4×8-bit band buckets
+    — completes the SimHash path from signatures to actionable
+    duplicates. Pigeonhole guarantees zero false negatives at this
+    band/width choice; the oracle replays signature construction,
+    banding, and the Hamming filter end to end."""
+    from real_time_data_pipeline_spark.operators.similarity import simhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_band_pairs(simhash32(docs, "doc_id", "text"))
