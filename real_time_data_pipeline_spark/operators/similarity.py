@@ -82,17 +82,41 @@ def jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6.
     """
-    # NOTE: no .cache() — caching would pin the postings in memory and
-    # disable AQE re-planning below it; recomputing a projection+explode
-    # is cheaper than blocking runtime partition coalescing.
+    # Bucket-collect ONCE and materialize (localCheckpoint): Catalyst
+    # does not reuse exchanges across self-join branches here, so the
+    # naive postings self-join recomputes the explode+distinct up to
+    # 4× (a-side, b-side, and both count branches). One shuffle on the
+    # shingle builds the inverted index; pairs expand inside each
+    # bucket; per-doc shingle counts derive from the same buckets.
+    # Hot shingles (stopword runs) are the skew risk at 100 TB —
+    # production drops top-frequency shingles before this; AQE skew
+    # handling covers the remainder.
     sh = shingle_postings(df, id_col, text_col, n)
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .localCheckpoint()
+    )
+    counts = (
+        buckets.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+                ),
+            )
+        ),
+        lambda s: s["id_a"] < s["id_b"],
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
