@@ -144,3 +144,9 @@ def test_chunking_prunes_unused_document_columns(spark, sf_dir):
     df = chunk_documents(docs, "doc_id", "text")
     schemas = read_schema_columns(df)
     assert all("source" not in cols and "lang" not in cols for cols in schemas)
+
+
+def test_sessionization_single_shuffle(spark, sf_dir):
+    plan = _plan(REGISTRY["event_sessionization_stats"].fn(spark, sf_dir))
+    # both window passes AND both aggregates ride ONE user_id exchange
+    assert plan.count("Exchange hashpartitioning") == 1
