@@ -69,16 +69,29 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
 
     Postings self-join: docs meet only on shared shingles, so the
     candidate set is sparse (inverted-index semantics, not a cross
     join). Per-pair intersection counts + per-doc shingle counts give
-    exact Jaccard. Hot shingles (stopword runs) are the skew risk at
-    scale — production would drop top-frequency shingles first; AQE
-    skew-join splitting covers the rest.
+    exact Jaccard — computed over the CAPPED shingle sets (below).
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    (stopword runs shared by millions of docs). Without it, one hot
+    shingle makes a multi-million-element bucket array and an
+    O(|bucket|²) in-row pair expansion — an executor OOM at corpus
+    scale, not mere skew. With it, per-bucket work is bounded by
+    max_df² and the semantics are the standard near-dup practice:
+    Jaccard over the shingles that carry signal (per-doc counts are
+    post-cap too, so the ratio stays a true Jaccard of the capped
+    sets). ``None`` disables the cap.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6.
     """
@@ -87,16 +100,16 @@ def jaccard_pairs(
     # naive postings self-join recomputes the explode+distinct up to
     # 4× (a-side, b-side, and both count branches). One shuffle on the
     # shingle builds the inverted index; pairs expand inside each
-    # bucket; per-doc shingle counts derive from the same buckets.
-    # Hot shingles (stopword runs) are the skew risk at 100 TB —
-    # production drops top-frequency shingles before this; AQE skew
-    # handling covers the remainder.
+    # bucket; per-doc shingle counts derive from the same buckets, so
+    # the document-frequency cap is a free size() filter on the bucket
+    # rows — no extra aggregate, applied BEFORE materialization.
     sh = shingle_postings(df, id_col, text_col, n)
-    buckets = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
-        .localCheckpoint()
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
+    if max_df is not None:
+        buckets = buckets.where(F.size("ids") <= max_df)
+    buckets = buckets.localCheckpoint()
     counts = (
         buckets.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
@@ -165,6 +178,7 @@ def lsh_candidate_pairs(
     id_col: str,
     band_rows: int = MINHASH_BAND_ROWS,
     num_hashes: int = MINHASH_NUM,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Candidate pairs from banded LSH over MinHash signatures.
 
@@ -173,6 +187,12 @@ def lsh_candidate_pairs(
     band matches: self-join on (band, key) → distinct pairs. Bucket
     sizes stay tiny for non-near-dup corpora, so the join is sparse —
     the full-corpus cross join never happens.
+
+    ``max_bucket`` is the OOM guard for degenerate corpora (a band key
+    shared by an exact-duplicate swarm): buckets larger than the cap
+    are dropped before the in-bucket pair expansion. A bucket that big
+    means its members are near-identical — exact dedup upstream is the
+    right tool for those, not pairwise LSH. ``None`` disables.
     """
     n_bands = num_hashes // band_rows
     band = F.explode(
@@ -200,6 +220,8 @@ def lsh_candidate_pairs(
     buckets = keys.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
     pair_structs = F.filter(
         F.flatten(
             F.transform(

@@ -33,17 +33,38 @@ from real_time_data_pipeline_spark.queries.registry import query
 from real_time_data_pipeline_spark.sources.tables import load_table
 
 JACCARD_THRESHOLD = 0.5
+# Hot-shingle document-frequency cap (mirrored in every Jaccard
+# oracle): shingles appearing in more than this many documents carry
+# no near-dup signal and would create O(df²) bucket expansions. Test
+# corpora stay far below it (max df 25 at sf0.1), so small-SF results
+# are identical with or without the cap; at corpus scale it is the
+# OOM guard.
+JACCARD_MAX_DF = 50
 
-_EXACT_JACCARD_ORACLE = f"""
+_SHINGLE_CTES = """
     WITH words AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
       FROM documents WHERE length(trim(text)) > 0
     ), idx AS (
       SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM words
-    ), sh AS (
+    ), sh_all AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s FROM idx
       WHERE len(w) >= 3
-    ), counts AS (
+    )
+"""
+
+# Capped variant: keep only shingles whose document frequency is
+# within JACCARD_MAX_DF, exactly as jaccard_pairs(max_df=...) does.
+_CAPPED_SH = f"""
+    , keep AS (
+      SELECT s FROM sh_all GROUP BY s HAVING count(*) <= {JACCARD_MAX_DF}
+    ), sh AS (
+      SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN keep USING (s)
+    )
+"""
+
+_JACCARD_BODY = f"""
+    , counts AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -57,6 +78,12 @@ _EXACT_JACCARD_ORACLE = f"""
       JOIN counts cb ON p.id_b = cb.doc_id
     WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
 """
+
+# Uncapped oracle (for the MinHash path, whose exact-Jaccard verify
+# runs over full shingle sets) and the capped oracle (for the
+# inverted-index path, which prunes hot shingles before bucketing).
+_EXACT_JACCARD_ORACLE = _SHINGLE_CTES + ", sh AS (SELECT * FROM sh_all)" + _JACCARD_BODY
+_CAPPED_JACCARD_ORACLE = _SHINGLE_CTES + _CAPPED_SH + _JACCARD_BODY
 
 
 @query(
@@ -76,12 +103,16 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(docs, "doc_id", "text")
 
 
-@query("dedup_ngram_jaccard_pairs", oracle=_EXACT_JACCARD_ORACLE)
+@query("dedup_ngram_jaccard_pairs", oracle=_CAPPED_JACCARD_ORACLE)
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via shingle-posting
-    self-join (inverted index — only docs sharing a shingle meet)."""
+    self-join (inverted index — only docs sharing a shingle meet),
+    with the hot-shingle document-frequency cap active (the oracle
+    applies the identical cap)."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    return jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
 
 
 @query("dedup_minhash_lsh_pairs", oracle=_EXACT_JACCARD_ORACLE)
@@ -250,9 +281,13 @@ _CLUSTERS_ORACLE = f"""
       FROM documents WHERE length(trim(text)) > 0
     ), idx AS (
       SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM words
-    ), sh AS (
+    ), sh_all AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s FROM idx
       WHERE len(w) >= 3
+    ), keep AS (
+      SELECT s FROM sh_all GROUP BY s HAVING count(*) <= {JACCARD_MAX_DF}
+    ), sh AS (
+      SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN keep USING (s)
     ), cnts AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
     ), jpairs AS (
@@ -293,7 +328,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_pipeline_spark.operators.similarity import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
     return connected_components(pairs, "id_a", "id_b")
 
 

@@ -267,3 +267,34 @@ def test_redact_only_touches_matches(spark):
         "t string, want string",
     ).select(redact("t").alias("got"), "want")
     assert all(r.got == r.want for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Hot-shingle document-frequency cap
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_max_df_prunes_hot_shingles(spark):
+    from real_time_data_pipeline_spark.operators.similarity import jaccard_pairs
+
+    # Every doc shares the hot run "the of and"; docs 1/2 also share
+    # the rare 3-gram "alpha beta gamma" (and are otherwise identical).
+    hot = "the of and"
+    rows = [(1, f"{hot} alpha beta gamma"), (2, f"{hot} alpha beta gamma")] + [
+        (i, f"{hot} unique{i} token{i} word{i}") for i in range(3, 30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Uncapped: the hot shingles connect everything; docs 1/2 are exact
+    # dups so they pair at jaccard 1.0 regardless.
+    uncapped = {(r.id_a, r.id_b): r.jaccard for r in
+                jaccard_pairs(df, "doc_id", "text", max_df=None, threshold=0.1).collect()}
+    assert uncapped[(1, 2)] == 1.0
+    assert len(uncapped) > 1  # hot shingles created spurious pairs
+
+    # Capped at df<=5: every shingle containing the hot run (df=29)
+    # drops; only the rare shared 3-grams survive, so exactly the true
+    # near-dup pair remains — and its Jaccard is over the capped sets.
+    capped = {(r.id_a, r.id_b): r.jaccard for r in
+              jaccard_pairs(df, "doc_id", "text", max_df=5, threshold=0.1).collect()}
+    assert capped == {(1, 2): 1.0}
