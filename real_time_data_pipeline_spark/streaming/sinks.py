@@ -10,19 +10,24 @@ Reference sinks rebuilt (SURVEY §2.2):
 - W4 multi-query fan-out → `start_fanout` (one lineage, N sinks, each
   with its own checkpoint).
 
-The upsert here merges into a parquet table via read-union-overwrite,
-which is correct for dimension-sized gold tables (the reference's
-Postgres gold is exactly that). A 100 TB gold layer would swap the
-merge body for Delta/Iceberg MERGE INTO or JDBC upsert — the
-`foreachBatch` contract and keying logic are identical.
+The upsert merges into a parquet table. Unpartitioned tables use a
+write-to-temp + atomic-rename swap (never overwrite-in-place, so a
+crash mid-write cannot lose committed rows); partitioned tables merge
+ONLY the partitions present in the micro-batch via dynamic partition
+overwrite, so per-batch cost is O(touched partitions), not O(table).
+Existence checks and renames go through the Hadoop FileSystem API, so
+the sink works on HDFS/local identically. On S3-style object stores
+rename is copy-based (not atomic) — a 100 TB gold layer there should
+swap the merge body for Delta/Iceberg MERGE INTO; the `foreachBatch`
+contract and keying logic are identical.
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
+from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -33,7 +38,10 @@ def with_trigger(writer, trigger: str | None):
     ``trigger``: None → default as-fast-as-available micro-batches;
     "Ns"/"N seconds" → processing-time cadence; "once" → single batch
     then stop (backfill-style); "available-now" → drain all available
-    data in bounded batches then stop.
+    data in bounded batches then stop; "continuous:<interval>" →
+    continuous processing with the given checkpoint interval (ms-level
+    latency; supported only for map-like stateless queries on
+    Kafka-style sources — Spark rejects unsupported plans at start()).
     """
     if trigger is None:
         return writer
@@ -41,6 +49,8 @@ def with_trigger(writer, trigger: str | None):
         return writer.trigger(once=True)
     if trigger == "available-now":
         return writer.trigger(availableNow=True)
+    if trigger.startswith("continuous:"):
+        return writer.trigger(continuous=trigger.split(":", 1)[1])
     return writer.trigger(processingTime=trigger)
 
 
@@ -58,37 +68,149 @@ def parquet_append_sink(
     return with_trigger(writer, trigger).start()
 
 
-def upsert_parquet(batch_df: DataFrame, path: str, keys: Sequence[str]) -> None:
-    """Merge a micro-batch into a parquet table, last-writer-wins per key."""
-    spark = batch_df.sparkSession
-    new = batch_df.withColumn("__v", F.lit(1))
-    if os.path.exists(path):
-        old = spark.read.parquet(path).withColumn("__v", F.lit(0))
-        merged = old.unionByName(new)
-    else:
-        merged = new
-    w = Window.partitionBy(*keys).orderBy(F.desc("__v"))
-    result = (
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — works on
+    local paths, HDFS, and any object store with a Hadoop connector,
+    unlike ``os.path`` which silently reports remote tables absent."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic parquet-table existence check."""
+    fs, jpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _merge_last_writer_wins(
+    old: DataFrame | None,
+    new: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None,
+) -> DataFrame:
+    """One surviving row per key: new batch beats the table; within the
+    batch, ``order_col`` (desc) decides, with a deterministic full-row
+    hash tie-break so retries reproduce the identical winner."""
+    new = new.withColumn("__v", F.lit(1))
+    merged = old.withColumn("__v", F.lit(0)).unionByName(new) if old is not None else new
+    order = [F.desc("__v")]
+    if order_col is not None:
+        order.append(F.desc(order_col))
+    data_cols = [c for c in merged.columns if c != "__v"]
+    order.append(F.desc(F.xxhash64(F.struct(*[F.col(c) for c in data_cols]))))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
         merged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn", "__v")
     )
-    # Materialize before overwrite (reading and overwriting the same
-    # path in one plan would race).
-    result.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+
+def upsert_parquet(
+    batch_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    partition_cols: Sequence[str] | None = None,
+) -> None:
+    """Merge a micro-batch into a parquet table, last-writer-wins per key.
+
+    Crash-safe and object-store-aware:
+
+    - **Unpartitioned** (dimension-sized gold tables): the merged
+      result is written to a sibling temp directory first, then swapped
+      in with two renames (current → ``__old__``, temp → current) and
+      the backup deleted. A crash at any point leaves either the old
+      committed table, or the backup that the next call auto-restores —
+      never a truncated table. Rename is atomic on HDFS/local; on
+      S3-style stores it is copy-based, so use Delta/Iceberg MERGE
+      there instead (same foreachBatch contract).
+    - **Partitioned** (``partition_cols``): only the partitions present
+      in the micro-batch are read, merged, and dynamically overwritten
+      — per-batch cost scales with the batch's partitions, not the
+      table. The distinct partition-value collect is bounded by the
+      micro-batch's own partition count.
+    - ``order_col`` (e.g. an event-time column) makes "last writer"
+      deterministic when one batch carries several rows per key; a
+      full-row hash breaks any remaining tie, so a retried batch always
+      elects the same winner.
+    """
+    spark = batch_df.sparkSession
+    fs, jpath = _hadoop_fs(spark, path)
+    tmp_path, old_path = path.rstrip("/") + "__tmp__", path.rstrip("/") + "__old__"
+    jtmp, jold = _hadoop_fs(spark, tmp_path)[1], _hadoop_fs(spark, old_path)[1]
+
+    # Crash recovery: a previous call that died between the two swap
+    # renames leaves the committed table at __old__ — restore it.
+    if not fs.exists(jpath) and fs.exists(jold):
+        fs.rename(jold, jpath)
+
+    exists = bool(fs.exists(jpath))
+
+    if partition_cols:
+        parts = (
+            batch_df.select(*partition_cols).distinct().collect()
+        )  # micro-batch-bounded
+        in_batch = reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_cols],
+                )
+                for r in parts
+            ],
+            F.lit(False),
+        )
+        old = spark.read.parquet(path).where(in_batch) if exists else None
+        result = _merge_last_writer_wins(old, batch_df, keys, order_col)
+        # Dynamic overwrite replaces exactly the touched partitions;
+        # materialize first because the plan reads the same path it
+        # rewrites.
+        (
+            result.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        return
+
+    old = spark.read.parquet(path) if exists else None
+    result = _merge_last_writer_wins(old, batch_df, keys, order_col)
+    # Never overwrite in place: write the merge beside the table, then
+    # swap via rename so readers/crashes always see a complete table.
+    fs.delete(jtmp, True)
+    result.write.mode("overwrite").parquet(tmp_path)
+    if exists:
+        fs.delete(jold, True)
+        fs.rename(jpath, jold)
+    fs.rename(jtmp, jpath)
+    fs.delete(jold, True)
 
 
 def foreach_batch_upsert(
-    df: DataFrame, path: str, keys: Sequence[str], checkpoint: str, query_name: str
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    query_name: str,
+    order_col: str | None = None,
+    partition_cols: Sequence[str] | None = None,
 ) -> StreamingQuery:
     """Update-mode gold sink with idempotent per-key merge.
 
     Exactly-once effect even under micro-batch retries: the merge is
-    keyed, so re-processing batch N rewrites the same rows.
+    keyed and deterministic (see `upsert_parquet`), so re-processing
+    batch N rewrites the same rows with the same winners. Pass
+    ``partition_cols`` for large gold tables so each batch touches only
+    its own partitions.
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_parquet(batch_df, path, keys)
+        upsert_parquet(batch_df, path, keys, order_col, partition_cols)
 
     return (
         df.writeStream.foreachBatch(_sink)
