@@ -67,6 +67,9 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
             this = this & (F.col("metric_value") >= F.lit(lo))
         if hi is not None:
             this = this & (F.col("metric_value") <= F.lit(hi))
+        # NULL metrics (e.g. avg over an empty table) FAIL CLOSED: a
+        # NULL `passed` would slip through gates filtering passed == False.
+        this = F.coalesce(this, F.lit(False))
         branch = F.when(F.col("check_name") == name, this)
         passed = branch if passed is None else passed.when(F.col("check_name") == name, this)
     del cond

@@ -1,0 +1,131 @@
+"""Orchestration-shim tests (reference O1/O3/O5 semantics).
+
+The reference's Airflow DAG (`dags/gbfs_pipeline_dag.py`) is an hourly
+backfill with retries=2, fanning out to a Soda gold scan
+(trigger_rule=all_done) and bronze housekeeping. These tests run the
+engine's equivalent graph once over fixture data and assert the
+dependency, retry, and trigger-rule semantics the DAG encodes.
+"""
+
+import pytest
+
+from real_time_data_pipeline_spark.pipelines.schedule import (
+    FAILED,
+    SUCCESS,
+    UPSTREAM_FAILED,
+    DagRun,
+    TaskSpec,
+    hourly_station_dag,
+    run_dag,
+)
+from real_time_data_pipeline_spark.schemas import STATION_STATUS_RAW_SCHEMA
+
+
+def test_run_dag_retries_then_succeeds():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    slept = []
+    run = run_dag(
+        [TaskSpec("t", flaky, retries=2, retry_delay_s=300.0)],
+        sleep=slept.append,
+    )
+    assert run.results["t"].state == SUCCESS
+    assert run.results["t"].attempts == 3
+    assert slept == [300.0, 300.0]  # reference retry_delay: 5 min
+
+
+def test_run_dag_trigger_rules():
+    """all_success downstreams skip after a failure; all_done runs."""
+
+    def boom():
+        raise RuntimeError("hard failure")
+
+    order = []
+    run = run_dag(
+        [
+            TaskSpec("batch", boom, retries=1, retry_delay_s=0.0),
+            TaskSpec("soda", lambda: order.append("soda"), retries=0,
+                     trigger_rule="all_done"),
+            TaskSpec("retention", lambda: order.append("retention"), retries=0),
+        ],
+        deps={"soda": ["batch"], "retention": ["batch"]},
+        sleep=lambda s: None,
+    )
+    assert run.results["batch"].state == FAILED
+    assert run.results["batch"].attempts == 2
+    assert run.results["soda"].state == SUCCESS  # all_done ran anyway
+    assert run.results["retention"].state == UPSTREAM_FAILED
+    assert order == ["soda"]
+    assert not run.ok
+
+
+def test_run_dag_rejects_cycles_and_unknown_deps():
+    t = [TaskSpec("a", lambda: 1, retries=0), TaskSpec("b", lambda: 1, retries=0)]
+    with pytest.raises(ValueError, match="cycle"):
+        run_dag(t, deps={"a": ["b"], "b": ["a"]})
+    with pytest.raises(ValueError, match="unknown"):
+        run_dag(t, deps={"a": ["ghost"]})
+
+
+def test_hourly_station_dag_end_to_end(spark, tmp_path):
+    """Backfill → (DQ scan, retention) over fixture rows: gold rows
+    land date-partitioned, checks pass, old partitions drop."""
+    rows = [
+        ("a", "3", None, "9", "1", "1", "1", "1715012345"),   # 2024-05-06
+        ("a", "6", None, "6", "1", "1", "1", "1715013245"),
+        ("b", "2", None, "8", "1", "1", "1", "1715012400"),
+    ]
+    raw = spark.createDataFrame(rows, STATION_STATUS_RAW_SCHEMA)
+    silver_path = str(tmp_path / "silver")
+    gold_path = str(tmp_path / "gold")
+
+    # Pre-seed an ancient silver partition that retention must remove.
+    import os
+
+    stale = os.path.join(silver_path, "date=2024-01-01")
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-0.parquet"), "wb").close()
+
+    tasks, deps = hourly_station_dag(
+        spark, raw, silver_path, gold_path, ds="2024-05-06", keep_days=7,
+        retry_delay_s=0.0,
+    )
+    run = run_dag(tasks, deps, sleep=lambda s: None)
+    assert run.ok, {n: (r.state, r.error) for n, r in run.results.items()}
+
+    assert run.results["daily_batch_backfill"].value > 0
+    checks = {r.check_name: r.passed for r in run.results["soda_scan_gold"].value}
+    assert checks == {
+        "row_count": True,
+        "missing_count_station_id": True,
+        "avg_avg_pct_bikes_available": True,
+    }
+    assert run.results["housekeeping_bronze"].value == ["2024-01-01"]
+
+    gold = spark.read.parquet(gold_path)
+    assert gold.count() == run.results["daily_batch_backfill"].value
+    assert "date" in gold.columns  # partition column for pruning
+
+
+def test_quality_null_metric_fails_closed(spark):
+    """avg over an empty table yields a NULL metric — the check must
+    report passed=False, not NULL (ADVICE: gates filter passed == False)."""
+    from real_time_data_pipeline_spark.operators import quality
+
+    empty = spark.createDataFrame([], "x double")
+    rows = quality.run_checks(
+        empty, [quality.row_count(), quality.avg_between("x", 0.0, 1.0)]
+    ).collect()
+    got = {r.check_name: r.passed for r in rows}
+    assert got == {"row_count": False, "avg_x": False}
+    assert all(r.passed is not None for r in rows)
+
+
+def test_dagrun_ok_property():
+    assert DagRun({"a": type("R", (), {"state": SUCCESS})()}).ok
