@@ -383,6 +383,11 @@ def hyperplane_lsh_bucket(
     SQL). Vectors in the same bucket agree on the sign of num_planes
     random projections — the standard sub-linear candidate generator
     for cosine ANN.
+
+    Pass ``dim`` (the vector width) whenever it is known: omitting it
+    probes the width from the data, which costs one Spark job at
+    plan-build time — a hidden action inside what looks like pure
+    column construction.
     """
     import hashlib
 
@@ -393,8 +398,16 @@ def hyperplane_lsh_bucket(
         return float(h % 1000 - 500)
 
     if dim is None:
-        # One cheap lookup of the vector width (plan-build time only).
-        dim = len(df.select(F.col(vec_col)).first()[0])
+        # Probe the vector width (plan-build-time Spark job). Skip NULL
+        # vectors and fail with a clear message on an empty/all-NULL
+        # input instead of the bare TypeError first()[0] would raise.
+        probe = df.where(F.col(vec_col).isNotNull()).select(F.col(vec_col)).first()
+        if probe is None:
+            raise ValueError(
+                f"hyperplane_lsh_bucket: cannot infer vector width from an "
+                f"empty or all-NULL '{vec_col}' column — pass dim= explicitly"
+            )
+        dim = len(probe[0])
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     # Plane components are BAKED IN as literal arrays at plan-build
@@ -414,33 +427,45 @@ def hyperplane_lsh_bucket(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph (iterative
     min-label propagation) — the transitive-closure step that turns
     near-dup PAIRS into dedup CLUSTERS with one canonical id each.
 
     Each iteration: every node takes the minimum label among itself
-    and its neighbors; ``localCheckpoint`` truncates the growing plan
-    between iterations; the loop stops when no label changes (or at
+    and its neighbors; a checkpoint truncates the growing plan between
+    iterations; the loop stops when no label changes (or at
     ``max_iter``). Near-dup graphs converge in a few rounds — their
     components are tiny. For planet-scale graphs with long chains,
     swap in the large-star/small-star algorithm; the fixpoint-loop
     shape here is the same.
 
+    ``checkpoint_dir`` selects durability: None → ``localCheckpoint``
+    (executor-local blocks — fastest, right for a single-node or
+    short local run, but an executor loss kills the lineage-truncated
+    data). On a cluster pass an HDFS/object-store path: iterations
+    then use reliable ``checkpoint()`` files that survive executor
+    loss.
+
     Output: (<id_a> → node, cluster_id = min node id in component).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint()
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    edges = _ckpt(
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+    labels = _ckpt(
+        edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -464,8 +489,8 @@ def connected_components(
                 ).alias("__chg"),
             )
             .withColumnRenamed("new_comp", "comp")
-            .localCheckpoint()
         )
+        new_labels = _ckpt(new_labels)
         changed = new_labels.where(F.col("__chg")).count()  # on materialized data
         labels = new_labels.drop("__chg")
         if changed == 0:

@@ -633,16 +633,38 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # approximate → rows-only check (HLL sketches differ)
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_rsd
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB cardinality
     tool — constant memory vs the exact version's full shuffle.
-    DuckDB's approx sketch differs, so the driver records rows-only.
+
+    DuckDB's HLL sketch differs from Spark's, so the raw approximate
+    value is not oracle-matchable. Instead the query emits the exact
+    count (hash-matched) plus the ACCURACY CONTRACT as a boolean:
+    |approx − exact| / exact ≤ 3×rsd. Spark's HLL is deterministic for
+    a fixed input, so the boolean is stable — if the sketch ever
+    drifted past the bound, the oracle's TRUE literal would mismatch
+    and the driver would flag it.
     """
     ev = load_table(spark, sf_dir, "events")
+    rsd = 0.05
+    approx = F.approx_count_distinct("user_id", rsd)
+    exact = F.count_distinct(F.col("user_id"))
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
-        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        exact.alias("exact_users"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double")) / exact
+            <= F.lit(3 * rsd)
+        ).alias("approx_within_rsd"),
     )
 
 

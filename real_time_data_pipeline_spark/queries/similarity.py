@@ -270,7 +270,8 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate generator that makes cosine ANN sub-linear at scale.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(hyperplane_lsh_bucket(emb, "embedding", 8).alias("bucket"))
+    # dim passed explicitly: no plan-build-time probe job.
+    bucketed = emb.select(hyperplane_lsh_bucket(emb, "embedding", 8, dim=64).alias("bucket"))
     return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
