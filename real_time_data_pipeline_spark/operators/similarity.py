@@ -438,12 +438,13 @@ def connected_components(
     near-dup PAIRS into dedup CLUSTERS with one canonical id each.
 
     Each iteration: every node takes the minimum label among itself
-    and its neighbors; a checkpoint truncates the growing plan between
-    iterations; the loop stops when no label changes (or at
-    ``max_iter``). Near-dup graphs converge in a few rounds — their
-    components are tiny. For planet-scale graphs with long chains,
-    swap in the large-star/small-star algorithm; the fixpoint-loop
-    shape here is the same.
+    and its neighbors, then follows its label's label once (pointer
+    jumping — labels race down chains in O(log diameter) rounds
+    instead of one hop per round); a checkpoint truncates the growing
+    plan between iterations; the loop stops when no label changes (or
+    at ``max_iter``). For planet-scale graphs
+    `connected_components_star` additionally SHRINKS the edge set as
+    it contracts; the fixpoint-loop shape is the same.
 
     ``checkpoint_dir`` selects durability: None → ``localCheckpoint``
     (executor-local blocks — fastest, right for a single-node or
@@ -476,19 +477,30 @@ def connected_components(
         # The old label is already in this join, so the convergence
         # flag rides along — one action per iteration (the checkpoint
         # materialization), no separate old-vs-new join.
+        stepped = labels.join(nbr_min, labels["node"] == nbr_min["src"], "left").select(
+            F.col("node"),
+            F.col("comp").alias("__prev"),
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # Pointer jumping: follow the label's own label once, so a min
+        # travels 2^k hops after k rounds instead of k (every comp id
+        # IS some node's id, so the self-join always resolves). The
+        # convergence flag compares against the pre-step label AFTER
+        # the jump — a jump-only change must not end the loop early.
+        ptr = stepped.select(
+            F.col("node").alias("__p_node"), F.col("comp").alias("__p_comp")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            stepped.join(ptr, stepped["comp"] == ptr["__p_node"], "left")
             .select(
-                F.col("node"),
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
-                    "new_comp"
+                "node",
+                F.coalesce(F.col("__p_comp"), F.col("comp")).alias("comp"),
+                (F.coalesce(F.col("__p_comp"), F.col("comp")) != F.col("__prev")).alias(
+                    "__chg"
                 ),
-                (
-                    F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp")))
-                    != F.col("comp")
-                ).alias("__chg"),
             )
-            .withColumnRenamed("new_comp", "comp")
         )
         new_labels = _ckpt(new_labels)
         changed = new_labels.where(F.col("__chg")).count()  # on materialized data
@@ -496,6 +508,112 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_a), F.col("comp").alias("cluster_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the planet-scale alternative to min-label propagation.
+
+    Min-label propagation needs O(diameter) rounds and keeps the full
+    edge set live every round; star contraction converges in
+    O(log² n) rounds and SHRINKS the edge set as it goes (every round
+    rewires nodes directly at their neighborhood minimum), so late
+    rounds touch a fraction of the data. Same output contract as
+    `connected_components`:
+
+    - large-star: each node's neighbors LARGER than it re-attach to
+      its neighborhood minimum (including itself);
+    - small-star: each node and its not-larger neighbors re-attach to
+      that minimum.
+
+    Both steps are one groupBy-collect each — per-node neighborhoods,
+    the same bounded-bucket shape as the LSH steps. The loop stops
+    when the edge set is stable (count + order-insensitive hash, one
+    action per iteration on checkpointed data).
+
+    Output: (<id_a> → node, cluster_id = min node id in component).
+    """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint()
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-insensitive, overflow-free under ANSI mode
+            # (the rows are distinct, so no self-cancellation).
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.struct(F.col("a"), F.col("b")))), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return row.n, row.h
+
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    e = _ckpt(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sig = _sig(e)
+    for _ in range(max_iter):
+        # Large-star over the bidirected neighborhoods.
+        bidir = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        nb = bidir.groupBy("a").agg(F.collect_set("b").alias("ns"))
+        m = F.array_min(F.array_union(F.col("ns"), F.array(F.col("a"))))
+        large = (
+            nb.select(
+                m.alias("m"),
+                F.explode(F.filter(F.col("ns"), lambda v: v > F.col("a"))).alias("v"),
+            )
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # Small-star: attach each edge to its max endpoint, then point
+        # that node and its smaller neighbors at the minimum.
+        canon = large.select(
+            F.greatest(F.col("a"), F.col("b")).alias("a"),
+            F.least(F.col("a"), F.col("b")).alias("b"),
+        )
+        nb2 = canon.groupBy("a").agg(F.collect_set("b").alias("ns"))
+        m2 = F.array_min(F.col("ns"))  # all neighbors here are < a
+        small = (
+            nb2.select(
+                m2.alias("m"),
+                F.explode(F.array_union(F.col("ns"), F.array(F.col("a")))).alias("v"),
+            )
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        e = _ckpt(small)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # At the fixpoint every non-minimum node has exactly the edge
+    # (node, component-min); minima (and any isolated inputs) label
+    # themselves.
+    return (
+        nodes.join(e, nodes["node"] == e["a"], "left")
+        .select(
+            F.col("node").alias(id_a),
+            F.coalesce(F.col("b"), F.col("node")).alias("cluster_id"),
+        )
+    )
 
 
 def ivf_topk(

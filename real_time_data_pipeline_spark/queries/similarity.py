@@ -335,6 +335,58 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b")
 
 
+@query("dedup_cluster_assignment_star", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via large-star/small-star contraction — the
+    O(log² n)-round, edge-shrinking variant for planet-scale graphs
+    (min-label propagation needs O(diameter) rounds). Checked against
+    the identical recursive-CTE oracle as the min-label query, so both
+    implementations are proven equivalent by the driver."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    return connected_components_star(pairs, "id_a", "id_b")
+
+
+_KEEP_ONE_ORACLE = (
+    _CLUSTERS_ORACLE.replace(
+        "SELECT node AS id_a, min(r) AS cluster_id FROM reach GROUP BY node",
+        """clusters AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN clusters c ON d.doc_id = c.node
+    WHERE c.node IS NULL OR c.cluster_id = d.doc_id""",
+    ).replace("    )\n    clusters AS", "    ), clusters AS")
+)
+
+
+@query("dedup_keep_one", oracle=_KEEP_ONE_ORACLE)
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END of the dedup pipeline: the surviving document set. Keeps
+    every doc that is either untouched by near-dup pairs or the
+    canonical (minimum-id) member of its cluster — pairs → clusters →
+    keep-one as one plan. This is the query a training-data pipeline
+    actually ships: the deduplicated corpus."""
+    from real_time_data_pipeline_spark.operators.similarity import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.join(clusters, docs["doc_id"] == clusters["id_a"], "left")
+        .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
 _IVF_ORACLE = """
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec

@@ -298,3 +298,54 @@ def test_jaccard_max_df_prunes_hot_shingles(spark):
     capped = {(r.id_a, r.id_b): r.jaccard for r in
               jaccard_pairs(df, "doc_id", "text", max_df=5, threshold=0.1).collect()}
     assert capped == {(1, 2): 1.0}
+
+
+def _union_find_components(edges):
+    """Ground truth: Python union-find, label = component minimum."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_both_algorithms_match_union_find(spark):
+    """Min-label (with pointer jumping) and star contraction both
+    match a Python union-find on chains, cliques, islands, and seeded
+    random graphs — including a 40-chain, which un-jumped min-label
+    could not finish inside max_iter."""
+    import random
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        [(i, i + 1) for i in range(1, 40)],  # long chain (worst case hop count)
+        [(5, 5 + i) for i in range(1, 8)],   # star already
+    ]
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 60
+        cases.append([
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ])
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _union_find_components(edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got_min = {r.id_a: r.cluster_id for r in connected_components(df).collect()}
+        got_star = {r.id_a: r.cluster_id for r in connected_components_star(df).collect()}
+        assert got_min == want, f"min-label wrong for edges={edges}"
+        assert got_star == want, f"star wrong for edges={edges}"

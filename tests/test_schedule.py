@@ -129,3 +129,29 @@ def test_quality_null_metric_fails_closed(spark):
 
 def test_dagrun_ok_property():
     assert DagRun({"a": type("R", (), {"state": SUCCESS})()}).ok
+
+
+def test_backfill_job_cli(spark, tmp_path):
+    """The spark-submit entry (reference O2): argv in, date-scoped
+    partitioned silver+gold out."""
+    from real_time_data_pipeline_spark.jobs.backfill import main
+    from real_time_data_pipeline_spark.schemas import STATION_STATUS_RAW_SCHEMA
+
+    rows = [
+        ("a", "3", None, "9", "1", "1", "1", "1715012345"),   # 2024-05-06
+        ("b", "2", None, "8", "1", "1", "1", "1715012400"),
+        ("c", "1", None, "4", "1", "1", "1", "1714900000"),   # 2024-05-05 (out of scope)
+    ]
+    bronze = str(tmp_path / "bronze")
+    spark.createDataFrame(rows, STATION_STATUS_RAW_SCHEMA).write.parquet(bronze)
+    silver, gold = str(tmp_path / "silver"), str(tmp_path / "gold")
+    rc = main([
+        "--date", "2024-05-06", "--bronze-path", bronze,
+        "--silver-path", silver, "--gold-path", gold,
+    ])
+    assert rc == 0
+    s = spark.read.parquet(silver)
+    assert {r.station_id for r in s.collect()} == {"a", "b"}  # date-scoped
+    g = spark.read.parquet(gold)
+    assert {r.station_id for r in g.collect()} == {"a", "b"}
+    assert "date" in g.columns  # partitioned layout for pruning

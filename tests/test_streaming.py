@@ -345,3 +345,53 @@ def test_trigger_continuous_spec():
     assert w.kw == {"continuous": "1 second"}
     w2 = with_trigger(W(), "available-now")
     assert w2.kw == {"availableNow": True}
+
+
+def test_socket_source_round_trip(spark):
+    """End-to-end streaming SOURCE validation without a broker: a real
+    TCP server feeds Spark's socket source; the engine's normalize
+    stage runs on the live stream; rows land in a memory sink. This is
+    the connector-shaped path (socket stands in for Kafka: same
+    readStream → transform → sink contract)."""
+    import socket
+    import threading
+    import time
+
+    lines = ['{"k": 1, "v": 10.5}', '{"k": 2, "v": 20.5}', '{"k": 3, "v": 31.5}']
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def feed():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(5)  # keep the socket open while Spark drains it
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1").option("port", port).load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value"), "k long, v double").alias("j")
+    ).select("j.k", "j.v")
+    q = (
+        parsed.writeStream.format("memory").queryName("socket_rt")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("socket_rt").count() >= 3:
+                break
+            time.sleep(0.5)
+        got = {r.k: r.v for r in spark.table("socket_rt").collect()}
+        assert got == {1: 10.5, 2: 20.5, 3: 31.5}
+    finally:
+        q.stop()
+        srv.close()
