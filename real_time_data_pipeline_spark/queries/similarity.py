@@ -497,3 +497,45 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_band_pairs(simhash32(docs, "doc_id", "text"))
+
+
+_LSH_NEARDUP_ORACLE = """
+    WITH planes AS (
+      SELECT e.vec_id, j.j,
+             list_sum(list_transform(e.embedding::DOUBLE[],
+               (x, i) -> x * (('0x' || substr(md5('plane-' || j.j || '-' || (i - 1)), 1, 8))
+                              ::BIGINT % 1000 - 500)))
+               AS dot
+      FROM embeddings e, (SELECT unnest(range(8)) AS j) j
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0
+                      THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM planes GROUP BY vec_id
+    ), b AS (
+      SELECT e.vec_id, e.embedding, bk.bucket
+      FROM embeddings e JOIN buckets bk ON e.vec_id = bk.vec_id
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.bucket,
+           round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6)
+             AS cos
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.3
+"""
+
+
+@query("embed_lsh_neardup_pairs", oracle=_LSH_NEARDUP_ORACLE)
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding near-dup at scale: hyperplane-LSH
+    buckets AS the blocking key (not a provided label), then exact
+    cosine only within each bucket. This is the fully self-contained
+    scale path — candidate generation needs nothing but the vectors,
+    and the quadratic step is bounded by bucket size (corpus/2^planes
+    expected). The oracle replays planes, bucketing, blocking, and
+    cosine end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "bucket", hyperplane_lsh_bucket(emb, "embedding", 8, dim=64)
+    )
+    return cosine_neardup_pairs(bucketed, "vec_id", "embedding", "bucket", threshold=0.3)

@@ -542,3 +542,60 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
     )
+
+
+_FILTER_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS w
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+               / greatest(len(w), 1) AS avg_token_len,
+             round(({_sql_hits("en")}) / greatest(len(w), 1.0), 6) AS stopword_ratio,
+    """ + ",\n".join(
+        f"         CAST({_sql_hits(lg)} AS BIGINT) AS hits_{lg}" for lg in LANG_STOPWORDS
+    ) + f"""
+      FROM base
+    ), pred AS (
+      SELECT *, greatest({", ".join("hits_" + lg for lg in LANG_STOPWORDS)}) AS mx
+      FROM feats
+    )
+    SELECT doc_id, n_tokens, stopword_ratio
+    FROM pred
+    WHERE n_tokens >= 20
+      AND avg_token_len BETWEEN 2 AND 10
+      AND stopword_ratio >= 0.02
+      AND mx > 0 AND hits_en = mx
+"""
+
+
+@query("corpus_quality_filter", oracle=_FILTER_ORACLE)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-to-end C4/Gopher-style corpus filter: the survivors of the
+    cheap quality gates (length, mean token length, stopword density,
+    language-ID = English) — the doc set a training pipeline would
+    actually pass to tokenization. All rules are the same column
+    expressions the individual feature queries expose, composed into
+    one codegen scan-and-filter (no shuffle at all)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return (
+        docs.select(
+            "doc_id",
+            feats["n_tokens"].alias("n_tokens"),
+            feats["avg_token_len"].alias("avg_token_len"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+            lang_id("text").alias("lang_pred"),
+        )
+        .where(
+            (F.col("n_tokens") >= 20)
+            & F.col("avg_token_len").between(2, 10)
+            & (F.col("stopword_ratio") >= 0.02)
+            & (F.col("lang_pred") == "en")
+        )
+        .select("doc_id", "n_tokens", "stopword_ratio")
+    )

@@ -113,3 +113,51 @@ def jdbc_reader(
             .option("upperBound", str(upper_bound))
         )
     return reader
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV batch scan with scale-sane defaults.
+
+    Always pass ``schema`` on real data: schema inference reads the
+    whole input ONCE before the job even starts — at 100 TB that is a
+    full extra pass. PERMISSIVE mode routes malformed rows to
+    ``_corrupt_record`` (add it to the schema to keep them) instead of
+    failing the job; use mode="FAILFAST" for strict ingestion gates.
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multiline: bool = False,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """JSON-lines batch scan.
+
+    Same schema rule as CSV (inference = extra full pass). Keep
+    ``multiline=False`` for data at scale: JSON-lines files split by
+    newline across tasks, while multiline documents force
+    one-file-per-task parsing.
+    """
+    reader = spark.read.option("multiLine", str(multiline).lower()).option("mode", mode)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -395,3 +395,33 @@ def test_socket_source_round_trip(spark):
     finally:
         q.stop()
         srv.close()
+
+
+def test_streaming_session_window(spark, replay_dir):
+    """Native session_window aggregation on a stream: append mode
+    emits exactly the watermark-closed sessions — a subset of the
+    batch sessions, with identical final counts (the late tail stays
+    open at end-of-stream)."""
+    d, schema = replay_dir
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    sess = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n_events")
+    )
+    _run_stream_to_memory(sess, "sess_stream", "append")
+    got = spark.table("sess_stream")
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n_events")
+    )
+    got_rows = {(r.user_id, str(r.s)): (str(r.e), r.n_events) for r in got.collect()}
+    want_rows = {(r.user_id, str(r.s)): (str(r.e), r.n_events) for r in want.collect()}
+    assert got_rows  # sessions closed and were emitted
+    assert set(got_rows).issubset(set(want_rows))
+    for k, v in got_rows.items():
+        assert want_rows[k] == v  # emitted sessions carry final extents/counts
