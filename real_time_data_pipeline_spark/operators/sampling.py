@@ -66,3 +66,32 @@ def deterministic_sample(df: DataFrame, key_col: str, rate: float, salt: str = "
     down-sampling; compose with `hash_split` via distinct salts."""
     n = 1_000_000
     return df.where(hash_bucket(key_col, salt, n) < int(rate * n))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum down-sampling (corpus re-balancing).
+
+    Each stratum keeps ~its own rate of rows by hash cut — e.g. keep
+    30% of the dominant language, 100% of the rare ones. Same
+    determinism contract as `deterministic_sample`: no RNG, no
+    partition-layout dependence, rows never flip in/out when other
+    rows are added, and any engine with md5 reproduces the decision.
+    Pure column arithmetic — the filter runs inside codegen, no
+    shuffle.
+    """
+    n = 1_000_000
+    s = F.col(strata_col)
+    thr = F.lit(int(default_rate * n))
+    expr = None
+    for k, rate in rates.items():
+        cond = s == F.lit(k)
+        expr = F.when(cond, int(rate * n)) if expr is None else expr.when(cond, int(rate * n))
+    thr = thr if expr is None else expr.otherwise(thr)
+    return df.where(hash_bucket(key_col, salt, n) < thr)

@@ -599,3 +599,84 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "stopword_ratio")
     )
+
+
+_STRAT_RATES = {"en": 0.3, "zh": 0.5}  # downsample dominant langs; keep the rest
+
+_STRAT_ORACLE = f"""
+    SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents
+    WHERE {sql_hash_bucket("doc_id", "strat", 1_000_000)} <
+          CASE lang WHEN 'en' THEN {int(0.3 * 1_000_000)}
+                    WHEN 'zh' THEN {int(0.5 * 1_000_000)}
+                    ELSE 1000000 END
+    GROUP BY lang
+"""
+
+
+@query("data_stratified_sample", oracle=_STRAT_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-balancing: deterministic per-language down-sampling
+    (keep 30% of English, 50% of Chinese, all of the rest) summarized
+    per language. The keep/drop decision is pure md5 arithmetic — no
+    RNG, no shuffle, rows never flip when the corpus grows, and the
+    oracle replays it bit-for-bit."""
+    from real_time_data_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang", _STRAT_RATES, salt="strat")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_DECONTAM_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[i:i+4], ' ') AS g
+      FROM words, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+      WHERE len(w) >= 5
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < 20
+    ), hits AS (
+      SELECT DISTINCT gr.doc_id
+      FROM grams gr JOIN bench b ON gr.g = b.g
+      WHERE gr.doc_id >= 20
+    )
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id >= 20 AND h.doc_id IS NULL
+"""
+
+
+@query("corpus_decontaminated", oracle=_DECONTAM_ORACLE)
+def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END of the decontamination path: the corpus docs SHIPPED after
+    removing benchmark overlaps — broadcast LEFT ANTI of the corpus
+    grams against the benchmark gram set (docs 0-19 as stand-in),
+    then doc-level anti. Pairs with contamination_check (which counts
+    the removed docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    grams = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .repartition(par)
+        .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+    )
+    bench = grams.where(F.col("doc_id") < 20).select("g").distinct()
+    contaminated = (
+        grams.where(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") >= 20)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+    )

@@ -150,3 +150,40 @@ def test_sessionization_single_shuffle(spark, sf_dir):
     plan = _plan(REGISTRY["event_sessionization_stats"].fn(spark, sf_dir))
     # both window passes AND both aggregates ride ONE user_id exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quality_filter_is_scan_only(spark, sf_dir):
+    """corpus_quality_filter must be one codegen scan+filter: no
+    Exchange (shuffle) anywhere, ReadSchema pruned to the used cols."""
+    df = REGISTRY["corpus_quality_filter"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    (cols,) = read_schema_columns(df)
+    assert "text" in cols and "doc_id" in cols
+    assert "n_chars" not in cols  # stored column unused -> pruned
+
+
+def test_lsh_neardup_no_cartesian(spark, sf_dir):
+    """Bucket-blocked embedding near-dup: the join must key on the
+    bucket (hash/sort-merge), never a cartesian product."""
+    plan = _plan(REGISTRY["embed_lsh_neardup_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """Benchmark gram set broadcasts (LeftSemi) and the final doc
+    filter is a broadcast LeftAnti — the corpus side never shuffles
+    for either join."""
+    plan = _plan(REGISTRY["corpus_decontaminated"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 1 or plan.count("BroadcastExchange") >= 2
+
+
+def test_stratified_sample_no_shuffle_before_agg(spark, sf_dir):
+    """The keep/drop decision is pure column arithmetic: exactly the
+    one aggregation exchange, nothing before the filter."""
+    plan = _plan(REGISTRY["data_stratified_sample"].fn(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
