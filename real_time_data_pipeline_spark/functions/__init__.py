@@ -11,7 +11,13 @@ from real_time_data_pipeline_spark.operators.normalize import (
     int_with_default,
     normalize_bool,
 )
-from real_time_data_pipeline_spark.operators.similarity import cosine, hyperplane_lsh_bucket
+from real_time_data_pipeline_spark.operators.sampling import hash_bucket, sql_hash_bucket
+from real_time_data_pipeline_spark.operators.similarity import (
+    cosine,
+    dot,
+    hyperplane_lsh_bucket,
+    norm,
+)
 from real_time_data_pipeline_spark.operators.text import (
     hash32,
     hash60,
@@ -19,6 +25,8 @@ from real_time_data_pipeline_spark.operators.text import (
     lang_scores,
     md5_hex,
     quality_features,
+    redact,
+    redaction_counts,
     token_count_bpe_ish,
     token_count_ws,
     word_shingles,
@@ -32,7 +40,13 @@ __all__ = [
     "int_with_default",
     "normalize_bool",
     "cosine",
+    "dot",
+    "norm",
     "hyperplane_lsh_bucket",
+    "hash_bucket",
+    "sql_hash_bucket",
+    "redact",
+    "redaction_counts",
     "md5_hex",
     "hash32",
     "hash60",

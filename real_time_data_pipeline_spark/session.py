@@ -76,3 +76,25 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, changelog_checkpointing: bool = True) -> None:
+    """Switch streaming state to the RocksDB provider (runtime conf —
+    applies to queries started afterwards).
+
+    The default HDFS-backed store keeps every key in executor heap; at
+    100 TB-scale state (sessionization, dedup over days of keys) that
+    is an OOM, not a tuning problem. RocksDB spills to local disk,
+    bounds heap by block cache, and with changelog checkpointing
+    uploads per-batch deltas instead of full snapshots.
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        str(changelog_checkpointing).lower(),
+    )

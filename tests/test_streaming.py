@@ -425,3 +425,93 @@ def test_streaming_session_window(spark, replay_dir):
     assert set(got_rows).issubset(set(want_rows))
     for k, v in got_rows.items():
         assert want_rows[k] == v  # emitted sessions carry final extents/counts
+
+
+def test_streaming_dedup_with_rocksdb_state(spark, tmp_path):
+    """The watermark-bounded dedup runs unchanged on the RocksDB state
+    store (the at-scale backend: disk-backed state, bounded heap)."""
+    from real_time_data_pipeline_spark.session import ROCKSDB_PROVIDER, use_rocksdb_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        import pandas as pd
+
+        d = str(tmp_path / "rocks_replay")
+        import os as _os
+
+        _os.makedirs(d)
+        rows = pd.DataFrame(
+            {
+                "k": [1, 1, 2],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00:00", "2024-01-01 10:00:00", "2024-01-01 10:05:00"]
+                ).astype("datetime64[us]"),
+                "v": [1.0, 1.0, 2.0],
+            }
+        )
+        rows.to_parquet(_os.path.join(d, "b0.parquet"))
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        schema = StructType(
+            [
+                StructField("k", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("v", DoubleType()),
+            ]
+        )
+        stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+        deduped = silver_transform(stream, "ts", dedup_keys=["k"], watermark_delay="1 hour")
+        _run_stream_to_memory(deduped, "rocks_dedup", "append")
+        got = sorted(r.k for r in spark.table("rocks_dedup").collect())
+        assert got == [1, 2]  # duplicate k=1 dropped by RocksDB-backed state
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_foreach_batch_upsert_stream_end_to_end(spark, tmp_path, replay_dir):
+    """The gold sink contract under real micro-batches: a file-replay
+    stream drives foreach_batch_upsert with partition_cols; the final
+    table equals the batch aggregate of the same rows (idempotent,
+    last-writer-wins, date-partitioned)."""
+    from real_time_data_pipeline_spark.streaming.sinks import foreach_batch_upsert
+
+    d, schema = replay_dir
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    # per-user running aggregate in update mode -> keyed upsert
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    ).withColumn("shard", (F.col("user_id") % 2).cast("int"))
+    path = str(tmp_path / "gold_stream")
+    q = foreach_batch_upsert(
+        agg, path, keys=["user_id"], checkpoint=str(tmp_path / "ck"),
+        query_name="gold_upsert_stream", order_col="n", partition_cols=["shard"],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == want
