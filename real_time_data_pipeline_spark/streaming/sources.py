@@ -32,16 +32,29 @@ def kafka_stream(
     topic: str,
     starting_offsets: str = "latest",
     fail_on_data_loss: bool = False,
+    max_offsets_per_trigger: int | None = None,
+    min_partitions: int | None = None,
 ) -> DataFrame:
-    """Kafka streaming source (value as binary; decode downstream)."""
-    return (
+    """Kafka streaming source (value as binary; decode downstream).
+
+    Scale knobs: ``max_offsets_per_trigger`` caps records per
+    micro-batch so a backlogged topic cannot produce an unbounded
+    first batch (the classic restart-after-outage OOM);
+    ``min_partitions`` fans a few hot Kafka partitions out to more
+    Spark tasks than the topic has partitions.
+    """
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .option("failOnDataLoss", str(fail_on_data_loss).lower())
-        .load()
     )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    if min_partitions is not None:
+        reader = reader.option("minPartitions", str(min_partitions))
+    return reader.load()
 
 
 def file_stream(

@@ -136,3 +136,27 @@ def test_jaccard_pairs_match_python_brute_force(texts):
         for r in jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
     }
     assert got == _py_jaccard_pairs(texts)
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**9), min_size=2, max_size=60, unique=True),
+    extra=st.lists(st.integers(10**9 + 1, 2 * 10**9), min_size=0, max_size=20, unique=True),
+)
+@settings(**SETTINGS)
+def test_stratified_sample_membership_stable_under_growth(keys, extra):
+    """Adding rows NEVER flips an existing row's keep/drop decision,
+    and per-stratum rate 1.0 keeps everything / 0.0 keeps nothing."""
+    from real_time_data_pipeline_spark.operators.sampling import stratified_sample
+
+    rows = [(k, "a" if k % 2 == 0 else "b") for k in keys]
+    df = _spark.createDataFrame(rows, "k long, s string")
+    rates = {"a": 0.5, "b": 1.0}
+    kept1 = {r.k for r in stratified_sample(df, "k", "s", rates).collect()}
+    grown = _spark.createDataFrame(
+        rows + [(k, "a") for k in extra], "k long, s string"
+    )
+    kept2 = {r.k for r in stratified_sample(grown, "k", "s", rates).collect()}
+    assert kept1 == {k for k in kept2 if k <= 10**9}  # originals unchanged
+    assert {k for k, s in rows if s == "b"} <= kept1  # rate 1.0 keeps all
+    none_kept = stratified_sample(df, "k", "s", {"a": 0.0, "b": 0.0}).count()
+    assert none_kept == 0
