@@ -26,9 +26,9 @@ from real_time_data_pipeline_spark.operators.similarity import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
-    shingle_postings,
     simhash32,
 )
+from real_time_data_pipeline_spark.operators.text import word_shingles
 from real_time_data_pipeline_spark.queries.registry import query
 from real_time_data_pipeline_spark.sources.tables import load_table
 
@@ -128,23 +128,37 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", n=3)
-    cands = lsh_candidate_pairs(sigs, "doc_id")
+    # Materialize the candidate pairs (tiny — bucket collisions only):
+    # they feed BOTH the pair-role explode and the broadcast candidate
+    # id set below, and Catalyst does not reuse the signature pipeline
+    # across a shuffle branch and a broadcast branch.
+    cands = lsh_candidate_pairs(sigs, "doc_id").localCheckpoint()
 
     # Verify candidates with exact Jaccard. Shingle sets are computed
-    # ONCE: each candidate pair explodes into two (pair, doc) roles,
-    # joins the per-doc shingle array (semi-filtered to candidate docs
-    # — a tiny fraction of the corpus), and the pair's two sets meet
-    # again via a single groupBy. No branch of the plan recomputes the
-    # posting explode.
+    # ONCE, and ONLY for candidate docs: the candidate id set (tiny —
+    # near-dup docs are a sliver of any real corpus) broadcast-joins
+    # into the raw docs BEFORE the shingle explode, so the verify pass
+    # re-reads ~|candidates| documents instead of exploding the whole
+    # corpus into postings a second time. At 100 TB that is the
+    # difference between a second full-corpus pass and a lookup.
     pair_roles = cands.select(
         F.struct("id_a", "id_b").alias("pair"),
         F.explode(F.array("id_a", "id_b")).alias("doc_id"),
     )
-    sh = shingle_postings(docs, "doc_id", "text", 3)
+    cand_ids = pair_roles.select("doc_id").distinct()
+    par = spark.sparkContext.defaultParallelism
     sets = (
-        sh.join(pair_roles.select("doc_id").distinct(), "doc_id")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shs"))
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        # fan out BEFORE the (interpreted-HOF) shingling — a single
+        # input split would otherwise serialize it on one task
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles("text", 3)).alias("shs"),
+        )
+        # no size filter: Catalyst would substitute the alias into the
+        # predicate and shingle every doc TWICE; empty sets fall out at
+        # the threshold anyway (0/0 jaccard is NULL -> dropped)
     )
     per_pair = (
         pair_roles.join(sets, "doc_id")
