@@ -1,0 +1,88 @@
+"""Continuous-ingestion dedup: each micro-batch dedups against
+EVERYTHING previously accepted (parquet-backed state, not executor
+memory) — the streaming half of the corpus-dedup story.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.streaming.dedup_ingest import ingest_batch
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ingest_exact_and_neardup_across_batches(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+
+    # batch 1: two distinct docs + an in-batch exact dup of doc 1
+    b1 = _docs(spark, [
+        (1, BASE),
+        (2, "completely different text about spark dataframes and shuffle plans here"),
+        (3, BASE),  # exact dup of 1, same batch -> min id wins
+    ])
+    n1 = ingest_batch(b1, "doc_id", "text", corpus, store)
+    assert n1 == 2
+    accepted1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert accepted1 == {1, 2}
+
+    # batch 2: exact dup of an ACCEPTED doc, a near-dup of an accepted
+    # doc (one word changed -> jaccard >> 0.5), and one novel doc
+    b2 = _docs(spark, [
+        (10, BASE),                                  # exact dup of accepted 1
+        (11, BASE.replace("lazy", "sleepy")),        # near-dup of accepted 1
+        (12, "a genuinely novel document mentioning neither foxes nor dataframes at all ok"),
+    ])
+    n2 = ingest_batch(b2, "doc_id", "text", corpus, store)
+    assert n2 == 1
+    accepted2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert accepted2 == {1, 2, 12}
+
+    # batch 3: re-delivery of batch 2 (retry) accepts nothing new
+    n3 = ingest_batch(b2, "doc_id", "text", corpus, store)
+    assert n3 == 0
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2, 12}
+
+    # the store carries one entry per accepted doc
+    st = spark.read.parquet(store)
+    assert {r.doc_id for r in st.collect()} == {1, 2, 12}
+    assert set(st.columns) >= {"doc_id", "content_hash", "sig", "shingles"}
+
+
+def test_ingest_streaming_sink(spark, tmp_path):
+    """The foreachBatch wiring: a file-replay stream of doc drops
+    lands exactly the distinct docs in the corpus."""
+    import os
+
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.streaming.dedup_ingest import dedup_ingest_sink
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+
+    d = str(tmp_path / "drops")
+    os.makedirs(d)
+    pd.DataFrame({"doc_id": [1, 2], "text": [BASE, "other words entirely unrelated to the base document text right here"]}).to_parquet(
+        os.path.join(d, "d0.parquet"), index=False
+    )
+    pd.DataFrame({"doc_id": [5, 6], "text": [BASE, "and a third subject matter again fully distinct from previous entries"]}).to_parquet(
+        os.path.join(d, "d1.parquet"), index=False
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    stream = file_stream(spark, d, schema, fmt="parquet", max_files_per_trigger=1)
+    corpus = str(tmp_path / "corpus2")
+    q = dedup_ingest_sink(
+        stream, "doc_id", "text", corpus, str(tmp_path / "store2"),
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    # doc 5 is an exact dup of accepted doc 1 (arrived a batch later)
+    assert got == {1, 2, 6}

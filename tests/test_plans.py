@@ -187,3 +187,11 @@ def test_stratified_sample_no_shuffle_before_agg(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_minhash_verify_broadcasts_candidates(spark, sf_dir):
+    """The exact-Jaccard verify must probe docs via a broadcast semi
+    join on the candidate id set — never rebuild corpus-wide postings
+    on the verify branch."""
+    plan = _plan(REGISTRY["dedup_minhash_lsh_pairs"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
