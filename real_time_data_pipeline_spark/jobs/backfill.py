@@ -27,7 +27,17 @@ from the launcher with whatever master/packages were configured.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 from collections.abc import Sequence
+
+# spark-submit launches this as a plain FILE, so the package root is
+# not importable unless shipped via --py-files; self-locate so
+# `spark-submit .../jobs/backfill.py` works from a plain checkout too.
+if __package__ in (None, ""):
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F

@@ -155,3 +155,36 @@ def test_backfill_job_cli(spark, tmp_path):
     g = spark.read.parquet(gold)
     assert {r.station_id for r in g.collect()} == {"a", "b"}
     assert "date" in g.columns  # partitioned layout for pruning
+
+
+def test_backfill_job_spark_submit(spark, tmp_path):
+    """The O2 launch surface for real: the job file runs under actual
+    spark-submit (separate JVM, plain-file launch, self-located
+    package) and writes the date-partitioned gold table."""
+    import shutil
+    import subprocess
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    rows = [
+        ("a", "3", None, "9", "1", "1", "1", "1715012345"),
+        ("b", "2", None, "8", "1", "1", "1", "1715012400"),
+    ]
+    bronze = str(tmp_path / "bronze")
+    spark.createDataFrame(rows, STATION_STATUS_RAW_SCHEMA).write.parquet(bronze)
+    job = "/root/repo/real_time_data_pipeline_spark/jobs/backfill.py"
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false", job,
+            "--date", "2024-05-06", "--bronze-path", bronze,
+            "--silver-path", str(tmp_path / "silver"),
+            "--gold-path", str(tmp_path / "gold"),
+        ],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "backfill 2024-05-06: 2 gold rows" in out.stdout
+    gold = spark.read.parquet(str(tmp_path / "gold"))
+    assert {r.station_id for r in gold.collect()} == {"a", "b"}
