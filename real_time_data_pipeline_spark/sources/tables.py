@@ -161,3 +161,9 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC batch scan (vectorized reader, predicate pushdown and
+    column pruning like parquet — the other columnar lake format)."""
+    return spark.read.orc(path)

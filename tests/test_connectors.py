@@ -6,6 +6,8 @@ CONFIG CONTRACT — the exact options the reference jobs set (SURVEY
 builders are all lazy, which is what makes this testable.
 """
 
+from pyspark.sql import functions as F
+
 from real_time_data_pipeline_spark.sources.sinks import jdbc_writer, kafka_writer
 from real_time_data_pipeline_spark.sources.tables import jdbc_reader, load_table
 
@@ -58,3 +60,34 @@ def test_read_json_lines(spark, tmp_path):
         assert ok == {1: "a", 2: "b"} and bad == 1
     finally:
         df.unpersist()
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    from real_time_data_pipeline_spark.sources.tables import load_table, read_orc
+
+    p = str(tmp_path / "orc_tbl")
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    nation.write.orc(p)
+    back = read_orc(spark, p).where(F.col("n_regionkey") == 0).select("n_name")
+    want = {r.n_name for r in nation.where("n_regionkey = 0").collect()}
+    assert {r.n_name for r in back.collect()} == want
+    # pushdown reaches the ORC scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+def test_sql_interface_over_catalog(spark):
+    """The engine is usable as plain spark.sql over registered views —
+    the full declarative surface, no Python DSL required."""
+    from real_time_data_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, "/root/testdata/sf0.001")
+    got = spark.sql(
+        """
+        SELECT r.r_name, count(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    ).collect()
+    assert sum(r.n_nations for r in got) == 25
+    assert len(got) == 5
