@@ -553,3 +553,65 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", hyperplane_lsh_bucket(emb, "embedding", 8, dim=64)
     )
     return cosine_neardup_pairs(bucketed, "vec_id", "embedding", "bucket", threshold=0.3)
+
+
+_RECALL_ORACLE = (
+    """
+    WITH brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                          DESC, c.vec_id
+               ) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rk <= 5
+    ), ivf AS (
+    """
+    + _IVF_ORACLE.replace("WITH cents", " WITH cents", 1).replace(
+        "SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM (",
+        "SELECT query_id, neighbor_id FROM (",
+        1,
+    ).replace(") WHERE rk <= 5", ") x WHERE rk <= 5", 1)
+    + """
+    )
+    SELECT b.query_id,
+           count(i.neighbor_id) AS n_hit,
+           count(*) AS k,
+           round(count(i.neighbor_id) * 1.0 / count(*), 6) AS recall_at_5
+    FROM brute b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """
+)
+
+
+@query("embed_ann_recall", oracle=_RECALL_ORACLE)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: per-query recall@5 of the IVF index
+    against the exact brute-force neighbors — the approximation
+    quality of the scale path, AS a query. Both sides are
+    deterministic, so even the recall ratios are value-checked."""
+    from real_time_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    brute = ann_brute_topk(queries_df, emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(queries_df, emb, "vec_id", "embedding", k=5,
+                   centroid_stride=29, nprobe=3).select(
+        F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
+    )
+    joined = brute.join(
+        ivf,
+        (F.col("query_id") == F.col("__q")) & (F.col("neighbor_id") == F.col("__n")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("__n").alias("n_hit"),
+        F.count(F.lit(1)).alias("k"),
+        F.round(F.count("__n") / F.count(F.lit(1)), 6).alias("recall_at_5"),
+    )
