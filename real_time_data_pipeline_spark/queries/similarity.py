@@ -615,3 +615,52 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k"),
         F.round(F.count("__n") / F.count(F.lit(1)), 6).alias("recall_at_5"),
     )
+
+
+_QUANT_ORACLE = """
+    WITH q AS (
+      SELECT vec_id,
+             list_min(embedding::DOUBLE[]) AS lo,
+             (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0
+               AS scale,
+             embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), deq AS (
+      SELECT vec_id,
+             list_transform(v, x -> lo + least(CASE WHEN scale > 0
+                 THEN floor((x - lo) / scale) ELSE 0 END, 255) * scale) AS dv
+      FROM q
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos, rk FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_cosine_similarity(a.dv, b.dv) AS cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.dv, b.dv) DESC, b.vec_id
+             ) AS rk
+      FROM deq a JOIN deq b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10
+    ) WHERE rk <= 5
+"""
+
+
+@query("embed_quantized_topk", oracle=_QUANT_ORACLE)
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors over int8-QUANTIZED embeddings (per-
+    vector scalar quantization, ~4x smaller store than float32). The
+    quantize -> dequantize -> cosine math is deterministic arithmetic
+    on both engines, so even the approximation's results value-match
+    the oracle; diff against embed_ann_brute_topk to see the
+    quantization error."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    deq = emb.select(
+        "vec_id",
+        dequantize_embedding(quantize_embedding(F.col("embedding"))).alias("dv"),
+    )
+    queries_df = deq.where(F.col("vec_id") < 10)
+    return ann_brute_topk(queries_df, deq, "vec_id", "dv", k=5)
