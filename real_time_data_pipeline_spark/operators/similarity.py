@@ -772,10 +772,13 @@ def simhash_band_pairs(
 def quantize_embedding(vec: Column, levels: int = 255) -> Column:
     """Per-vector scalar quantization to ``levels`` integer steps.
 
-    Returns struct(lo, scale, q: array<int>): x ≈ lo + q·scale. An
-    int8-range code per dimension cuts an embedding store to ~1/4 of
-    its float32 footprint (1/8 of float64) — at 100 TB of vectors the
-    difference between an in-memory ANN tier and one that pages. All
+    Returns struct(lo, scale, q: array<int>): x ≈ lo + q·scale. With
+    the default levels=255 the codes span 0..255 — a uint8/byte-range
+    code (store as unsigned byte, or pass levels=254 and offset by
+    −128 if the store must be SIGNED int8). One byte per dimension
+    cuts an embedding store to ~1/4 of its float32 footprint (1/8 of
+    float64) — at 100 TB of vectors the difference between an
+    in-memory ANN tier and one that pages. All
     arithmetic (min/max fold, floor) is deterministic and
     SQL-replicable, so quantized search results remain oracle-checkable.
     Degenerate constant vectors get scale 0 and q=0 (dequantize back

@@ -111,7 +111,7 @@ def run_dag(
     """
     deps = dict(deps or {})
     by_name = {t.name: t for t in tasks}
-    unknown = set(deps) - set(by_name) or {
+    unknown = (set(deps) - set(by_name)) | {
         u for ups in deps.values() for u in ups if u not in by_name
     }
     if unknown:
@@ -126,19 +126,23 @@ def run_dag(
         # "all_done": upstreams all have terminal states by construction
         # (sequential topological execution), so just run.
         res = TaskResult(name=name, state=FAILED)
-        start = time.monotonic()
+        # duration_s sums ACTIVE attempt time only — retry-delay sleeps
+        # are excluded, so the SLA judges the work, not the backoff
+        # policy (Airflow's per-attempt SLA semantics).
         for attempt in range(1 + max(spec.retries, 0)):
             if attempt:
                 sleep(spec.retry_delay_s)
             res.attempts = attempt + 1
+            start = time.monotonic()
             try:
                 res.value = spec.fn()
+                res.duration_s += time.monotonic() - start
                 res.state = SUCCESS
                 res.error = None
                 break
             except Exception as e:  # noqa: BLE001 — task isolation is the point
+                res.duration_s += time.monotonic() - start
                 res.error = f"{type(e).__name__}: {e}"
-        res.duration_s = time.monotonic() - start
         res.sla_missed = spec.sla_s is not None and res.duration_s > spec.sla_s
         run.results[name] = res
     return run

@@ -181,7 +181,13 @@ def upsert_parquet(
     old = spark.read.parquet(path) if exists else None
     result = _merge_last_writer_wins(old, batch_df, keys, order_col)
     # Never overwrite in place: write the merge beside the table, then
-    # swap via rename so readers/crashes always see a complete table.
+    # swap via rename. A crash at any point leaves a complete table
+    # (current, or the __old__ backup auto-restored above). NOTE the
+    # swap is two renames, so a CONCURRENT reader can hit a brief
+    # path-not-found window between them — this sink assumes the
+    # single-writer/reader-retries discipline usual for foreachBatch
+    # gold tables; use `merge_upsert_delta` where readers must never
+    # observe the gap.
     fs.delete(jtmp, True)
     result.write.mode("overwrite").parquet(tmp_path)
     if exists:
@@ -189,6 +195,59 @@ def upsert_parquet(
         fs.rename(jpath, jold)
     fs.rename(jtmp, jpath)
     fs.delete(jold, True)
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when the delta-spark package AND its JVM classes are on
+    this session's classpath (both are required for MERGE INTO)."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # noqa: B018 — probe
+        return True
+    except Exception:  # pragma: no cover — jar missing
+        return False
+
+
+def merge_upsert_delta(
+    batch_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_col: str | None = None,
+) -> None:
+    """`upsert_parquet` contract over a Delta table: MERGE INTO.
+
+    The S3-complete variant of the gold upsert — Delta's transaction
+    log gives atomic commits on object stores where directory rename
+    is copy-based and non-atomic, and concurrent readers always see a
+    complete snapshot (no rename-swap window). Package-gated exactly
+    like the Kafka connector: call `delta_available` first; the
+    foreachBatch contract, keying, and last-writer-wins semantics are
+    identical to `upsert_parquet`, so sinks can switch per deployment.
+
+    Idempotent under micro-batch retries: the batch is pre-collapsed
+    to one deterministic winner per key (same tie-break as the parquet
+    path), then MERGE matches on ``keys`` — re-delivery updates rows
+    to the values they already hold.
+    """
+    from delta.tables import DeltaTable  # gated import
+
+    spark = batch_df.sparkSession
+    batch = _merge_last_writer_wins(None, batch_df, keys, order_col)
+    if not DeltaTable.isDeltaTable(spark, path):
+        batch.write.format("delta").mode("overwrite").save(path)
+        return
+    target = DeltaTable.forPath(spark, path)
+    cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+    (
+        target.alias("t")
+        .merge(batch.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
 
 
 def foreach_batch_upsert(

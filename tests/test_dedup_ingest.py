@@ -48,10 +48,86 @@ def test_ingest_exact_and_neardup_across_batches(spark, tmp_path):
     assert n3 == 0
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2, 12}
 
-    # the store carries one entry per accepted doc
-    st = spark.read.parquet(store)
+    # the doc store carries one entry per accepted doc
+    st = spark.read.parquet(store + "/docs")
     assert {r.doc_id for r in st.collect()} == {1, 2, 12}
     assert set(st.columns) >= {"doc_id", "content_hash", "sig", "shingles"}
+    # ... and the hash/band stores are bucket-partitioned on disk
+    for sub in ("hashes", "bands", "docs"):
+        cols = set(spark.read.parquet(f"{store}/{sub}").columns)
+        assert "bkt" in cols, f"{sub} store not bucketed"
+
+
+def test_ingest_probe_is_bucket_pruned(spark, tmp_path):
+    """The scale contract (VERDICT r2 #1): probing the accepted state
+    reads ONLY the bucket partitions the micro-batch's own keys touch
+    — partition filters in the plan, bounded input files — never the
+    whole store."""
+    from real_time_data_pipeline_spark.streaming.dedup_ingest import (
+        ingest_batch,
+        read_buckets,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    rows = [(i, f"document number {i} with entirely distinct content "
+                f"token{i}a token{i}b token{i}c token{i}d") for i in range(40)]
+    ingest_batch(_docs(spark, rows), "doc_id", "text", corpus, store)
+
+    full = spark.read.parquet(store + "/hashes")
+    n_parts = full.select("bkt").distinct().count()
+    assert n_parts > 1  # 40 hashes spread over several buckets
+
+    def scan_partitions(df):
+        """Disk partitions ACTUALLY read (FileSourceScan metric)."""
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return int(leaf.metrics().apply("numPartitions").value())
+
+    one = read_buckets(spark, store + "/hashes", [full.select("bkt").first()[0]])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bkt" in plan.split("PartitionFilters", 1)[1][:200]
+    # the pruned probe physically reads ONE bucket; a full scan reads all
+    assert scan_partitions(one) == 1
+    assert scan_partitions(spark.read.parquet(store + "/hashes")) == n_parts
+
+
+def test_ingest_retry_after_partial_state_merge(spark, tmp_path):
+    """Crash-ordering contract: if a batch's corpus/band/doc writes
+    landed but the hash-store merge (the commit marker) did not, the
+    foreachBatch retry re-derives the same survivors — ignoring their
+    own half-written state — and completes the merge with no corpus
+    duplicates."""
+    from real_time_data_pipeline_spark.streaming.dedup_ingest import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    b1 = _docs(spark, [(1, BASE), (2, "unrelated second document text with its own words only here")])
+    assert ingest_batch(b1, "doc_id", "text", corpus, store) == 2
+
+    # simulate the crash window: drop the commit marker for doc 2
+    import shutil
+
+    hashes = spark.read.parquet(store + "/hashes").where("doc_id <> 2")
+    kept = hashes.localCheckpoint().drop("bkt")
+    shutil.rmtree(store + "/hashes")
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.streaming.dedup_ingest import bucket_of
+    from real_time_data_pipeline_spark.streaming.sinks import upsert_parquet
+
+    upsert_parquet(
+        kept.withColumn("bkt", bucket_of("content_hash")),
+        store + "/hashes", keys=["content_hash"], partition_cols=["bkt"],
+    )
+
+    # retry of the same batch: doc 2 is re-accepted (count reflects the
+    # attempt), but the corpus stays exactly-once and the marker lands
+    assert ingest_batch(b1, "doc_id", "text", corpus, store) == 1
+    got = spark.read.parquet(corpus).groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in got} == {1: 1, 2: 1}
+    assert {r.doc_id for r in spark.read.parquet(store + "/hashes").collect()} == {1, 2}
 
 
 def test_ingest_streaming_sink(spark, tmp_path):
