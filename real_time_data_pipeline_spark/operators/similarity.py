@@ -250,35 +250,57 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit SimHash over distinct words (md5-derived bit votes).
+# SimHash width. 60 bits = 15 md5 hex chars: wide enough that band
+# buckets stay sparse at billion-doc scale (32-bit signatures collide
+# heavily there), while every intermediate — the hash itself, 1<<59,
+# and the signature sum — stays strictly below 2^63, so the identical
+# arithmetic runs in DuckDB's signed BIGINT for the oracle.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15  # 4 bands × 15 bits; pigeonhole-complete ≤ 3 flips
+
+
+def simhash_signature(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """``bits``-wide SimHash over distinct words (md5-derived votes).
 
     For each word hash h, bit j votes +1 if set else −1; the signature
     sets bit j iff the vote sum is positive. One explode over
-    (word × 32 bits) then two groupBys — every step (md5, shifts,
-    sums) is whole-stage codegen, which beats an in-row fold here:
-    higher-order functions are interpreted, so folding 32 votes per
-    word in-row runs ~4× slower than exploding codegen rows (measured
-    at sf0.1). Per-doc word dedup is in-row (`array_distinct`), so no
-    global distinct shuffle. Production would widen to 64/128 bits;
-    32 keeps every intermediate comfortably in BIGINT on both engines.
+    (word × bits) then two groupBys — every step (md5, shifts, sums)
+    is whole-stage codegen, which beats an in-row fold here:
+    higher-order functions are interpreted, so folding the votes
+    in-row runs ~4× slower than exploding codegen rows (measured at
+    sf0.1). Per-doc word dedup is in-row (`array_distinct`), so no
+    global distinct shuffle. ``bits`` must stay ≤ 60 so every
+    intermediate fits signed BIGINT on both engines (the word hash is
+    the first ceil(bits/4) md5 hex chars).
     """
+    if bits > 60:
+        raise ValueError("simhash_signature: bits > 60 overflows signed BIGINT")
+    hex_chars = (bits + 3) // 4
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, hex_chars), 16, 10).cast("long")
     w = _fan_out(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, 1))).alias("word"),
-    ).withColumn("h", hash32("word"))
-    bits = w.select(
+    ).withColumn("h", h)
+    bits_df = w.select(
         F.col(id_col),
         F.col("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
     )
     # shiftright/shiftleft with a column shift amount need the SQL form
     vote = F.when(F.expr("shiftright(h, CAST(j AS INT)) & 1") == 1, 1).otherwise(-1)
-    per_bit = bits.groupBy(id_col, "j").agg(F.sum(vote).alias("v"))
+    per_bit = bits_df.groupBy(id_col, "j").agg(F.sum(vote).alias("v"))
     bit_val = F.when(
         F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")
     ).otherwise(F.lit(0).cast("long"))
     return per_bit.groupBy(id_col).agg(F.sum(bit_val).alias("simhash"))
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash (compat shim over `simhash_signature`)."""
+    return simhash_signature(df, id_col, text_col, bits=32)
 
 
 # ---------------------------------------------------------------------------
@@ -628,6 +650,87 @@ def connected_components_star(
     )
 
 
+def stride_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, stride: int = 29
+) -> DataFrame:
+    """Deterministic seed centroids: every ``stride``-th corpus id.
+
+    (cent_id, cvec) — the zero-training IVF baseline, and the seed set
+    for `kmeans_centroids`.
+    """
+    return corpus.where((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stride: int = 29,
+    iters: int = 2,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic k-means (fixed Lloyd iterations, stride-seeded).
+
+    Stride centroids are arbitrary points; real embeddings cluster, so
+    trained centroids concentrate inverted lists and raise IVF recall
+    (`embed_ann_kmeans_recall` measures exactly this). Every step is
+    reproducible bit-for-bit on any engine/partitioning:
+
+    - assignment: exact cosine, ties broken by cent_id;
+    - centroid update: the mean runs over integer-QUANTIZED
+      components — sum(floor(x·quant + 0.5)) / (quant · n). Integer
+      sums are associative, so the result is independent of Spark's
+      partial-aggregation order, and one final double division gives
+      the identical IEEE value DuckDB computes — a float sum would
+      diverge in the low bits and flip borderline assignments.
+
+    Per iteration: one broadcast-assign over the corpus (map-side
+    max_by — the corpus never shuffles) + one (cent, dim)-keyed
+    partial aggregate of quantized longs. Empty clusters drop (k may
+    shrink); `localCheckpoint` truncates the iteration lineage.
+    Component sums stay exact below 2^53 per (cluster, dim) — at
+    |cluster|·quant beyond that, lower ``quant``.
+
+    Output: (cent_id, cvec) — feed to `ivf_topk(centroids=...)`.
+    """
+    rows = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn(
+        "qv", F.transform(F.col("cv"), lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"))
+    ).localCheckpoint()
+    cents = stride_centroids(corpus, id_col, vec_col, stride)
+    for _ in range(iters):
+        c = cents.withColumn("nc", norm(F.col("cvec")))
+        nv = norm(F.col("cv"))
+        scored = rows.crossJoin(F.broadcast(c)).select(
+            "nid", "qv", "cent_id",
+            (dot(F.col("cv"), F.col("cvec")) / (nv * F.col("nc"))).alias("__ccos"),
+        )
+        best = F.max_by(
+            F.col("cent_id"),
+            F.struct(F.col("__ccos").alias("c"), (-F.col("cent_id")).alias("t")),
+        )
+        assign = scored.groupBy("nid").agg(best.alias("cent_id"), F.first("qv").alias("qv"))
+        comp = F.col("s").cast("double") / (F.lit(float(quant)) * F.col("n").cast("double"))
+        cents = (
+            assign.select("cent_id", F.posexplode("qv").alias("pos", "q"))
+            .groupBy("cent_id", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cent_id", "pos", comp.alias("comp"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                    lambda s: s["comp"],
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -636,15 +739,16 @@ def ivf_topk(
     k: int,
     centroid_stride: int = 29,
     nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
     The scale path past brute force: (1) pick deterministic centroids
-    (every `centroid_stride`-th corpus id — swap in k-means centroids
-    in production; determinism is what the oracle needs); (2) assign
-    each corpus vector to its nearest centroid — the inverted lists;
-    (3) per query, probe only the `nprobe` nearest lists and rank
-    candidates within them. Search cost drops from O(|corpus|) to
+    (``centroids`` — e.g. `kmeans_centroids`; default: stride seeds —
+    determinism is what the oracle needs); (2) assign each corpus
+    vector to its nearest centroid — the inverted lists; (3) per
+    query, probe only the `nprobe` nearest lists and rank candidates
+    within them. Search cost drops from O(|corpus|) to
     O(|corpus| · nprobe / n_lists) per query.
 
     Plan at scale: centroids are tiny → both the assignment pass and
@@ -661,9 +765,9 @@ def ivf_topk(
 
     # Norms precompute ONCE per vector (same doubles cosine() would
     # produce per pair — bit-identical to the oracle, 3× cheaper).
-    cents = corpus.where((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cvec")
-    ).withColumn("nc", norm(F.col("cvec")))
+    if centroids is None:
+        centroids = stride_centroids(corpus, id_col, vec_col, centroid_stride)
+    cents = centroids.withColumn("nc", norm(F.col("cvec")))
 
     # Corpus → nearest list as ONE aggregate, not a window: the
     # broadcast cross join emits each vector's n_centroid scores
@@ -727,8 +831,8 @@ def simhash_band_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "simhash",
-    n_bands: int = 4,
-    band_bits: int = 8,
+    n_bands: int = SIMHASH_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs from SimHash signatures via band buckets.
@@ -739,6 +843,8 @@ def simhash_band_pairs(
     max_hamming < n_bands has NO false negatives); the exact Hamming
     check then filters false positives with one xor+bit_count — the
     same bucket-join shape as MinHash-LSH, corpus-size independent.
+    Defaults cover the 60-bit signature as 4×15-bit bands — 32k
+    distinct values per band keeps buckets sparse at corpus scale.
 
     Output: (id_a, id_b, hamming) with id_a < id_b.
     """
