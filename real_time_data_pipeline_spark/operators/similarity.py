@@ -695,13 +695,19 @@ def kmeans_centroids(
 
     Output: (cent_id, cvec) — feed to `ivf_topk(centroids=...)`.
     """
-    rows = corpus.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("cv")
+    # _fan_out BEFORE the checkpoint: the cached blocks inherit the
+    # partitioning, so every broadcast-assign iteration runs full-width
+    # instead of funneling the whole corpus×centroid cross through the
+    # single task a one-file input would otherwise produce.
+    rows = _fan_out(
+        corpus.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("cv")
+        )
     ).withColumn(
         "qv", F.transform(F.col("cv"), lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"))
     ).localCheckpoint()
     cents = stride_centroids(corpus, id_col, vec_col, stride)
-    for _ in range(iters):
+    for it in range(iters):
         c = cents.withColumn("nc", norm(F.col("cvec")))
         nv = norm(F.col("cv"))
         scored = rows.crossJoin(F.broadcast(c)).select(
@@ -726,9 +732,96 @@ def kmeans_centroids(
                     lambda s: s["comp"],
                 ).alias("cvec")
             )
-            .localCheckpoint()
         )
+        # Intermediate centroids feed exactly ONE next-iteration
+        # broadcast, so lineage chaining is fine; only the FINAL
+        # centroid frame is materialized — `ivf_topk` references it
+        # twice (index build + probe) and must not re-run training.
+        if it == iters - 1:
+            cents = cents.localCheckpoint()
     return cents
+
+
+def assign_to_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Nearest-centroid assignment: (nid, cent_id, cv, nv) per vector.
+
+    The shared index-build step for IVF search and SemDeDup pruning.
+    Centroids are tiny by construction → broadcast cross join; the
+    per-vector argmax collapses MAP-SIDE via one max_by aggregate (the
+    exchange moves |corpus| rows, not |corpus|·n_centroids — a
+    row_number window would shuffle the scored rows first). Tie-break:
+    max cos, then min cent_id, making the assignment unique and
+    engine-independent.
+    """
+    cents = centroids.withColumn("nc", norm(F.col("cvec")))
+    corpus_rows = _fan_out(
+        corpus.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("cv")
+        )
+    ).withColumn("nv", norm(F.col("cv")))
+    scored = corpus_rows.crossJoin(F.broadcast(cents)).select(
+        "nid", "cv", "nv", "cent_id",
+        (dot(F.col("cv"), F.col("cvec")) / (F.col("nv") * F.col("nc"))).alias("__ccos"),
+    )
+    best = F.max_by(
+        F.struct(F.col("cent_id"), F.col("cv"), F.col("nv")),
+        F.struct(F.col("__ccos").alias("c"), (-F.col("cent_id")).alias("t")),
+    )
+    return (
+        scored.groupBy("nid").agg(best.alias("__b"))
+        .select(
+            "nid",
+            F.col("__b.cent_id").alias("cent_id"),
+            F.col("__b.cv").alias("cv"),
+            F.col("__b.nv").alias("nv"),
+        )
+    )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster, then prune within-cluster
+    near-duplicates (arXiv:2303.09540's recipe, re-expressed as a plan).
+
+    A vector survives iff NO lower-id vector in its k-means cluster has
+    cosine ≥ ``threshold`` to it — the deterministic one-pass variant of
+    greedy pruning (it can only drop MORE than the greedy sweep, never
+    fewer; a dropped anchor still shadows its own near-dups). Pairwise
+    cost is quadratic only INSIDE a cluster: with k ≈ √n trained
+    centroids, expected cluster size is √n, so the candidate join stays
+    ~O(n) pairs per list and shuffles on cent_id — never an all-pairs
+    corpus join.
+
+    Output: (<id_col>, cent_id) — the surviving vectors with their
+    cluster, ready to anti-join the embedding store.
+    """
+    # Referenced twice (both sides of the in-cluster self-join) —
+    # materialize so training + assignment run once.
+    assign = assign_to_centroids(corpus, id_col, vec_col, centroids).localCheckpoint()
+    a = assign.select(
+        "cent_id", F.col("nid").alias("id_a"), F.col("cv").alias("va"), F.col("nv").alias("na")
+    )
+    b = assign.select(
+        F.col("cent_id").alias("__c"), F.col("nid").alias("id_b"),
+        F.col("cv").alias("vb"), F.col("nv").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    shadowed = (
+        a.join(b, (F.col("cent_id") == F.col("__c")) & (F.col("id_b") < F.col("id_a")))
+        .where(cos >= threshold)
+        .select(F.col("id_a").alias("nid"))
+        .distinct()
+    )
+    return assign.join(shadowed, "nid", "left_anti").select(
+        F.col("nid").alias(id_col), "cent_id"
+    )
 
 
 def ivf_topk(
@@ -768,33 +861,7 @@ def ivf_topk(
     if centroids is None:
         centroids = stride_centroids(corpus, id_col, vec_col, centroid_stride)
     cents = centroids.withColumn("nc", norm(F.col("cvec")))
-
-    # Corpus → nearest list as ONE aggregate, not a window: the
-    # broadcast cross join emits each vector's n_centroid scores
-    # inside one input partition, so the partial max_by collapses them
-    # map-side — the exchange moves |corpus| rows, not |corpus|·n_lists.
-    # Tie-break: the order-by struct appends -cent_id, making the max
-    # unique (max cos, then min cent_id).
-    corpus_rows = corpus.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("cv")
-    ).withColumn("nv", norm(F.col("cv")))
-    scored = corpus_rows.crossJoin(F.broadcast(cents)).select(
-        "nid", "cv", "nv", "cent_id",
-        (dot(F.col("cv"), F.col("cvec")) / (F.col("nv") * F.col("nc"))).alias("__ccos"),
-    )
-    best = F.max_by(
-        F.struct(F.col("cent_id"), F.col("cv"), F.col("nv")),
-        F.struct(F.col("__ccos").alias("c"), (-F.col("cent_id")).alias("t")),
-    )
-    assign = (
-        scored.groupBy("nid").agg(best.alias("__b"))
-        .select(
-            "nid",
-            F.col("__b.cent_id").alias("cent_id"),
-            F.col("__b.cv").alias("cv"),
-            F.col("__b.nv").alias("nv"),
-        )
-    )
+    assign = assign_to_centroids(corpus, id_col, vec_col, centroids)
 
     # Queries are small → a row_number window over their probe scores
     # is cheap and keeps the top-nprobe lists per query.

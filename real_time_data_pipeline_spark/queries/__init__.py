@@ -52,6 +52,10 @@ _CHECK_FIRST = [
     # new this round: k-means-trained IVF + its recall measurement
     "embed_ann_ivf_kmeans_topk",
     "embed_ann_kmeans_recall",
+    # new this round: SemDeDup prune, leakage-safe split, composition
+    "embed_semdedup_prune",
+    "data_leakage_safe_split",
+    "corpus_composition",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

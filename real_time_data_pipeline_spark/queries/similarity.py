@@ -403,6 +403,69 @@ def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leak_split_oracle() -> str:
+    from real_time_data_pipeline_spark.operators.sampling import sql_hash_bucket
+
+    bucket = sql_hash_bucket("ckey", "split")
+    return _CLUSTERS_ORACLE.replace(
+        "SELECT node AS id_a, min(r) AS cluster_id FROM reach GROUP BY node",
+        f"""clusters AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ), keyed AS (
+      SELECT d.doc_id, d.n_chars, coalesce(c.cluster_id, d.doc_id) AS ckey
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT ckey) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT n_chars, ckey,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM keyed
+    )
+    GROUP BY split""",
+    ).replace("    )\n    clusters AS", "    ), clusters AS")
+
+
+@query("data_leakage_safe_split", oracle=_leak_split_oracle())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: hash-split on the near-dup CLUSTER representative (pairs
+    -> connected components -> min-id key), so every member of a dup
+    cluster lands in the same split. Docs untouched by any pair key on
+    their own id — the same md5 bucket arithmetic as `data_hash_split`
+    (identical salt), so the two queries agree wherever both apply.
+    Summarized per split: docs, distinct clusters, chars."""
+    from real_time_data_pipeline_spark.operators.sampling import hash_bucket
+    from real_time_data_pipeline_spark.operators.similarity import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    keyed = docs.join(clusters, docs["doc_id"] == clusters["id_a"], "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("ckey"),
+    )
+    b = hash_bucket(F.col("ckey"), "split", 100)
+    return (
+        keyed.withColumn(
+            "split",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("ckey").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
 _IVF_ORACLE = """
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
@@ -635,6 +698,43 @@ def q_ann_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_THRESHOLD = 0.3
+
+_SEMDEDUP_ORACLE = (
+    _kmeans_oracle()
+    + _KMEANS_SEARCH
+    + f"""
+    SELECT a.nid AS vec_id, a.cent_id
+    FROM fassign a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM fassign b
+      WHERE b.cent_id = a.cent_id AND b.nid < a.nid
+        AND list_cosine_similarity(a.v, b.v) >= {SEMDEDUP_THRESHOLD})
+"""
+)
+
+
+@query("embed_semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) as one plan: k-means-cluster the
+    embeddings, then drop every vector with a lower-id cluster-mate at
+    cosine >= threshold — semantic dedup, catching paraphrases that
+    lexical MinHash/SimHash cannot. Pairwise cost is quadratic only
+    inside a cluster (k ~ sqrt(n) keeps that ~O(n) total); training,
+    assignment, and the prune decision are all deterministic, so the
+    oracle value-checks the surviving set end to end."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+        semdedup_prune,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", stride=29, iters=2)
+    return semdedup_prune(
+        emb, "vec_id", "embedding", cents, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
 _SIMHASH_SQL = """
     WITH words AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
@@ -834,7 +934,12 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_embedding,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from real_time_data_pipeline_spark.operators.similarity import _fan_out
+
+    # Fan out BEFORE the quantize/dequantize projection: projections
+    # below ann_brute_topk's internal repartition run in the scan
+    # stage, which is one task for a one-file table.
+    emb = _fan_out(load_table(spark, sf_dir, "embeddings"))
     deq = emb.select(
         "vec_id",
         dequantize_embedding(quantize_embedding(F.col("embedding"))).alias("dv"),

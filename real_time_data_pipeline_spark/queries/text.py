@@ -62,6 +62,40 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPOSITION_ORACLE = """
+    WITH per AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+    FROM per
+"""
+
+
+@query("corpus_composition", oracle=_COMPOSITION_ORACLE)
+def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: docs, tokens, and token share per
+    (language x source) cell — the mixture table every training-data
+    pipeline publishes before sampling weights are chosen. One partial
+    aggregate over the corpus; the share is a window over the tiny
+    aggregated cell set, not a second corpus pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws("text")).cast("long").alias("n_tokens"),
+    )
+    share = F.round(
+        F.col("n_tokens") / F.sum("n_tokens").over(Window.partitionBy()), 6
+    )
+    return per.withColumn("token_share", share)
+
+
 _QUALITY_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, text,

@@ -349,3 +349,36 @@ def test_connected_components_both_algorithms_match_union_find(spark):
         got_star = {r.id_a: r.cluster_id for r in connected_components_star(df).collect()}
         assert got_min == want, f"min-label wrong for edges={edges}"
         assert got_star == want, f"star wrong for edges={edges}"
+
+
+def test_semdedup_one_pass_shadowing(spark):
+    """The documented one-pass rule: a vector is dropped when ANY
+    lower-id cluster-mate is within threshold — even one that was
+    itself dropped. Chain a~b, b~c, a!~c (ids a<b<c): greedy would
+    keep c, the one-pass rule drops it."""
+    from real_time_data_pipeline_spark.operators.similarity import semdedup_prune
+
+    # 2-d unit vectors at angles 0, 25, 60 degrees: cos(a,b)=.906,
+    # cos(b,c)=cos(35deg)=.819, cos(a,c)=cos(60deg)=.5.
+    import math
+
+    vecs = [
+        (i + 1, [math.cos(math.radians(d)), math.sin(math.radians(d))])
+        for i, d in enumerate((0.0, 25.0, 60.0))
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    # One centroid -> everything in one cluster.
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], "cent_id long, cvec array<double>")
+    kept = sorted(
+        r.vec_id
+        for r in semdedup_prune(corpus, "vec_id", "embedding", cents, 0.75).collect()
+    )
+    assert kept == [1]  # b shadowed by a; c shadowed by (dropped) b
+
+    # Higher threshold: b still within .906 of a, but c (.819 from b,
+    # .5 from a) clears it and survives.
+    kept = sorted(
+        r.vec_id
+        for r in semdedup_prune(corpus, "vec_id", "embedding", cents, 0.85).collect()
+    )
+    assert kept == [1, 3]
