@@ -56,6 +56,11 @@ _CHECK_FIRST = [
     "embed_semdedup_prune",
     "data_leakage_safe_split",
     "corpus_composition",
+    # new this round: winnowing, sentence-span dedup, mixture weights
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "text_dup_sentence_ratio",
+    "corpus_mixture_weights",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

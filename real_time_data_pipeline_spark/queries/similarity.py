@@ -946,3 +946,88 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries_df = deq.where(F.col("vec_id") < 10)
     return ann_brute_topk(queries_df, deq, "vec_id", "dv", k=5)
+
+
+# Winnowing (MOSS) parameters, mirrored in the oracle arithmetic.
+WINNOW_K = 4  # words per gram
+WINNOW_W = 4  # hashes per selection window
+WINNOW_MIN_SHARED = 2
+
+_WINNOW_SEL = f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos, len(w) - {WINNOW_K} + 1 AS n_grams,
+             CAST(('0x' || substr(md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' ')), 1, 15))
+                  AS BIGINT) AS h
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - {WINNOW_K} + 2)) AS i
+            FROM words WHERE len(w) >= {WINNOW_K})
+    ), wins AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM grams
+    ), sel AS (
+      SELECT DISTINCT doc_id, fp FROM wins
+      WHERE pos <= greatest(n_grams - {WINNOW_W}, 0)
+    )
+"""
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=_WINNOW_SEL
+    + """
+    SELECT doc_id, count(*) AS n_fps, bit_xor(fp) AS fp_xor, min(fp) AS fp_min
+    FROM sel GROUP BY doc_id
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection, value-checked per doc:
+    fingerprint count plus an order-insensitive bit_xor and min over
+    the selected 60-bit hashes — the whole fingerprint SET is pinned
+    without hauling it through the compare."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        winnowing_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.bit_xor(F.col("fp")).alias("fp_xor"),
+        F.min("fp").alias("fp_min"),
+    )
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=_WINNOW_SEL
+    + f"""
+    , dfreq AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM sel a, sel b, dfreq d
+    WHERE a.fp = b.fp AND d.fp = a.fp AND a.doc_id < b.doc_id
+      AND d.df <= {JACCARD_MAX_DF}
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via shared winnowing fingerprints — substring-
+    match detection (any shared run of w+k-1 words guarantees a shared
+    fingerprint), complementing the set-based MinHash family. Bucketed
+    on the fingerprint with the standard hot-key df cap."""
+    from real_time_data_pipeline_spark.operators.similarity import winnowing_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        max_df=JACCARD_MAX_DF,
+    )

@@ -714,3 +714,107 @@ def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id")
     )
+
+
+# Sentence-level duplication (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better" — the bucketable span-level proxy for
+# suffix-array substring dedup). Portable split: no lookbehind (RE2).
+SENT_SPLIT = r"[.!?]\s+"
+SENT_MIN_CHARS = 15
+
+_DUP_SENT_ORACLE = f"""
+    WITH sents AS (
+      SELECT DISTINCT doc_id, md5(lower(trim(s))) AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '{SENT_SPLIT}')) AS s
+            FROM documents)
+      WHERE length(trim(s)) >= {SENT_MIN_CHARS}
+    ), buckets AS (
+      SELECT h, count(*) AS df FROM sents GROUP BY h
+    )
+    SELECT doc_id, count(*) AS n_sents,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sents,
+           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_ratio
+    FROM sents JOIN buckets USING (h)
+    GROUP BY doc_id
+"""
+
+
+@query("text_dup_sentence_ratio", oracle=_DUP_SENT_ORACLE)
+def q_dup_sentence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication per doc: the share of a doc's distinct
+    normalized sentences that also appear in ANOTHER doc (or twice —
+    df counts distinct docs, so df>=2 means cross-doc duplication).
+    The scalable proxy for suffix-array substring dedup: one shuffle
+    builds the sentence-hash buckets, per-doc ratios derive from the
+    SAME buckets via explode (no corpus-side join back)."""
+    from real_time_data_pipeline_spark.operators.similarity import _fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    sents = (
+        _fan_out(docs.select("doc_id", "text"), "doc_id")
+        .select(F.col("doc_id"), F.explode(F.split(F.col("text"), SENT_SPLIT)).alias("s"))
+        .where(F.length(F.trim(F.col("s"))) >= SENT_MIN_CHARS)
+        .select("doc_id", F.md5(F.lower(F.trim(F.col("s")))).alias("h"))
+    )
+    buckets = sents.groupBy("h").agg(F.collect_set("doc_id").alias("ids"))
+    per = buckets.select(
+        F.explode("ids").alias("doc_id"), F.size("ids").alias("df")
+    )
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sents"),
+        dup.cast("long").alias("n_dup_sents"),
+        F.round(dup / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )
+
+
+# Temperature-weighted mixture sampling (the multilingual-corpus
+# balancing rule: weight ∝ share^τ). τ = 0.5 exactly, so the power is
+# sqrt — correctly-rounded IEEE on both engines, keeping the oracle
+# hash stable where a general pow() might differ in the last ulp.
+_MIXTURE_ORACLE = """
+    WITH per AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY 1, 2
+    ), shares AS (
+      SELECT lang, source, n_docs, n_tokens,
+             n_tokens * 1.0 / sum(n_tokens) OVER () AS p,
+             sqrt(n_tokens * 1.0 / sum(n_tokens) OVER ()) AS pw
+      FROM per
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           round(pw / sum(pw) OVER (), 6) AS weight,
+           round(pw / sum(pw) OVER () / p, 6) AS epochs
+    FROM shares
+"""
+
+
+@query("corpus_mixture_weights", oracle=_MIXTURE_ORACLE)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-τ=0.5 sampling weights per (lang, source) cell:
+    weight ∝ sqrt(token share), plus the implied epochs multiplier
+    (weight/share — how many times the cell is traversed relative to
+    proportional sampling at a fixed token budget). One corpus pass;
+    the windows run over the tiny aggregated cell set."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws("text")).cast("long").alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    shares = per.select("lang", "source", "n_docs", "n_tokens", p.alias("p"), F.sqrt(p).alias("pw"))
+    wgt = F.col("pw") / F.sum("pw").over(wall)
+    return shares.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(wgt, 6).alias("weight"),
+        F.round(wgt / F.col("p"), 6).alias("epochs"),
+    )

@@ -382,3 +382,75 @@ def test_semdedup_one_pass_shadowing(spark):
         for r in semdedup_prune(corpus, "vec_id", "embedding", cents, 0.85).collect()
     )
     assert kept == [1, 3]
+
+
+def test_winnowing_matches_brute_force(spark):
+    """Fingerprint SET per doc == a Python reimplementation of
+    winnowing (hash every k-gram, min of every complete w-window),
+    including the short-doc truncated-window rule."""
+    import hashlib
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        winnowing_fingerprints,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "one two three four"),          # exactly k words -> 1 gram
+        (3, "alpha beta gamma"),             # < k words -> no grams
+        (4, "a b c d e f g a b c d e f g"),  # internal repetition
+        (5, ""),
+    ]
+    k, w = 4, 4
+
+    def brute(text):
+        ws = text.split()
+        grams = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        if not hs:
+            return set()
+        out = set()
+        for i in range(max(len(hs) - w, 0) + 1):
+            out.add(min(hs[i : i + w]))
+        return out
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text", k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for doc_id, text in texts:
+        assert got.get(doc_id, set()) == brute(text), f"doc {doc_id}"
+
+
+def test_winnowing_pairs_shared_run_guarantee(spark):
+    """Two docs sharing a run of w+k-1 words MUST share >= 1
+    fingerprint (the winnowing guarantee); unrelated docs share none."""
+    from real_time_data_pipeline_spark.operators.similarity import winnowing_pairs
+
+    shared = "zeta eta theta iota kappa lambda mu"  # w+k-1 = 7 words
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"different opening {shared} other ending text"),
+            (3, "completely unrelated content with nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnowing_pairs(
+            df, "doc_id", "text", k=4, w=4, min_shared=1, max_df=None
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_mixture_weights_sum_to_one(spark, sf_dir):
+    from real_time_data_pipeline_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["corpus_mixture_weights"].fn(spark, sf_dir).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    # epochs > 1 for below-average cells, < 1 for above-average ones
+    # (temperature flattens the mixture).
+    assert any(r.epochs > 1 for r in rows) and any(r.epochs < 1 for r in rows)
