@@ -61,6 +61,7 @@ _CHECK_FIRST = [
     "dedup_winnowing_pairs",
     "text_dup_sentence_ratio",
     "corpus_mixture_weights",
+    "corpus_training_ready",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

@@ -818,3 +818,162 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wgt, 6).alias("weight"),
         F.round(wgt / F.col("p"), 6).alias("epochs"),
     )
+
+
+def _ready_oracle() -> str:
+    """Full-pipeline oracle: dedup clusters (recursive CTE) -> keep-one
+    -> quality gates -> benchmark decontamination -> hash split ->
+    per-split summary. Assembled from the same SQL fragments the
+    stage-level queries use, so the composition cannot drift from its
+    parts."""
+    from real_time_data_pipeline_spark.operators.sampling import sql_hash_bucket
+    from real_time_data_pipeline_spark.queries.similarity import _CLUSTERS_ORACLE
+
+    bucket = sql_hash_bucket("q.doc_id", "split")
+    hits_cols = ",\n".join(
+        f"             CAST({_sql_hits(lg)} AS BIGINT) AS hits_{lg}"
+        for lg in LANG_STOPWORDS
+    )
+    mx = ", ".join("hits_" + lg for lg in LANG_STOPWORDS)
+    tail = f"""clusters AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ), survivors AS (
+      SELECT d.doc_id, d.text, d.n_chars
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+      WHERE c.node IS NULL OR c.cluster_id = d.doc_id
+    ), qbase AS (
+      SELECT doc_id, text, n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS w
+      FROM survivors
+    ), qfeats AS (
+      SELECT doc_id, text, n_chars,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+               / greatest(len(w), 1) AS avg_token_len,
+             round(({_sql_hits("en")}) / greatest(len(w), 1.0), 6) AS stopword_ratio,
+{hits_cols}
+      FROM qbase
+    ), qual AS (
+      SELECT doc_id, text, n_chars, n_tokens
+      FROM (SELECT *, greatest({mx}) AS mx FROM qfeats)
+      WHERE n_tokens >= 20 AND avg_token_len BETWEEN 2 AND 10
+        AND stopword_ratio >= 0.02 AND mx > 0 AND hits_en = mx
+    ), bwords AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0 AND doc_id < 20
+    ), bgrams AS (
+      SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS g
+      FROM bwords, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+      WHERE len(w) >= 5
+    ), cwords AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM qual WHERE length(trim(text)) > 0 AND doc_id >= 20
+    ), cgrams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM cwords, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+      WHERE len(w) >= 5
+    ), contaminated AS (
+      SELECT DISTINCT cg.doc_id FROM cgrams cg JOIN bgrams b ON cg.g = b.g
+    ), ready AS (
+      SELECT q.doc_id, q.n_chars, q.n_tokens,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM qual q LEFT JOIN contaminated x ON q.doc_id = x.doc_id
+      WHERE q.doc_id >= 20 AND x.doc_id IS NULL
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           bit_xor(doc_id) AS id_xor,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM ready GROUP BY split"""
+    return _CLUSTERS_ORACLE.replace(
+        "SELECT node AS id_a, min(r) AS cluster_id FROM reach GROUP BY node", tail
+    ).replace("    )\n    clusters AS", "    ), clusters AS")
+
+
+@query("corpus_training_ready", oracle=_ready_oracle())
+def q_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE pipeline, end to end, as one plan: near-dup dedup (Jaccard
+    pairs -> connected components -> keep canonical) -> C4-style
+    quality gates -> benchmark decontamination (5-gram overlap with
+    the held-out set) -> leak-proof hash split -> per-split corpus
+    summary (docs, chars, tokens, and a bit_xor membership signature
+    that pins the EXACT surviving doc set). What a user runs to turn
+    a raw crawl into a training corpus; every stage is the same
+    operator the stage-level queries check individually."""
+    from real_time_data_pipeline_spark.operators.sampling import hash_bucket
+    from real_time_data_pipeline_spark.operators.similarity import (
+        _fan_out,
+        connected_components,
+        jaccard_pairs,
+    )
+    from real_time_data_pipeline_spark.queries.similarity import (
+        JACCARD_MAX_DF,
+        JACCARD_THRESHOLD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    surv = (
+        docs.join(clusters, docs["doc_id"] == clusters["id_a"], "left")
+        .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", "text", "n_chars")
+    )
+    feats = quality_features("text")
+    # Materialized once: the dedup pipeline above feeds BOTH the
+    # decontamination gram branch and the final split (Catalyst does
+    # not reuse subplans across branches).
+    qual = (
+        surv.select(
+            "doc_id",
+            "text",
+            "n_chars",
+            feats["n_tokens"].alias("n_tokens"),
+            feats["avg_token_len"].alias("__atl"),
+            feats["stopword_ratio"].alias("__sr"),
+            lang_id("text").alias("__lang"),
+        )
+        .where(
+            (F.col("n_tokens") >= 20)
+            & F.col("__atl").between(2, 10)
+            & (F.col("__sr") >= 0.02)
+            & (F.col("__lang") == "en")
+        )
+        .select("doc_id", "text", "n_chars", "n_tokens")
+        .localCheckpoint()
+    )
+    bench = (
+        _fan_out(docs.where((F.col("doc_id") < 20) & (F.length(F.trim("text")) > 0)))
+        .select(F.explode(word_shingles("text", 5)).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        _fan_out(qual.where(F.col("doc_id") >= 20), "doc_id")
+        .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    b = hash_bucket(F.col("doc_id"), "split", 100)
+    ready = (
+        qual.where(F.col("doc_id") >= 20)
+        .join(contaminated, "doc_id", "left_anti")
+        .withColumn(
+            "split",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+        )
+    )
+    return ready.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.bit_xor("doc_id").alias("id_xor"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
