@@ -195,3 +195,42 @@ def test_minhash_verify_broadcasts_candidates(spark, sf_dir):
     on the verify branch."""
     plan = _plan(REGISTRY["dedup_minhash_lsh_pairs"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_winnowing_single_exchange_before_buckets(spark, sf_dir):
+    """Gram build (lead windows) and the sliding min share ONE doc-id
+    exchange; the only others are the fingerprint-bucket aggregation
+    and the final pair-count aggregate. Gram assembly itself must stay
+    on window lead()s — never the per-element element_at lambda."""
+    import re
+
+    plan = _plan(REGISTRY["dedup_winnowing_pairs"].fn(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
+    assert plan.count("windowspecdefinition(doc_id") >= 2  # lead + min share the sort
+    assert "element_at(" not in plan  # no per-element gram lambda
+
+
+def test_semdedup_broadcast_only_to_centroids(spark, sf_dir):
+    """The in-cluster shadow join keys on cent_id (the assignment
+    itself is checkpointed out of this plan) and the survivors filter
+    is a LeftAnti — the corpus never meets itself without a key."""
+    plan = _plan(REGISTRY["embed_semdedup_prune"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_dup_sentence_single_bucket_shuffle(spark, sf_dir):
+    """Per-doc ratios derive from the sentence-hash buckets themselves
+    (explode of collect_set) — no join back to the corpus."""
+    plan = _plan(REGISTRY["text_dup_sentence_ratio"].fn(spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_mixture_weights_single_corpus_pass(spark, sf_dir):
+    """One partial+final aggregate over the corpus; windows run over
+    the aggregated cells only."""
+    plan = _plan(REGISTRY["corpus_mixture_weights"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    (cols,) = read_schema_columns(plan_df := REGISTRY["corpus_mixture_weights"].fn(spark, sf_dir))
+    assert "doc_id" not in cols  # only lang/source/text read
