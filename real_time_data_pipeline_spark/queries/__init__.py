@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "text_dup_sentence_ratio",
     "corpus_mixture_weights",
     "corpus_training_ready",
+    "multimodal_frame_sample",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

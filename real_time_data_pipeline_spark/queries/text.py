@@ -977,3 +977,36 @@ def q_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+_FRAME_SAMPLE_ORACLE = """
+    SELECT media_id,
+           CAST(i AS DOUBLE) AS sample_t_s,
+           CAST(floor(i * fps) AS BIGINT) AS frame_idx
+    FROM (
+      SELECT doc_id AS media_id,
+             n_chars / 100.0 AS duration_s,
+             24.0 + (doc_id % 2) * 6 AS fps
+      FROM documents
+    ), unnest(range(0, CAST(floor(duration_s) AS BIGINT) + 1)) AS t(i)
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per frame to decode, from
+    typed METADATA only (duration, fps — derived deterministically
+    from the documents table as a stand-in for real video metadata).
+    The 100 TB shape: plan rows are pure JVM column arithmetic;
+    payload bytes are only fetched afterwards by the Arrow-batched
+    decode over exactly the selected frames."""
+    from real_time_data_pipeline_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") / 100.0).alias("duration_s"),
+        (F.lit(24.0) + (F.col("doc_id") % 2) * 6).alias("fps"),
+    )
+    plan = frame_sample_plan(meta, every_s=1.0)
+    return plan.select("media_id", "sample_t_s", "frame_idx")
