@@ -63,6 +63,8 @@ _CHECK_FIRST = [
     "corpus_mixture_weights",
     "corpus_training_ready",
     "multimodal_frame_sample",
+    "dedup_minhash_estimate",
+    "text_word_entropy",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

@@ -1031,3 +1031,83 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=WINNOW_MIN_SHARED,
         max_df=JACCARD_MAX_DF,
     )
+
+
+from real_time_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    MINHASH_NUM as _MN,
+    MINHASH_PRIME as _MP,
+)
+
+_MINHASH_EST_ORACLE = (
+    _SHINGLE_CTES
+    + ", sh AS (SELECT * FROM sh_all)"
+    + f"""
+    , counts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), ip AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jpairs AS (
+      SELECT p.id_a, p.id_b,
+             round(p.inter * 1.0 / (ca.n + cb.n - p.inter), 6) AS jaccard
+      FROM ip p
+        JOIN counts ca ON p.id_a = ca.doc_id
+        JOIN counts cb ON p.id_b = cb.doc_id
+      WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
+    ), xs AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS x FROM sh_all
+    ), sigm AS (
+      SELECT doc_id, ii.i AS i,
+             min(((2 * ii.i + 1) * x + 7919 * ii.i + 1) % {_MP}) AS v
+      FROM xs, (SELECT unnest(range({_MN})) AS i) ii
+      GROUP BY doc_id, ii.i
+    ), est AS (
+      SELECT p.id_a, p.id_b, p.jaccard,
+             round(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) / {_MN}.0, 6)
+               AS est_jaccard
+      FROM jpairs p
+      JOIN sigm a ON a.doc_id = p.id_a
+      JOIN sigm b ON b.doc_id = p.id_b AND b.i = a.i
+      GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, jaccard, est_jaccard,
+           round(abs(est_jaccard - jaccard), 6) AS abs_err
+    FROM est
+"""
+)
+
+
+@query("dedup_minhash_estimate", oracle=_MINHASH_EST_ORACLE)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash approximation quality as a value-checked query (the
+    `embed_ann_recall` pattern for the lexical path): for every exact
+    near-dup pair, the signature-agreement estimate of Jaccard
+    (matching components / 96) next to the true Jaccard and the
+    absolute error. The oracle replays the full universal-hash
+    signature arithmetic, so the ESTIMATOR itself is checked, not just
+    the pair set. Signatures are materialized once and the tiny pair
+    set joins into them — at corpus scale a lookup, not a pass."""
+    from real_time_data_pipeline_spark.operators.similarity import MINHASH_NUM
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=None
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", n=3).localCheckpoint()
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y), lambda b: b
+        )
+    )
+    est = F.round(matches / float(MINHASH_NUM), 6)
+    return j.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        est.alias("est_jaccard"),
+        F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+    )

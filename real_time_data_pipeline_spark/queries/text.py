@@ -20,6 +20,7 @@ from real_time_data_pipeline_spark.operators.text import (
     token_count_bpe_ish,
     token_count_ws,
     word_shingles,
+    words,
 )
 from real_time_data_pipeline_spark.queries.registry import query
 from real_time_data_pipeline_spark.sources.tables import load_table
@@ -1010,3 +1011,61 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan = frame_sample_plan(meta, every_s=1.0)
     return plan.select("media_id", "sample_t_s", "frame_idx")
+
+
+_ENTROPY_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM wc GROUP BY 1
+    )
+    SELECT wc.doc_id, t.n_tokens, t.n_distinct,
+           round(0.0 - sum((c * 1.0 / t.n_tokens) * log2(c * 1.0 / t.n_tokens)), 6)
+             AS word_entropy,
+           round(t.n_distinct * 1.0 / t.n_tokens, 6) AS ttr
+    FROM wc JOIN tot t USING (doc_id)
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("text_word_entropy", oracle=_ENTROPY_ORACLE)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals: word-unigram Shannon entropy
+    and type-token ratio per doc — the standard cheap discriminators
+    between natural text and keyword stuffing / boilerplate loops.
+    Two aggregates sharing one doc-keyed exchange (the per-word counts
+    reshuffle once to doc_id; the window totals and the entropy fold
+    ride the same partitioning)."""
+    from real_time_data_pipeline_spark.operators.similarity import _fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        _fan_out(docs.where(F.length(F.trim("text")) > 0), "doc_id")
+        .select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = Window.partitionBy("doc_id")
+    n_tok = F.sum("c").over(per_doc)
+    n_dis = F.count(F.lit(1)).over(per_doc)
+    p = F.col("c") / F.col("n_tokens")
+    return (
+        wc.select(
+            "doc_id",
+            "c",
+            n_tok.cast("long").alias("n_tokens"),
+            n_dis.cast("long").alias("n_distinct"),
+        )
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(
+            F.round(F.lit(0.0) - F.sum(p * F.log2(p)), 6).alias("word_entropy"),
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("ttr"),
+        )
+    )
