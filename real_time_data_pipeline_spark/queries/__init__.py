@@ -65,6 +65,7 @@ _CHECK_FIRST = [
     "multimodal_frame_sample",
     "dedup_minhash_estimate",
     "text_word_entropy",
+    "join_salted_skew_agg",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

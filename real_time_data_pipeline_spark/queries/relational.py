@@ -1116,3 +1116,31 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice(vals, 1, 3), lambda x: x.cast("string")), ","
         ).alias("smallest3"),
     )
+
+
+@query(
+    "join_salted_skew_agg",
+    oracle="""
+    SELECT p.p_brand, count(*) AS n_items,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi join, value-checked: the salted join must be
+    RESULT-IDENTICAL to the plain join (salting only changes physical
+    distribution), proven here by aggregating brand revenue through
+    `salted_join` against the plain-join oracle. The salt spreads any
+    hot part key across 8 reducers; the right side replicates 8x, so
+    keep the smaller input on the right — the pattern for when AQE
+    skew splitting can't reach (stream-static joins, non-AQE stages)."""
+    from real_time_data_pipeline_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, "l_partkey", "p_partkey", salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money(F.sum(cents("l_extendedprice"))).alias("revenue"),
+    )

@@ -213,3 +213,22 @@ def test_kmeans_ivf_recall_not_worse_than_stride(sf_dir):
     km = REGISTRY["embed_ann_kmeans_recall"].fn(_spark, sf_dir).toPandas()
     st_ = REGISTRY["embed_ann_recall"].fn(_spark, sf_dir).toPandas()
     assert km.recall_at_5.mean() >= st_.recall_at_5.mean()
+
+
+def test_winnowing_guard_bounds_degenerate_corpora():
+    """Same adversarial corpora through the winnowing pair generator:
+    an identical-doc swarm makes every fingerprint bucket df=40, so
+    max_df=10 drops them all before the O(|bucket|^2) expansion —
+    while with the guard off the expansion is the full quadratic."""
+    from real_time_data_pipeline_spark.operators.similarity import winnowing_pairs
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    swarm = _spark.createDataFrame(
+        [(i, same) for i in range(40)], "doc_id long, text string"
+    )
+    assert winnowing_pairs(
+        swarm, "doc_id", "text", min_shared=1, max_df=10
+    ).count() == 0
+    assert winnowing_pairs(
+        swarm, "doc_id", "text", min_shared=1, max_df=None
+    ).count() == 780
