@@ -1100,3 +1100,80 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def cross_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ACROSS two corpora — one side per
+    pair, never within a side. The batch form of incremental dedup:
+    `left` is the arriving batch, `right` the accepted corpus, and a
+    left doc matching any right doc is a duplicate arrival.
+
+    Same inverted-index discipline as `jaccard_pairs`, with BOTH
+    sides' postings in one bucket build (side-tagged union, one
+    shuffle on the shingle): pair expansion is ids_a x ids_b inside a
+    bucket, `max_df` caps the COMBINED bucket size, and both sides'
+    per-doc shingle counts fall out of the same materialized buckets.
+    At 100 TB the accepted side dominates; the expansion stays bounded
+    because an arriving batch contributes few ids per bucket.
+
+    Output: (id_a from left, id_b from right, jaccard) rounded 6.
+    Callers must ensure the two id spaces are disjoint (or carry a
+    side prefix) — ids are compared only for output, never to split
+    sides.
+    """
+    la = shingle_postings(left, id_col, text_col, n).withColumn("__s", F.lit("a"))
+    rb = shingle_postings(right, id_col, text_col, n).withColumn("__s", F.lit("b"))
+    buckets = (
+        la.unionByName(rb)
+        .groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("__s") == "a", F.col(id_col)))
+            ).alias("ids_a"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__s") == "b", F.col(id_col)))
+            ).alias("ids_b"),
+        )
+    )
+    if max_df is not None:
+        buckets = buckets.where(F.size("ids_a") + F.size("ids_b") <= max_df)
+    buckets = buckets.localCheckpoint()
+    ca = (
+        buckets.select(F.explode("ids_a").alias("id_a"))
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    cb = (
+        buckets.select(F.explode("ids_b").alias("id_b"))
+        .groupBy("id_b")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids_a"),
+            lambda x: F.transform(
+                F.col("ids_b"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+            ),
+        )
+    )
+    inter = (
+        buckets.where((F.size("ids_a") >= 1) & (F.size("ids_b") >= 1))
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

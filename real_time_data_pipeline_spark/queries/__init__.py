@@ -66,6 +66,7 @@ _CHECK_FIRST = [
     "dedup_minhash_estimate",
     "text_word_entropy",
     "join_salted_skew_agg",
+    "dedup_incremental_batch",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

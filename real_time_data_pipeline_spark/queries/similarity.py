@@ -1111,3 +1111,129 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_jaccard"),
         F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
     )
+
+
+# Batch twin of the streaming incremental-dedup ingest: docs >= this id
+# are "arriving"; docs below it are the accepted corpus.
+INCR_CUTOFF = 400
+
+_INCR_ORACLE = f"""
+    WITH newd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= {INCR_CUTOFF}
+    ), old AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {INCR_CUTOFF}
+    ), ex AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM newd
+    ), n1 AS (
+      SELECT d.doc_id, d.text FROM newd d JOIN ex USING (doc_id) WHERE ex.rn = 1
+    ), s1_all AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                  FROM n1 WHERE length(trim(text)) > 0))
+      WHERE len(w) >= 3
+    ), keep1 AS (
+      SELECT s FROM s1_all GROUP BY s HAVING count(*) <= {JACCARD_MAX_DF}
+    ), s1 AS (
+      SELECT s1_all.doc_id, s1_all.s FROM s1_all JOIN keep1 USING (s)
+    ), c1 AS (
+      SELECT doc_id, count(*) AS n FROM s1 GROUP BY 1
+    ), p1 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM s1 a JOIN s1 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+    ), losers AS (
+      SELECT DISTINCT p.id_b AS doc_id
+      FROM p1 p JOIN c1 ca ON p.id_a = ca.doc_id JOIN c1 cb ON p.id_b = cb.doc_id
+      WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
+    ), n2 AS (
+      SELECT * FROM n1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ), n3 AS (
+      SELECT * FROM n2 WHERE md5(text) NOT IN (SELECT md5(text) FROM old)
+    ), sx_all AS (
+      SELECT 'a' AS sd, doc_id, s FROM (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                    FROM n3 WHERE length(trim(text)) > 0))
+        WHERE len(w) >= 3)
+      UNION ALL
+      SELECT 'b', doc_id, s FROM (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                    FROM old WHERE length(trim(text)) > 0))
+        WHERE len(w) >= 3)
+    ), keepx AS (
+      SELECT s FROM sx_all GROUP BY s HAVING count(*) <= {JACCARD_MAX_DF}
+    ), sx AS (
+      SELECT sx_all.sd, sx_all.doc_id, sx_all.s FROM sx_all JOIN keepx USING (s)
+    ), cxa AS (
+      SELECT doc_id, count(*) AS n FROM sx WHERE sd = 'a' GROUP BY 1
+    ), cxb AS (
+      SELECT doc_id, count(*) AS n FROM sx WHERE sd = 'b' GROUP BY 1
+    ), px AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sx a JOIN sx b ON a.s = b.s AND a.sd = 'a' AND b.sd = 'b'
+      GROUP BY 1, 2
+    ), dups AS (
+      SELECT DISTINCT p.id_a
+      FROM px p JOIN cxa ON p.id_a = cxa.doc_id JOIN cxb ON p.id_b = cxb.doc_id
+      WHERE p.inter * 1.0 / (cxa.n + cxb.n - p.inter) >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_id FROM n3 WHERE doc_id NOT IN (SELECT id_a FROM dups)
+"""
+
+
+@query("dedup_incremental_batch", oracle=_INCR_ORACLE)
+def q_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming incremental-dedup ingest
+    (streaming/dedup_ingest.py), value-checked end to end: an arriving
+    batch (doc_id >= cutoff) dedups within itself (exact keep-one +
+    near-dup losers), then against the accepted corpus (exact hash
+    layer, then cross-corpus Jaccard) — the accepted arrivals are the
+    docs the ingest sink would merge. The LSH-candidate + verify path
+    of the sink is equivalent to exact cross-Jaccard at these band
+    parameters, which is exactly what the oracle computes."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        cross_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.select("doc_id", "text").where(F.col("doc_id") >= INCR_CUTOFF)
+    old = docs.select("doc_id", "text").where(F.col("doc_id") < INCR_CUTOFF)
+
+    from pyspark.sql import Window
+
+    w_exact = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    n1 = (
+        new.withColumn("__rn", F.row_number().over(w_exact))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    losers = (
+        jaccard_pairs(
+            n1, "doc_id", "text", n=3,
+            threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF,
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    n2 = n1.join(losers, "doc_id", "left_anti")
+    old_hashes = old.select(F.md5("text").alias("__h")).distinct()
+    # Materialized: feeds both the cross-pair build and the final anti.
+    n3 = (
+        n2.withColumn("__h", F.md5("text"))
+        .join(old_hashes, "__h", "left_anti")
+        .drop("__h")
+        .localCheckpoint()
+    )
+    dup_arrivals = (
+        cross_jaccard_pairs(
+            n3, old, "doc_id", "text", n=3,
+            threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF,
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    return n3.join(dup_arrivals, "doc_id", "left_anti").select("doc_id")
