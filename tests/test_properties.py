@@ -232,3 +232,32 @@ def test_winnowing_guard_bounds_degenerate_corpora():
     assert winnowing_pairs(
         swarm, "doc_id", "text", min_shared=1, max_df=None
     ).count() == 780
+
+
+def test_cross_jaccard_equals_full_jaccard_across_cut(sf_dir):
+    """Splitting one corpus at an id cut, the cross-corpus pair set
+    must be exactly the full-corpus pair set restricted to pairs that
+    straddle the cut (uncapped, same threshold) — the batch-vs-corpus
+    operator cannot invent or lose pairs relative to the global one."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        cross_jaccard_pairs,
+        jaccard_pairs,
+    )
+    from real_time_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(_spark, sf_dir, "documents")
+    cut = 250
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(docs, "doc_id", "text", max_df=None).collect()
+        if (r.id_a < cut) <= (r.id_b >= cut) and (r.id_a >= cut) != (r.id_b >= cut)
+    }
+    new = docs.where(F.col("doc_id") >= cut)
+    old = docs.where(F.col("doc_id") < cut)
+    cross = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.jaccard)
+        for r in cross_jaccard_pairs(
+            new, old, "doc_id", "text", max_df=None
+        ).collect()
+    }
+    assert cross == full
