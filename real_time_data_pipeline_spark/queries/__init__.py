@@ -67,6 +67,7 @@ _CHECK_FIRST = [
     "text_word_entropy",
     "join_salted_skew_agg",
     "dedup_incremental_batch",
+    "data_shard_manifest",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

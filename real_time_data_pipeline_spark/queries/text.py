@@ -1069,3 +1069,42 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ttr"),
         )
     )
+
+
+N_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+    SELECT {sql_hash_bucket("doc_id", "shard", N_SHARDS)} AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+             AS sum_tokens,
+           bit_xor(doc_id) AS id_xor
+    FROM documents
+    GROUP BY 1
+"""
+
+
+@query("data_shard_manifest", oracle=_SHARD_ORACLE)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-output sharding manifest: every doc lands in a
+    deterministic md5 shard (same salt-namespaced bucket arithmetic as
+    the split/sample family — adding docs never moves existing ones),
+    summarized per shard with doc/char/token totals and a bit_xor
+    membership signature. The manifest a downstream loader checks
+    shards against; the assignment is pure column arithmetic, so the
+    only exchange is the final aggregation."""
+    from real_time_data_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard", hash_bucket(F.col("doc_id"), "shard", N_SHARDS))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(token_count_ws("text")).cast("long").alias("sum_tokens"),
+            F.bit_xor("doc_id").alias("id_xor"),
+        )
+    )
