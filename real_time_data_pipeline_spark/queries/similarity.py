@@ -1113,15 +1113,18 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Batch twin of the streaming incremental-dedup ingest: docs >= this id
-# are "arriving"; docs below it are the accepted corpus.
-INCR_CUTOFF = 400
+# Batch twin of the streaming incremental-dedup ingest: every doc with
+# id % 10 == 7 is "arriving"; the rest are the accepted corpus. A
+# modulo split keeps the batch ~10% of the corpus at EVERY scale
+# factor (a fixed id cutoff would invert the ratio as the corpus
+# grows).
+INCR_MOD, INCR_REM = 10, 7
 
 _INCR_ORACLE = f"""
     WITH newd AS (
-      SELECT doc_id, text FROM documents WHERE doc_id >= {INCR_CUTOFF}
+      SELECT doc_id, text FROM documents WHERE doc_id % {INCR_MOD} = {INCR_REM}
     ), old AS (
-      SELECT doc_id, text FROM documents WHERE doc_id < {INCR_CUTOFF}
+      SELECT doc_id, text FROM documents WHERE doc_id % {INCR_MOD} <> {INCR_REM}
     ), ex AS (
       SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
       FROM newd
@@ -1189,7 +1192,7 @@ _INCR_ORACLE = f"""
 def q_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming incremental-dedup ingest
     (streaming/dedup_ingest.py), value-checked end to end: an arriving
-    batch (doc_id >= cutoff) dedups within itself (exact keep-one +
+    batch (~10% of ids by modulo) dedups within itself (exact keep-one +
     near-dup losers), then against the accepted corpus (exact hash
     layer, then cross-corpus Jaccard) — the accepted arrivals are the
     docs the ingest sink would merge. The LSH-candidate + verify path
@@ -1200,8 +1203,8 @@ def q_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    new = docs.select("doc_id", "text").where(F.col("doc_id") >= INCR_CUTOFF)
-    old = docs.select("doc_id", "text").where(F.col("doc_id") < INCR_CUTOFF)
+    new = docs.select("doc_id", "text").where(F.col("doc_id") % INCR_MOD == INCR_REM)
+    old = docs.select("doc_id", "text").where(F.col("doc_id") % INCR_MOD != INCR_REM)
 
     from pyspark.sql import Window
 
