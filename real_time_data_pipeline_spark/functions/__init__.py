@@ -14,9 +14,11 @@ from real_time_data_pipeline_spark.operators.normalize import (
 from real_time_data_pipeline_spark.operators.sampling import hash_bucket, sql_hash_bucket
 from real_time_data_pipeline_spark.operators.similarity import (
     cosine,
+    dequantize_embedding,
     dot,
     hyperplane_lsh_bucket,
     norm,
+    quantize_embedding,
 )
 from real_time_data_pipeline_spark.operators.text import (
     hash32,
@@ -43,6 +45,8 @@ __all__ = [
     "dot",
     "norm",
     "hyperplane_lsh_bucket",
+    "quantize_embedding",
+    "dequantize_embedding",
     "hash_bucket",
     "sql_hash_bucket",
     "redact",
