@@ -745,9 +745,13 @@ def q_dup_sentence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplication per doc: the share of a doc's distinct
     normalized sentences that also appear in ANOTHER doc (or twice —
     df counts distinct docs, so df>=2 means cross-doc duplication).
-    The scalable proxy for suffix-array substring dedup: one shuffle
-    builds the sentence-hash buckets, per-doc ratios derive from the
-    SAME buckets via explode (no corpus-side join back)."""
+    The scalable proxy for suffix-array substring dedup: distinct
+    postings, a count per sentence hash, and a postings-to-counts join
+    — deliberately NOT the collect-ids-per-bucket shape the Jaccard
+    family uses, because a boilerplate sentence shared by millions of
+    docs would materialize a multi-million-element array in one row;
+    here the hottest hash is just a large join group, which AQE skew
+    handling splits."""
     from real_time_data_pipeline_spark.operators.similarity import _fan_out
 
     docs = load_table(spark, sf_dir, "documents")
@@ -756,11 +760,11 @@ def q_dup_sentence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id"), F.explode(F.split(F.col("text"), SENT_SPLIT)).alias("s"))
         .where(F.length(F.trim(F.col("s"))) >= SENT_MIN_CHARS)
         .select("doc_id", F.md5(F.lower(F.trim(F.col("s")))).alias("h"))
+        .distinct()
+        .localCheckpoint()  # feeds both the df count and the join back
     )
-    buckets = sents.groupBy("h").agg(F.collect_set("doc_id").alias("ids"))
-    per = buckets.select(
-        F.explode("ids").alias("doc_id"), F.size("ids").alias("df")
-    )
+    dfreq = sents.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per = sents.join(dfreq, "h").select("doc_id", "df")
     dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
     return per.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sents"),

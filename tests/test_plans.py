@@ -220,11 +220,13 @@ def test_semdedup_broadcast_only_to_centroids(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
-def test_dup_sentence_single_bucket_shuffle(spark, sf_dir):
-    """Per-doc ratios derive from the sentence-hash buckets themselves
-    (explode of collect_set) — no join back to the corpus."""
+def test_dup_sentence_join_not_bucket_arrays(spark, sf_dir):
+    """Per-doc ratios come from a postings-to-counts JOIN on the
+    sentence hash — never a collect-ids-per-bucket array, which a
+    boilerplate sentence shared by millions of docs would blow up."""
     plan = _plan(REGISTRY["text_dup_sentence_ratio"].fn(spark, sf_dir))
-    assert "Join" not in plan
+    assert "collect_set" not in plan and "collect_list" not in plan
+    assert "Join" in plan
 
 
 def test_mixture_weights_single_corpus_pass(spark, sf_dir):
