@@ -30,6 +30,14 @@ def main() -> None:
     spark = get_spark(app_name="rtdp-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Global warmup: absorb one-time JVM/codegen/scan initialization so
+    # it doesn't land on whichever query happens to run first (each
+    # query also gets its own untimed warm run below).
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").groupBy().count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         df = spec.fn(spark, SF_DIR)
