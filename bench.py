@@ -32,11 +32,14 @@ def main() -> None:
 
     # Global warmup: absorb one-time JVM/codegen/scan initialization so
     # it doesn't land on whichever query happens to run first (each
-    # query also gets its own untimed warm run below).
+    # query also gets its own untimed warm run below). load_table, not
+    # a bare read — events needs the nanos-timestamp conf it sets.
+    from real_time_data_pipeline_spark.sources.tables import load_table
+
     for t in ("lineitem", "documents", "embeddings", "events"):
-        spark.read.parquet(f"{SF_DIR}/{t}.parquet").groupBy().count().write.format(
-            "noop"
-        ).mode("overwrite").save()
+        load_table(spark, SF_DIR, t).groupBy().count().write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
