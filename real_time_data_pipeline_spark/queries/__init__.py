@@ -68,6 +68,7 @@ _CHECK_FIRST = [
     "join_salted_skew_agg",
     "dedup_incremental_batch",
     "data_shard_manifest",
+    "text_unigram_surprisal",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

@@ -1112,3 +1112,57 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("doc_id").alias("id_xor"),
         )
     )
+
+
+_SURPRISAL_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+    ), freq AS (
+      SELECT word, CAST(sum(c) AS BIGINT) AS f FROM wc GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(f) AS BIGINT) AS t FROM freq
+    )
+    SELECT wc.doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(sum(c * (0.0 - log2(f * 1.0 / t))) / sum(c), 6) AS avg_surprisal
+    FROM wc JOIN freq USING (word), tot
+    GROUP BY 1
+"""
+
+
+@query("text_unigram_surprisal", oracle=_SURPRISAL_ORACLE)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering, CCNet-style, with the corpus
+    itself as the model: train a unigram LM (global word frequencies)
+    and score every doc by its average per-token surprisal
+    -log2 p(word). Outlier docs (gibberish: high; boilerplate loops:
+    low) are what perplexity filtering removes before training.
+    One token pass materialized once feeds both the model build and
+    the scoring join; the corpus-total is a 1-row broadcast."""
+    from real_time_data_pipeline_spark.operators.similarity import _fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        _fan_out(docs.where(F.length(F.trim("text")) > 0), "doc_id")
+        .select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # feeds the LM build AND the scoring join
+    )
+    freq = wc.groupBy("word").agg(F.sum("c").cast("long").alias("f"))
+    tot = freq.agg(F.sum("f").cast("long").alias("t"))
+    surprisal = F.lit(0.0) - F.log2(F.col("f") / F.col("t"))
+    return (
+        wc.join(freq, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * surprisal) / F.sum("c"), 6).alias(
+                "avg_surprisal"
+            ),
+        )
+    )
