@@ -162,3 +162,60 @@ def test_ingest_streaming_sink(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     # doc 5 is an exact dup of accepted doc 1 (arrived a batch later)
     assert got == {1, 2, 6}
+
+
+def test_ingest_agrees_with_batch_twin_logic(spark, tmp_path):
+    """The streaming ingest and the oracle-checked batch twin
+    (dedup_incremental_batch's layering) must accept the SAME docs
+    when fed the same accepted corpus + arriving batch, with all four
+    layers active: within-batch exact, within-batch near-dup,
+    cross-corpus exact, cross-corpus near-dup."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        cross_jaccard_pairs,
+        jaccard_pairs,
+    )
+    from pyspark.sql import Window
+
+    old_rows = [
+        (1, BASE),
+        (2, "completely different text about spark dataframes and shuffle plans here"),
+        (3, "a third accepted document with its own entirely separate subject matter"),
+    ]
+    new_rows = [
+        (11, BASE),                                  # cross exact dup of 1
+        (12, BASE.replace("lazy", "sleepy")),        # cross near-dup of 1
+        (13, "novel fresh content present in no accepted document whatsoever right now"),
+        (14, "novel fresh content present in no accepted document whatsoever right now"),
+        (15, "novel fresh content present in no accepted document whatsoever right here"),
+    ]  # 14: within-batch exact dup of 13; 15: within-batch near-dup of 13
+
+    # --- streaming path: seed the store with old, then ingest new ----
+    corpus = str(tmp_path / "corpus3")
+    store = str(tmp_path / "store3")
+    assert ingest_batch(_docs(spark, old_rows), "doc_id", "text", corpus, store) == 3
+    ingest_batch(_docs(spark, new_rows), "doc_id", "text", corpus, store)
+    streamed = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+
+    # --- batch-twin layering (dedup_incremental_batch's plan) --------
+    new, old = _docs(spark, new_rows), _docs(spark, old_rows)
+    w_exact = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    n1 = (
+        new.withColumn("__rn", F.row_number().over(w_exact))
+        .where(F.col("__rn") == 1).drop("__rn")
+    )
+    losers = jaccard_pairs(n1, "doc_id", "text").select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    n2 = n1.join(losers, "doc_id", "left_anti")
+    n3 = (
+        n2.withColumn("__h", F.md5("text"))
+        .join(old.select(F.md5("text").alias("__h")).distinct(), "__h", "left_anti")
+        .drop("__h")
+    )
+    dups = cross_jaccard_pairs(n3, old, "doc_id", "text").select(
+        F.col("id_a").alias("doc_id")
+    ).distinct()
+    twin_accepted = {r.doc_id for r in n3.join(dups, "doc_id", "left_anti").collect()}
+
+    assert streamed == {1, 2, 3} | twin_accepted
+    assert twin_accepted == {13}
