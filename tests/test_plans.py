@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.plans import (
     executed_plan as _plan,
-    formatted_plan as _formatted,
     pushed_filters,
     read_schema_columns,
 )
