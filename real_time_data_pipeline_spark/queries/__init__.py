@@ -69,6 +69,7 @@ _CHECK_FIRST = [
     "dedup_incremental_batch",
     "data_shard_manifest",
     "text_unigram_surprisal",
+    "text_ngram_novelty",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

@@ -1166,3 +1166,52 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_NOVELTY_ORACLE = """
+    WITH grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents WHERE length(trim(text)) > 0))
+      WHERE len(w) >= 3
+    ), firsts AS (
+      SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first_id = grams.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN first_id = grams.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novelty
+    FROM grams JOIN firsts USING (g)
+    GROUP BY 1
+"""
+
+
+@query("text_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty under arrival order: the share of a doc's
+    distinct 3-grams that no LOWER-id doc contains — the curation
+    curve that shows marginal new content decaying as a corpus grows
+    (novelty 1.0 = all fresh; near 0 = the doc restates the corpus).
+    Same scale shape as the sentence-dup query: distinct postings, a
+    min-id owner per gram, and a postings-to-owners join — no
+    per-bucket id arrays anywhere."""
+    from real_time_data_pipeline_spark.operators.similarity import shingle_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_postings(docs, "doc_id", "text", 3).withColumnRenamed(
+        "shingle", "g"
+    ).localCheckpoint()  # feeds the owner build AND the join back
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    novel = F.sum(F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )
