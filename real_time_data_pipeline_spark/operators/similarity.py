@@ -1001,7 +1001,9 @@ def winnowing_postings(
     pre-repartition side, where it re-evaluates the split per element
     on a single task.) Docs shorter than ``w`` grams contribute their
     global-min hash (the single truncated window), so every doc with
-    >= ``k`` words gets at least one fingerprint.
+    >= ``k`` words gets at least one fingerprint. Per-doc windowing
+    means one task per doc: cap or chunk pathological multi-million-
+    word docs upstream, as the quality gates already do.
 
     Output: (id, fp) — MAY repeat a fingerprint chosen by several
     windows; `winnowing_fingerprints` is the distinct view, and
