@@ -833,6 +833,7 @@ def ivf_topk(
     centroid_stride: int = 29,
     nprobe: int = 3,
     centroids: DataFrame | None = None,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
@@ -861,7 +862,14 @@ def ivf_topk(
     if centroids is None:
         centroids = stride_centroids(corpus, id_col, vec_col, centroid_stride)
     cents = centroids.withColumn("nc", norm(F.col("cvec")))
-    assign = assign_to_centroids(corpus, id_col, vec_col, centroids)
+    # A caller sweeping nprobe (or issuing many query batches) passes
+    # the materialized assignment once — the index build is the
+    # expensive corpus pass; probing is the cheap part.
+    assign = (
+        assignment
+        if assignment is not None
+        else assign_to_centroids(corpus, id_col, vec_col, centroids)
+    )
 
     # Queries are small → a row_number window over their probe scores
     # is cheap and keeps the top-nprobe lists per query.

@@ -70,6 +70,7 @@ _CHECK_FIRST = [
     "data_shard_manifest",
     "text_unigram_surprisal",
     "text_ngram_novelty",
+    "embed_ann_probe_sweep",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time

@@ -1240,3 +1240,112 @@ def q_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return n3.join(dup_arrivals, "doc_id", "left_anti").select("doc_id")
+
+
+_SWEEP_ORACLE = (
+    _kmeans_oracle()
+    + """
+    , fassign AS (
+      SELECT nid, v, cent_id FROM (
+        SELECT q.nid, q.v, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.nid
+                 ORDER BY list_cosine_similarity(q.v, c.cvec) DESC, c.cent_id
+               ) AS rk
+        FROM qrows q, cents2 c
+      ) WHERE rk = 1
+    ), probes AS (
+      SELECT nid AS query_id, v AS qvec, cent_id, rk FROM (
+        SELECT q.nid, q.v, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.nid
+                 ORDER BY list_cosine_similarity(q.v, c.cvec) DESC, c.cent_id
+               ) AS rk
+        FROM qrows q, cents2 c WHERE q.nid < 10
+      ) WHERE rk <= 4
+    ), brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                          DESC, c.vec_id
+               ) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rk <= 5
+    ), sweep AS (
+      SELECT unnest([1, 2, 4]) AS nprobe
+    ), cand AS (
+      SELECT s.nprobe, p.query_id, a.nid AS neighbor_id,
+             list_cosine_similarity(p.qvec, a.v) AS cos
+      FROM sweep s
+      JOIN probes p ON p.rk <= s.nprobe
+      JOIN fassign a ON a.cent_id = p.cent_id AND a.nid <> p.query_id
+    ), ivf AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY nprobe, query_id ORDER BY cos DESC, neighbor_id
+               ) AS rk
+        FROM cand
+      ) WHERE rk <= 5
+    )
+    SELECT s.nprobe,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(count(*) AS BIGINT) AS n_total,
+           round(count(i.neighbor_id) * 1.0 / count(*), 6) AS recall_at_5
+    FROM sweep s CROSS JOIN brute b
+    LEFT JOIN ivf i ON i.nprobe = s.nprobe AND i.query_id = b.query_id
+                   AND i.neighbor_id = b.neighbor_id
+    GROUP BY 1
+"""
+)
+
+
+@query("embed_ann_probe_sweep", oracle=_SWEEP_ORACLE)
+def q_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/cost curve of the trained IVF index: overall
+    recall@5 at nprobe = 1, 2, 4 against the exact brute-force answer
+    — the number an operator reads to pick the probe budget at 100 TB
+    (more probed lists = more candidates scanned = higher recall).
+    Training and the corpus assignment are materialized ONCE and
+    shared by all sweep points; each extra nprobe costs only a wider
+    probe of the same inverted lists."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    cents = kmeans_centroids(emb, "vec_id", "embedding", stride=29, iters=2)
+    assign = assign_to_centroids(emb, "vec_id", "embedding", cents).localCheckpoint()
+    brute = (
+        ann_brute_topk(queries_df, emb, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    out = None
+    for np_ in (1, 2, 4):
+        ivf = ivf_topk(
+            queries_df, emb, "vec_id", "embedding",
+            k=5, nprobe=np_, centroids=cents, assignment=assign,
+        ).select(F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n"))
+        joined = brute.join(
+            ivf,
+            (F.col("query_id") == F.col("__q"))
+            & (F.col("neighbor_id") == F.col("__n")),
+            "left",
+        )
+        row = joined.agg(
+            F.count("__n").alias("n_hit"), F.count(F.lit(1)).alias("n_total")
+        ).select(
+            F.lit(np_).cast("int").alias("nprobe"),
+            "n_hit",
+            "n_total",
+            F.round(F.col("n_hit") / F.col("n_total"), 6).alias("recall_at_5"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
