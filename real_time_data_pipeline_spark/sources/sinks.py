@@ -96,3 +96,33 @@ def drop_partitions_older_than(spark, path: str, partition_col: str, keep_days: 
             shutil.rmtree(os.path.join(path, entry))
             dropped.append(value)
     return dropped
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table hash-BUCKETED (and optionally sorted) on the
+    join key — the storage layout that makes repeated big-table joins
+    and aggregations on that key SHUFFLE-FREE.
+
+    At 100 TB this is the difference between re-shuffling two fact
+    tables on every join and reading them pre-co-located: two tables
+    bucketed the same way join with zero Exchange (verified by plan
+    test), and a groupBy on the bucket key skips its exchange too.
+    Size ``n_buckets`` so each bucket file stays executor-memory-sized
+    at the target scale; bucket pruning also narrows equality probes.
+    Requires a catalog-managed table (`saveAsTable`) — bucketing
+    metadata lives in the metastore, not in plain parquet paths.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

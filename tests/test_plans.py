@@ -235,3 +235,36 @@ def test_mixture_weights_single_corpus_pass(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     (cols,) = read_schema_columns(plan_df := REGISTRY["corpus_mixture_weights"].fn(spark, sf_dir))
     assert "doc_id" not in cols  # only lang/source/text read
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT any Exchange —
+    the co-located-join layout the storage layer exists to provide.
+    The same join on plain (unbucketed) reads must show exchanges,
+    proving the bucketing (not the data size) removed them."""
+    from real_time_data_pipeline_spark.sources.sinks import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        write_bucketed(orders, "orders_b", ["o_orderkey"], 8)
+        write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8)
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        bucketed = ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"]).groupBy(
+            "o_orderstatus"
+        ).count()
+        plain = orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        ).groupBy("o_orderstatus").count()
+        bplan, pplan = _plan(bucketed), _plan(plain)
+        # the join itself reads both sides pre-partitioned: no exchange
+        # below the join; the only exchange is the final tiny groupBy
+        assert bplan.count("Exchange hashpartitioning") == 1
+        assert pplan.count("Exchange hashpartitioning") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
