@@ -117,9 +117,17 @@ def write_bucketed(
     at the target scale; bucket pruning also narrows equality probes.
     Requires a catalog-managed table (`saveAsTable`) — bucketing
     metadata lives in the metastore, not in plain parquet paths.
+
+    The pre-write repartition on the bucket key yields exactly ONE
+    file per bucket (without it every write task emits a file per
+    bucket it touches — n_tasks × n_buckets small files). Note Spark
+    still re-sorts sorted buckets at read unless
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` is enabled;
+    the exchange elision — the expensive part — needs no conf.
     """
     w = (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, *bucket_cols)
     )
