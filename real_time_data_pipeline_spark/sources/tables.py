@@ -41,11 +41,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Normalizes two environment quirks so every caller (including the
     driver's own SparkSession) sees clean types:
 
-    - ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
-      default (PARQUET_TYPE_ILLEGAL). We read it via the
-      ``nanosAsLong`` legacy conf and floor-divide to microseconds —
-      bit-identical to DuckDB's nanos→micros truncation, so oracle
-      comparisons stay exact.
+    - ``events.ts`` arrives in whichever physical type the generator
+      used that round — TIMESTAMP(NANOS) (Spark rejects by default;
+      read via the ``nanosAsLong`` legacy conf then floor-divide to
+      micros, bit-identical to DuckDB's nanos→micros truncation),
+      TIMESTAMP_NTZ (micros, no tz annotation), or plain TIMESTAMP.
+      All three normalize to session-TZ TIMESTAMP; with the session
+      pinned to UTC the wall-clock values equal DuckDB's naive
+      timestamps, so oracle comparisons stay exact.
     - session timezone pinned to UTC for deterministic event-time
       semantics regardless of host TZ.
     """
@@ -61,11 +64,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
     if name == "events":
+        # Harmless when the file holds real timestamps; required when
+        # it holds TIMESTAMP(NANOS) (read as raw nano longs instead of
+        # erroring with PARQUET_TYPE_ILLEGAL).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanosAsLong path: nano epoch longs -> micros timestamp.
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            # NTZ -> session-TZ timestamp; session is UTC so the
+            # wall-clock values are unchanged.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
