@@ -35,42 +35,66 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # first; the rest follow in module order, so previously-confirmed
 # families cycle back through the window on later rounds.
 _CHECK_FIRST = [
-    # never externally checked (registered past the window in r1+r2)
+    # erred in r4: the testdata's events.ts physical type changed
+    # between the r3 and r4 gates and the loader assumed the old
+    # layout (fixed in sources/tables.py — loader is now
+    # schema-adaptive). Re-confirm all seven first.
+    "pipeline_silver_normalize",
+    "pipeline_dedup_latest",
+    "pipeline_gold_15m",
+    "pipeline_gold_hourly_sliding",
+    "pipeline_dq_checks",
+    "pipeline_session_windows",
     "agg_approx_count_distinct",
-    "agg_percentiles_by_segment",
-    "tpch_q8_market_share",
-    "tpch_q12_priority_class_counts",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_sole_late_supplier",
-    "tpch_q22_dormant_customers",
-    # results changed this round: SimHash widened 32 -> 60 bits
-    "dedup_simhash_signatures",
-    "dedup_simhash_band_pairs",
-    # new this round: k-means-trained IVF + its recall measurement
-    "embed_ann_ivf_kmeans_topk",
-    "embed_ann_kmeans_recall",
-    # new this round: SemDeDup prune, leakage-safe split, composition
-    "embed_semdedup_prune",
-    "data_leakage_safe_split",
-    "corpus_composition",
-    # new this round: winnowing, sentence-span dedup, mixture weights
-    "text_winnowing_fingerprints",
-    "dedup_winnowing_pairs",
-    "text_dup_sentence_ratio",
-    "corpus_mixture_weights",
-    "corpus_training_ready",
-    "multimodal_frame_sample",
-    "dedup_minhash_estimate",
-    "text_word_entropy",
-    "join_salted_skew_agg",
-    "dedup_incremental_batch",
-    "data_shard_manifest",
-    "text_unigram_surprisal",
-    "text_ngram_novelty",
-    "embed_ann_probe_sweep",
+    # events-reading queries whose last external green predates the
+    # testdata regeneration — re-confirm on the current files.
+    "funnel_conversion",
+    "event_sessionization_stats",
+    "event_type_transitions",
+    "window_frame_specs",
+    "json_map_extraction",
+    "json_corrupt_tolerance",
+    "pivot_user_event_avgs",
+    "array_functions_user_values",
+    "window_lag_lead_running",
+    "distinct_counts",
+    # remaining queries whose last green is r1 (oldest coverage),
+    # document/relational families — data may also have been
+    # regenerated, so cycle them back through the window.
+    "text_token_counts",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_top_ngrams",
+    "multimodal_binary_stats",
+    "data_hash_split",
+    "doc_chunking",
+    "text_redact_pii",
+    "multimodal_feature_extract",
+    "contamination_check",
+    "text_repetition_ratio",
+    "sequence_packing_plan",
+    "corpus_quality_filter",
+    "data_stratified_sample",
+    "corpus_decontaminated",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "join_broadcast_enrich",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_outer_order_counts",
+    "join_range_ship_within_30d",
+    "join_asof_purchase_last_click",
+    "set_ops_customer_segments",
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "window_topk_orders_per_segment",
+    "orderby_limit_top50",
+    "agg_stats_by_returnflag",
+    "subquery_above_avg_balance",
+    "case_balance_buckets",
 ]
 _missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
 if _missing:  # fail at import, not at gate time
