@@ -46,6 +46,26 @@ _CHECK_FIRST = [
     "pipeline_dq_checks",
     "pipeline_session_windows",
     "agg_approx_count_distinct",
+    # new this round, never externally checked: retrieval ranking,
+    # robust outliers, cohort retention, kNN labeling, profiling,
+    # fuzzy linkage, corpus diagnostics
+    "text_tfidf_top_terms",
+    "text_bm25_ranking",
+    "text_zipf_slope",
+    "text_langid_confusion",
+    "corpus_cross_source_dup",
+    "event_outlier_zscore",
+    "event_outlier_mad",
+    "event_retention_cohorts",
+    "embed_knn_label_vote",
+    "embed_label_centroid_separation",
+    "agg_quantile_accuracy",
+    "data_profile_events",
+    "join_fuzzy_blocked_names",
+    "text_countmin_heavy_hitters",
+    "contamination_bloom_prefilter",
+    "data_partition_zonemap",
+    "event_dau_mau_stickiness",
     # events-reading queries whose last external green predates the
     # testdata regeneration — re-confirm on the current files.
     "funnel_conversion",

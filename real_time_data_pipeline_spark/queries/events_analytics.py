@@ -324,3 +324,194 @@ def q_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("v")).alias("n_corrupt"),
         F.sum("v").cast("long").alias("sum_v"),
     )
+
+
+_OUTLIER_ORACLE = """
+    WITH s AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE s.sigma > 0
+      AND abs(round((e.value - s.mu) / s.sigma, 4)) > 2.5
+"""
+
+
+@query("event_outlier_zscore", oracle=_OUTLIER_ORACLE)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flagging — the cheap statistical
+    DQ screen that runs before any model-based anomaly detection.
+
+    Scale shape: the per-type stats are a tiny aggregate (cardinality
+    = distinct event types) broadcast back onto the events scan, so
+    the corpus is read once with no wide shuffle. The z threshold is
+    applied to the ROUNDED score on both engines so float summation
+    order can never flip a boundary row between them.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.col("sigma") > 0)
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )
+
+
+_RETENTION_ORACLE = """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+               AS week_offset
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM act
+    GROUP BY 1, 2
+"""
+
+
+@query("event_retention_cohorts", oracle=_RETENTION_ORACLE)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-seen
+    week, counted in every later week they return — the engagement
+    triangle every growth dashboard draws.
+
+    Scale shape: one user-keyed aggregate for cohort assignment, a
+    user-keyed join back (same partitioning, AQE reuses the exchange),
+    a distinct on (user, cohort, offset) that shrinks to
+    users × active-weeks, then a tiny final rollup. Week arithmetic is
+    pure integer day-diff of Monday-truncated timestamps — identical
+    on both engines, no timezone arithmetic in the hot path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_MAD_ORACLE = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round(abs(e.value - m.med) / (1.4826 * d.mad), 4) AS robust_z
+    FROM events e
+      JOIN med m USING (event_type)
+      JOIN mad d USING (event_type)
+    WHERE d.mad > 0
+      AND round(abs(e.value - m.med) / (1.4826 * d.mad), 4) > 3.5
+"""
+
+
+@query("event_outlier_mad", oracle=_MAD_ORACLE)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via median absolute deviation: the screen that
+    survives what breaks the z-score — a few extreme values inflate a
+    mean/stddev until they mask themselves, while the median/MAD pair
+    is immune to 50% contamination.
+
+    Scale shape: two tiny per-type aggregates (exact medians — the
+    percentile_approx twin is the monitoring-cadence variant), each
+    broadcast back onto the one events scan. The threshold applies to
+    the ROUNDED score so float noise can't flip a boundary row
+    between engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    )
+    rz = F.round(F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4)
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .where(rz > 3.5)
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+    )
+
+
+_STICKINESS_ORACLE = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ), monthly AS (
+      SELECT date_trunc('month', ts) AS m, count(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(d.d, '%Y-%m-%d') AS day,
+           d.dau, mo.mau,
+           round(d.dau * 1.0 / mo.mau, 6) AS stickiness
+    FROM daily d JOIN monthly mo ON date_trunc('month', d.d) = mo.m
+"""
+
+
+@query("event_dau_mau_stickiness", oracle=_STICKINESS_ORACLE)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: daily active users over the active
+    users of the containing month — the engagement ratio product
+    dashboards track, and the distinct-count-at-two-granularities
+    pattern (the same user_id shuffle serves both aggregates).
+
+    Scale shape: two distinct aggregates (day- and month-keyed) and a
+    broadcast join of the tiny month table back onto the day table —
+    no per-event join anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    monthly = ev.groupBy(F.date_trunc("month", "ts").alias("m")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    return (
+        daily.join(
+            F.broadcast(monthly), F.date_trunc("month", F.col("d")) == F.col("m")
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )

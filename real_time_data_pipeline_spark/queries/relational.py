@@ -1144,3 +1144,200 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         money(F.sum(cents("l_extendedprice"))).alias("revenue"),
     )
+
+
+@query(
+    "agg_quantile_accuracy",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           round(quantile_cont(value, 0.9), 6) AS p90_exact,
+           round(quantile_cont(value, 0.99), 6) AS p99_exact,
+           TRUE AS approx_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (KLL-style sketch) vs the exact interpolated
+    percentile — the 100 TB quantile tool graded the same way as
+    `agg_approx_count_distinct`: the exact values hash-match, and the
+    sketch's accuracy is itself a checked boolean stated in RANK space
+    (each approximate percentile must land between the exact p−0.02
+    and p+0.02 percentiles — the sketch guarantees rank error, so a
+    value-space bound would be data-dependent; the sketch is
+    deterministic for a fixed input, so the boolean is stable and the
+    oracle pins it TRUE).
+
+    At scale only the sketch runs: constant memory per group and a
+    mergeable partial per partition, where the exact form must shuffle
+    and sort every value in the group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pcts = [0.5, 0.9, 0.99]
+    exact = [F.percentile("value", p) for p in pcts]
+    approx = [F.percentile_approx("value", p, 10000) for p in pcts]
+    within = None
+    for p, a in zip(pcts, approx):
+        lo = F.percentile("value", max(p - 0.02, 0.0))
+        hi = F.percentile("value", min(p + 0.02, 1.0))
+        cond = (a >= lo) & (a <= hi)
+        within = cond if within is None else (within & cond)
+    return ev.groupBy("event_type").agg(
+        F.round(exact[0], 6).alias("p50_exact"),
+        F.round(exact[1], 6).alias("p90_exact"),
+        F.round(exact[2], 6).alias("p99_exact"),
+        within.alias("approx_within_bound"),
+    )
+
+
+_PROFILE_ORACLE = """
+    SELECT 'event_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(event_id) AS n_null,
+           count(DISTINCT event_id) AS n_distinct,
+           round(min(event_id), 6) AS min_num, round(max(event_id), 6) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id),
+           round(min(user_id), 6), round(max(user_id), 6), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value),
+           round(min(value), 6), round(max(value), 6), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type),
+           NULL, NULL, min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'props', count(*), count(*) - count(props),
+           count(DISTINCT props),
+           NULL, NULL, min(props), max(props)
+    FROM events
+"""
+
+
+@query("data_profile_events", oracle=_PROFILE_ORACLE)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass dataset profile: null count, exact distinct count,
+    and min/max per column, emitted long-format (one row per column) —
+    the first query anyone runs against an unfamiliar 100 TB table and
+    the backbone of schema-drift monitoring between ingest rounds.
+
+    Scale shape: ONE aggregate over one scan computes every metric
+    (the oracle's UNION ALL of per-column scans is the naive
+    per-column form this query exists to avoid); the wide 1-row result
+    is then unpivoted driver-free with a stack() projection. Exact
+    distinct counts make it a heavy shuffle by design — the
+    approx_count_distinct twin is the monitoring-cadence variant.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    num_cols = ["event_id", "user_id", "value"]
+    str_cols = ["event_type", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min_num"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max_num"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__min_str"), F.max(c).alias(f"{c}__max_str")]
+    wide = ev.agg(*aggs)
+    stack_rows = []
+    for c in num_cols:
+        stack_rows.append(
+            f"'{c}', {c}__null, {c}__distinct, {c}__min_num, {c}__max_num, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in str_cols:
+        stack_rows.append(
+            f"'{c}', {c}__null, {c}__distinct, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), {c}__min_str, {c}__max_str"
+        )
+    stack = (
+        f"stack({len(stack_rows)}, " + ", ".join(stack_rows)
+        + ") AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return wide.select(F.col("n_rows"), F.expr(stack)).select(
+        "col_name", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+@query(
+    "join_fuzzy_blocked_names",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey, c.c_name, s.s_name,
+           levenshtein(c.c_name, s.s_name) AS dist
+    FROM customer c
+    JOIN supplier s ON c.c_custkey % 100 = s.s_suppkey % 100
+    WHERE levenshtein(c.c_name, s.s_name) <= 7
+    """,
+)
+def q_fuzzy_blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): candidate pairs from a
+    cheap equality BLOCK (here key-suffix buckets; phonetic codes or
+    sorted-neighborhood prefixes in production), then the expensive
+    edit-distance predicate only inside blocks — the standard way to
+    keep record linkage off the all-pairs cliff at 100 TB.
+
+    Scale shape: one equi-shuffle on the block key (never a cartesian
+    — the planner sees a hash join), Levenshtein evaluated JVM-side in
+    codegen on block-local pairs only. Skewed blocks fall under AQE's
+    skew-join splitting like any other hot key.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = cust.join(
+        supp, cust["c_custkey"] % 100 == supp["s_suppkey"] % 100
+    )
+    dist = F.levenshtein(F.col("c_name"), F.col("s_name"))
+    return pairs.where(dist <= 7).select(
+        "c_custkey", "s_suppkey", "c_name", "s_name", dist.alias("dist")
+    )
+
+
+@query(
+    "data_partition_zonemap",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS part_date,
+           count(*) AS n_rows,
+           min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+           round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_partition_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition zone-map manifest: per day-partition row counts and
+    column min/max bounds — what an Iceberg/Delta manifest stores so
+    a point or range predicate prunes partitions without opening a
+    single file. Running it as a query makes the pruning metadata
+    itself auditable (stale bounds = broken pruning).
+
+    Scale shape: one scan, one aggregate keyed by the partition value
+    (day cardinality, not data volume); distinct user counts are the
+    only wide part and swap to approx_count_distinct at monitoring
+    cadence.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("part_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -1349,3 +1349,124 @@ def q_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "embed_knn_label_vote",
+    oracle="""
+    WITH nn AS (
+      SELECT query_id, label FROM (
+        SELECT q.vec_id AS query_id, c.label,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                            q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id
+               ) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+        WHERE q.vec_id < 10
+      ) WHERE rk <= 10
+    ), votes AS (
+      SELECT query_id, label, count(*) AS n_votes FROM nn GROUP BY 1, 2
+    ), best AS (
+      SELECT query_id, label AS pred_label, n_votes FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT b.query_id, q.label AS true_label, b.pred_label, b.n_votes
+    FROM best b JOIN embeddings q ON q.vec_id = b.query_id
+    """,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation: classify held-out query vectors by
+    majority label of their 10 nearest corpus neighbors (ties break to
+    the smaller label id) — the workhorse for semi-supervised labeling
+    of an embedded corpus (quality tiers, topic tags, safety flags).
+
+    Scale shape: rides `ann_brute_topk`'s broadcast-queries pattern —
+    the corpus is scanned once and never shuffled; the vote rollup and
+    argmax act on k × |queries| rows, which is driver-trivial at any
+    corpus size. Swapping the brute scorer for the IVF path turns this
+    into sub-linear classification with the same vote logic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    from pyspark.sql import Window
+
+    nn = ann_brute_topk(queries_df, corpus, "vec_id", "embedding", k=10)
+    votes = (
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "label")
+        .join(F.broadcast(nn), "neighbor_id")  # nn is k × |queries| — tiny
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    vw = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    best = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    truth = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return best.join(F.broadcast(truth), "query_id").select(
+        "query_id", "true_label", "pred_label", "n_votes"
+    )
+
+
+_CENTROID_SEP_ORACLE = """
+    WITH dims AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, round(avg(v), 6) AS c
+      FROM dims GROUP BY 1, 2
+    ), vecs AS (
+      SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_cosine_similarity(a.cv, b.cv), 4) AS centroid_cos
+    FROM vecs a JOIN vecs b ON a.label < b.label
+"""
+
+
+@query("embed_label_centroid_separation", oracle=_CENTROID_SEP_ORACLE)
+def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid cosine matrix: how separable the labeled
+    embedding clusters are — the cheap first answer to "is this
+    embedding space good enough to route/filter on?" before anyone
+    trains a probe. Near-1 off-diagonal cosines flag label pairs the
+    space cannot distinguish.
+
+    Scale shape: one posexplode pass over the corpus into a
+    (label, dim) aggregate — |labels| × dim rows, thousands at most —
+    then centroid assembly and the |labels|² pairwise matrix are
+    driver-trivial. Per-dimension means round to 6dp on both engines
+    BEFORE the cosine so summation order can never leak into the
+    hash. The corpus itself is scanned once and never shuffled by
+    more than the tiny dim-keyed aggregate.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    cent = dims.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("c"))
+    vecs = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    a = vecs.select(F.col("label").alias("label_a"), F.col("cv").alias("va"))
+    b = vecs.select(F.col("label").alias("label_b"), F.col("cv").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", F.round(cos, 4).alias("centroid_cos"))
+    )

@@ -1215,3 +1215,566 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+_TFIDF_ORACLE = """
+    WITH w AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT source, word, count(*) AS tf FROM w GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY 1
+    ), nsrc AS (
+      SELECT count(DISTINCT source) AS n FROM tf
+    ), scored AS (
+      SELECT tf.source, tf.word, tf.tf,
+             round(tf.tf * ln(nsrc.n * 1.0 / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (word) CROSS JOIN nsrc
+    )
+    SELECT source, word, tf, tfidf, rk
+    FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY tfidf DESC, word, source) AS rk
+      FROM scored
+    )
+    WHERE rk <= 50
+"""
+
+
+@query("text_tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide TF-IDF hot list treating each SOURCE as one giant
+    pseudo-document — the curation view that surfaces which terms
+    characterize a slice of the corpus rather than the whole mix.
+
+    Scale shape: one (source, word) shuffle for tf, a word-keyed agg
+    for df (vocabulary-sized, zipf-bounded — orders of magnitude
+    smaller than the corpus), the source count as a 1-row broadcast,
+    and a global top-50. The word join broadcasts when the vocab is
+    small and degrades to a hash join on the word key when it is not;
+    neither path touches raw text twice.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import _fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        _fan_out(docs.where(F.length(F.trim("text")) > 0), "doc_id")
+        .select("source", F.explode(words("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # feeds df-agg, n-src agg, and the score join
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    nsrc = tf.agg(F.count_distinct("source").alias("n"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.orderBy(F.desc("tfidf"), "word", "source")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select("source", "word", "tf", "tfidf", "rk")
+    )
+
+
+# BM25 retrieval constants (Robertson/Sparck-Jones defaults) and a
+# fixed query-term set drawn from the synthetic corpus vocabulary.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("spark", "join", "window")
+
+_BM25_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents WHERE length(trim(text)) > 0
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl * 1.0) AS avgdl FROM d
+    ), w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM w
+      WHERE word IN {BM25_QUERY_TERMS!r}
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({BM25_K1} + 1)
+                 / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / stats.avgdl))
+             ) AS raw
+      FROM tf
+      JOIN dfreq USING (word)
+      JOIN d USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, round(raw, 6) AS bm25, rk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= 20
+"""
+
+
+@query("text_bm25_ranking", oracle=_BM25_ORACLE)
+def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed query-term set — the lexical
+    retrieval baseline every RAG/data-curation stack keeps next to its
+    embedding index.
+
+    Scale shape: term filter BEFORE the tf aggregation (postings exist
+    only for query terms, so the shuffle carries |q| × matching docs,
+    not the corpus vocabulary), df and corpus stats are tiny broadcast
+    aggregates, and the final top-20 is a global window over docs that
+    matched at least one term.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import _fan_out
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    d = docs.select("doc_id", token_count_ws("text").alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        _fan_out(docs, "doc_id")
+        .select("doc_id", F.explode(words("text")).alias("word"))
+        .where(F.col("word").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # feeds both df-agg and the score join
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("doc_id", "bm25", "rk")
+    )
+
+
+_ZIPF_ORACLE = """
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), freq AS (
+      SELECT word, count(*) AS c FROM w GROUP BY 1
+    ), ranked AS (
+      SELECT word, c,
+             row_number() OVER (ORDER BY c DESC, word) AS rnk
+      FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(c * 1.0), ln(rnk * 1.0)), 4) AS zipf_slope,
+           round(regr_r2(ln(c * 1.0), ln(rnk * 1.0)), 4) AS zipf_r2
+    FROM ranked
+"""
+
+
+@query("text_zipf_slope", oracle=_ZIPF_ORACLE)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: the
+    log-log regression slope (natural text ≈ −1) and its R² — a
+    one-row corpus-health indicator that flags synthetic or
+    boilerplate-heavy corpora whose term distribution goes flat or
+    cliff-shaped.
+
+    Scale shape: one word-keyed aggregate (vocabulary-sized output),
+    a global rank window over the vocab — zipf-bounded, orders of
+    magnitude smaller than the corpus — and a single-row regression
+    aggregate. The raw corpus is scanned exactly once.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import _fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        _fan_out(docs.where(F.length(F.trim("text")) > 0), "doc_id")
+        .select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "word"))
+    )
+    ln_c = F.log(F.col("c").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c").alias("n_tokens"),
+        F.round(F.regr_slope(ln_c, ln_r), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_c, ln_r), 4).alias("zipf_r2"),
+    )
+
+
+_CONFUSION_ORACLE = (
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+    """
+    + ",\n".join(f"         CAST({_sql_hits(lg)} AS BIGINT) AS hits_{lg}" for lg in _LANGS)
+    + f"""
+      FROM documents
+    ), best AS (
+      SELECT *, greatest({", ".join("hits_" + lg for lg in _LANGS)}) AS mx FROM scored
+    ), pred AS (
+      SELECT lang AS lang_declared,
+        CASE
+    """
+    + "\n".join(f"    WHEN mx > 0 AND hits_{lg} = mx THEN '{lg}'" for lg in _LANGS)
+    + """
+          ELSE 'und' END AS lang_pred
+      FROM best
+    )
+    SELECT lang_declared, lang_pred, count(*) AS n_docs,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang_declared), 6)
+             AS share_of_declared
+    FROM pred
+    GROUP BY 1, 2
+"""
+)
+
+
+@query("text_langid_confusion", oracle=_CONFUSION_ORACLE)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared vs detected language
+    with per-declared-language shares — the accuracy dashboard for the
+    stopword classifier, and the template for evaluating ANY cheap
+    heuristic against a labeled column at corpus scale.
+
+    Scale shape: the detection is pure codegen column arithmetic on
+    the single corpus scan; the matrix is a tiny two-key aggregate
+    (|langs|² rows) plus a window over it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_declared"), lang_id("text").alias("lang_pred")
+    )
+    counts = pred.groupBy("lang_declared", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_declared = Window.partitionBy("lang_declared")
+    return counts.select(
+        "lang_declared",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(per_declared), 6
+        ).alias("share_of_declared"),
+    )
+
+
+def _cross_source_oracle() -> str:
+    # Near-dup pairs reuse the EXACT oracle of dedup_ngram_jaccard_pairs
+    # as a nested CTE, so the matrix can never drift from the pair
+    # definition it aggregates.
+    from real_time_data_pipeline_spark.queries.similarity import (
+        _CAPPED_JACCARD_ORACLE,
+    )
+
+    return f"""
+    WITH p AS ({_CAPPED_JACCARD_ORACLE}),
+    labeled AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             (da.source <> db.source) AS cross_source
+      FROM p
+        JOIN documents da ON p.id_a = da.doc_id
+        JOIN documents db ON p.id_b = db.doc_id
+    )
+    SELECT source_a, source_b, cross_source, count(*) AS n_dup_pairs
+    FROM labeled GROUP BY 1, 2, 3
+    """
+
+
+@query("corpus_cross_source_dup", oracle=_cross_source_oracle())
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: near-duplicate pairs (3-gram
+    Jaccard, same capped inverted-index definition as
+    `dedup_ngram_jaccard_pairs`) rolled up by ORDERED source pair with
+    a cross-source flag — the curation view that shows which feeds are
+    re-crawls or mirrors of each other (within-source dups are handled
+    by keep-one; cross-source dups decide which SOURCE to drop or
+    down-weight).
+
+    Scale shape: inherits the capped-bucket pair generator (no
+    all-pairs join); the source lookup joins the pair list — tiny
+    relative to the corpus — back to the documents table on doc_id,
+    and the final matrix is at most |sources|² rows.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import jaccard_pairs
+    from real_time_data_pipeline_spark.queries.similarity import (
+        JACCARD_MAX_DF,
+        JACCARD_THRESHOLD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "sa"}), "id_a")
+        .join(src.withColumnsRenamed({"doc_id": "id_b", "source": "sb"}), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("sa") != F.col("sb")).alias("cross_source"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b", "cross_source").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+
+
+# Count-Min sketch geometry: depth 3 salted hash rows, width 256
+# buckets. Small by design so the sketch error is visible in the
+# output; production widens w to ~1/epsilon.
+CM_SALTS = ("cm0", "cm1", "cm2")
+CM_WIDTH = 256
+CM_TOPK = 10
+
+
+def _cm_bucket_sql(salt: str) -> str:
+    return f"CAST(('0x' || substr(md5('{salt}' || word), 1, 8)) AS BIGINT) % {CM_WIDTH}"
+
+
+_CM_ORACLE = (
+    """
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), exact AS (
+      SELECT word, count(*) AS c FROM w GROUP BY 1
+    ), rows_ AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS salt_id, {_cm_bucket_sql(s)} AS bucket, count(*) AS bc "
+        f"FROM w GROUP BY 2"
+        for i, s in enumerate(CM_SALTS)
+    )
+    + f"""
+    ), topk AS (
+      SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rk
+      FROM exact QUALIFY rk <= {CM_TOPK}
+    )
+    SELECT t.word, t.c AS exact_count,
+           CAST(min(r.bc) AS BIGINT) AS cm_estimate, t.rk
+    FROM topk t
+    JOIN rows_ r ON r.bucket = CASE r.salt_id
+    """
+    + "".join(
+        f" WHEN {i} THEN {_cm_bucket_sql(s).replace('word', 't.word')}"
+        for i, s in enumerate(CM_SALTS)
+    )
+    + """
+      END
+    GROUP BY 1, 2, 4
+"""
+)
+
+
+@query("text_countmin_heavy_hitters", oracle=_CM_ORACLE)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: the exact top-10 words next to
+    their sketch estimate (min over 3 salted hash rows of 256
+    buckets) — the constant-memory frequency structure a streaming
+    pipeline keeps when the vocabulary itself is too big to hold. The
+    sketch never undercounts (estimate ≥ exact, by construction, and
+    the driver hash-checks the estimates value-for-value).
+
+    Scale shape: the sketch build is depth × one bucket-keyed
+    aggregate of at most `width` rows each — constant output size
+    regardless of corpus size — and the top-k probe joins those
+    constant-size rows. The corpus is scanned once into word counts;
+    nothing else scales with input.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import _fan_out
+    from real_time_data_pipeline_spark.operators.text import hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        _fan_out(docs.where(F.length(F.trim("text")) > 0), "doc_id")
+        .select(F.explode(words("text")).alias("word"))
+        .localCheckpoint()  # feeds exact counts AND all sketch rows
+    )
+
+    def bucket(word_col, salt: str):
+        return (hash32(F.concat(F.lit(salt), word_col)) % CM_WIDTH).alias("bucket")
+
+    sketch = None
+    for i, s in enumerate(CM_SALTS):
+        row = (
+            w.select(F.lit(i).alias("salt_id"), bucket(F.col("word"), s))
+            .groupBy("salt_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("bc"))
+        )
+        sketch = row if sketch is None else sketch.unionAll(row)
+    exact = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    topk = (
+        exact.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("c"), "word"))
+        )
+        .where(F.col("rk") <= CM_TOPK)
+    )
+    probe = None
+    for i, s in enumerate(CM_SALTS):
+        p = topk.select(
+            "word", F.col("c"), "rk", F.lit(i).alias("salt_id"),
+            bucket(F.col("word"), s),
+        )
+        probe = p if probe is None else probe.unionAll(p)
+    return (
+        probe.join(F.broadcast(sketch), ["salt_id", "bucket"])
+        .groupBy("word", F.col("c").alias("exact_count"), "rk")
+        .agg(F.min("bc").cast("long").alias("cm_estimate"))
+        .select("word", "exact_count", "cm_estimate", "rk")
+    )
+
+
+# Bloom geometry: 3 salted hash functions into 2^14 bit positions.
+BLOOM_SALTS = ("b0", "b1", "b2")
+BLOOM_BITS = 16384
+
+
+def _bloom_pos_sql(salt: str, expr: str = "g") -> str:
+    return f"CAST(('0x' || substr(md5('{salt}' || {expr}), 1, 8)) AS BIGINT) % {BLOOM_BITS}"
+
+
+_BLOOM_ORACLE = (
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 3, 1))) AS i
+            FROM words)
+      WHERE len(w) >= 5
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id < 20
+    ), cand AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id >= 20
+    ), bits AS (
+    """
+    + " UNION ".join(f"SELECT DISTINCT {_bloom_pos_sql(s)} AS pos FROM bench" for s in BLOOM_SALTS)
+    + """
+    ), hits AS (
+      SELECT c.g,
+    """
+    + " AND ".join(
+        f"EXISTS (SELECT 1 FROM bits WHERE pos = {_bloom_pos_sql(s, 'c.g')})"
+        for s in BLOOM_SALTS
+    )
+    + """
+             AS bloom_maybe,
+           EXISTS (SELECT 1 FROM bench b WHERE b.g = c.g) AS true_hit
+      FROM cand c
+    )
+    SELECT count(*) AS n_candidate_grams,
+           CAST(sum(CASE WHEN bloom_maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_maybe,
+           CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+           CAST(sum(CASE WHEN bloom_maybe AND NOT true_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives,
+           CAST(sum(CASE WHEN true_hit AND NOT bloom_maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_negatives
+    FROM hits
+"""
+)
+
+
+@query("contamination_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter, measured against exact
+    membership: benchmark 5-grams (docs < 20) populate a 16 Ki-bit /
+    3-hash Bloom; candidate corpus grams test against it. The one-row
+    summary pins candidate volume, Bloom pass-throughs, true hits,
+    false positives — and a false-negative count the oracle proves is
+    structurally ZERO (a Bloom filter never misses a real member).
+
+    The 100 TB shape this models: the bit array (2 KiB here, a few
+    hundred MB in production) broadcasts to every executor, filters
+    the full corpus scan down to the tiny maybe-set, and only THAT
+    set pays the exact verification join — same prefilter-then-verify
+    architecture as the LSH families. Positions are deterministic
+    salted md5, so both engines build bit-identical filters.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import _fan_out
+    from real_time_data_pipeline_spark.operators.text import hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        _fan_out(docs.where(F.length(F.trim("text")) > 0), "doc_id")
+        .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+        .distinct()
+        .localCheckpoint()  # feeds bench set, candidate set, exact join
+    )
+    bench = grams.where(F.col("doc_id") < 20).select("g").distinct()
+    cand = grams.where(F.col("doc_id") >= 20).select("g").distinct()
+
+    def pos(col, salt: str):
+        return (hash32(F.concat(F.lit(salt), col)) % BLOOM_BITS)
+
+    bits = None
+    for s in BLOOM_SALTS:
+        b = bench.select(pos(F.col("g"), s).alias("pos")).distinct()
+        bits = b if bits is None else bits.unionAll(b).distinct()
+    flagged = cand
+    for i, s in enumerate(BLOOM_SALTS):
+        hit = bits.select(F.col("pos").alias(f"p{i}"))
+        flagged = (
+            flagged.withColumn(f"p{i}", pos(F.col("g"), s))
+            .join(F.broadcast(hit), f"p{i}", "left_semi")
+        )
+    # left-semi chain keeps only all-bits-set grams = the maybe set
+    maybe = flagged.select("g").withColumn("bloom_maybe", F.lit(True))
+    truth = bench.select("g").withColumn("true_hit", F.lit(True))
+    hits = (
+        cand.join(F.broadcast(maybe), "g", "left")
+        .join(F.broadcast(truth), "g", "left")
+        .select(
+            F.coalesce("bloom_maybe", F.lit(False)).alias("bloom_maybe"),
+            F.coalesce("true_hit", F.lit(False)).alias("true_hit"),
+        )
+    )
+    t, f_ = F.col("bloom_maybe"), F.col("true_hit")
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_candidate_grams"),
+        F.sum(t.cast("long")).alias("n_bloom_maybe"),
+        F.sum(f_.cast("long")).alias("n_true_hits"),
+        F.sum((t & ~f_).cast("long")).alias("n_false_positives"),
+        F.sum((f_ & ~t).cast("long")).alias("n_false_negatives"),
+    )

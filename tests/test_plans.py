@@ -268,3 +268,46 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_outlier_stats_broadcast_back(spark, sf_dir):
+    """Per-type stats (tiny agg) broadcast onto the events scan — the
+    corpus is read once and never sort-merge-joined."""
+    plan = _plan(REGISTRY["event_outlier_zscore"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_is_single_pass(spark, sf_dir):
+    """The long-format profile computes every column's metrics from
+    ONE scan (the oracle's UNION-of-scans shape is what it avoids)."""
+    plan = _plan(REGISTRY["data_profile_events"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_fuzzy_join_is_equi_not_cartesian(spark, sf_dir):
+    """Blocking turns record linkage into a plain equi-join: the
+    planner must see a hash join on the block key, never a cartesian,
+    and the scans read only the key+name columns."""
+    df = REGISTRY["join_fuzzy_blocked_names"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for cols in read_schema_columns(df):
+        assert all(c in {"c_custkey", "c_name", "s_suppkey", "s_name"} for c in cols)
+
+
+def test_knn_vote_corpus_never_shuffled(spark, sf_dir):
+    """The label join broadcasts the k x |queries| neighbor list onto
+    the corpus — no sort-merge join of the big side."""
+    plan = _plan(REGISTRY["embed_knn_label_vote"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_postings_filtered_before_aggregation(spark, sf_dir):
+    """The query-term filter must run before the tf aggregation so the
+    shuffle carries only matching postings, and scoring stays in
+    codegen (no Python fallback)."""
+    plan = _plan(REGISTRY["text_bm25_ranking"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final tf agg
