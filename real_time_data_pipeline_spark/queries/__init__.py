@@ -66,6 +66,10 @@ _CHECK_FIRST = [
     "contamination_bloom_prefilter",
     "data_partition_zonemap",
     "event_dau_mau_stickiness",
+    "event_time_gapfill",
+    "join_market_basket_pairs",
+    "agg_rfm_segmentation",
+    "pipeline_scd2_history",
     # events-reading queries whose last external green predates the
     # testdata regeneration — re-confirm on the current files.
     "funnel_conversion",

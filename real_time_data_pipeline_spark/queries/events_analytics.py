@@ -515,3 +515,63 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+_GAPFILL_ORACLE = """
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), counts AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
+           (c.n IS NULL) AS gap_filled
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = s.day
+"""
+
+
+@query("event_time_gapfill", oracle=_GAPFILL_ORACLE)
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: daily event counts per type on a DENSE date
+    spine — days with no events appear as explicit zeros, flagged.
+    Every downstream time-series op (moving averages, anomaly
+    baselines, forecasting feeds) silently mis-computes over implicit
+    gaps; this is the operator that makes absence visible.
+
+    Scale shape: the spine is generated from a 1-row bounds aggregate
+    (sequence + explode — never a driver loop), crossed with the tiny
+    distinct-type table, and left-joined to day-keyed counts. All
+    three inputs to the final join are calendar-sized, not
+    event-sized; the raw events are touched once by the count
+    aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(counts), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+    )

@@ -301,3 +301,61 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value": F.round(F.avg("value"), 6),
         },
     ).select("user_id", "window_start", "window_end", "n_events", "avg_value")
+
+
+_SCD2_ORACLE = """
+    WITH attr AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ), changes AS (
+      SELECT * FROM (
+        SELECT user_id, ts, event_id, k,
+               lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+        FROM attr
+      ) WHERE prev_k IS NULL OR k <> prev_k
+    )
+    SELECT user_id, k, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM changes
+"""
+
+
+@query("pipeline_scd2_history", oracle=_SCD2_ORACLE)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change stream: collapse the
+    per-user attribute timeline (props.k) into validity intervals —
+    one row per value EPISODE with [valid_from, valid_to) bounds and
+    a current flag. The ETL pattern behind every as-of-correct
+    dimension table; `join_asof_purchase_last_click` is its read-side
+    twin.
+
+    Scale shape: one user_id shuffle serves both window passes (the
+    change-detection lag and the interval-closing lead run on the
+    same partitioning, the second over the far smaller change set).
+    No self-join — the interval close is a lead(), which is the whole
+    point of the pattern at scale.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    attr = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        attr.withColumn("prev_k", F.lag("k").over(w))
+        .where(F.col("prev_k").isNull() | (F.col("k") != F.col("prev_k")))
+    )
+    return changes.select(
+        "user_id",
+        "k",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -1341,3 +1341,135 @@ def q_partition_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("max_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "join_market_basket_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(DISTINCT a.l_orderkey) AS n_orders
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), total AS (
+      SELECT count(DISTINCT l_orderkey) AS n FROM lineitem
+    )
+    SELECT part_a, part_b, n_orders,
+           round(n_orders * 1.0 / total.n, 6) AS support, rk
+    FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY n_orders DESC, part_a, part_b) AS rk
+      FROM pairs
+    ) CROSS JOIN total
+    WHERE rk <= 20
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in the
+    same order, with support — the association-rule input (and the
+    same-key self-join pattern behind co-citation, co-view, and
+    co-click analyses).
+
+    Scale shape: the self-join key is the ORDER, so pair expansion is
+    quadratic only in lines-per-order (single digits) — never in the
+    table. The (order, part) set is DISTINCTed once before the join
+    (a part repeated within an order would otherwise both widen the
+    pair fan-out and force a count_distinct in the pair aggregate —
+    after the distinct, a plain count gives the same order counts);
+    the materialized distinct feeds both join sides, and the pair
+    aggregate and global top-20 act on the far smaller pair space.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()  # one distinct serves both self-join sides
+    )
+    a = li.withColumnsRenamed({"l_partkey": "part_a"})
+    b = li.withColumnsRenamed({"l_partkey": "part_b"})
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = li.agg(F.count_distinct("l_orderkey").alias("n"))
+    w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("n"), 6).alias("support"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT custkey,
+             ntile(4) OVER (ORDER BY recency_days, custkey) AS r_quartile,
+             ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_quartile,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_quartile,
+             monetary_cents
+      FROM rfm
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           count(*) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) / 100.0 AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quartiles (deterministic ntile with custkey tie-break) rolled up
+    to segment counts — the classic value-segmentation matrix, and
+    the multi-window-over-one-aggregate pattern.
+
+    Scale shape: one customer-keyed aggregate of orders, then three
+    global ntile windows over the CUSTOMER-sized result (not the
+    order table). Monetary stays in exact integer cents until the
+    final division so the hash can never flap.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    max_date = orders.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents("o_totalprice")).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .withColumn("recency_days", F.datediff("maxd", "last_order"))
+    )
+    scored = rfm.select(
+        "custkey",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "custkey")).alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "custkey"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), "custkey"))
+        .alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("monetary_cents") / F.lit(100.0)).alias("total_monetary"),
+    )

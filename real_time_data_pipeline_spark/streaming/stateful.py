@@ -71,3 +71,77 @@ def running_totals(
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("stage", LongType(), True),  # 0=none .. 3=purchased
+    ]
+)
+
+# (stage, stage_ts_us): furthest ORDERED stage reached and the event
+# time (epoch micros) of the event that reached it — needed so a later
+# micro-batch can only advance on events strictly after it.
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType(), True),
+        StructField("stage_ts", LongType(), True),
+    ]
+)
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming ordered-funnel progression: per-user furthest stage.
+
+    The streaming twin of the batch `funnel_conversion` query
+    (queries/events_analytics.py): a user advances to stage k+1 only
+    on a stage-(k+1) event with a STRICTLY LATER event time than the
+    event that reached stage k. State per user is just (stage,
+    stage_ts) — two longs, bounded regardless of event volume, the
+    shape that survives 100 TB/day streams. Events inside one batch
+    are replayed in event-time order, so batch boundaries don't change
+    the result (verified against the batch query in
+    tests/test_streaming.py).
+
+    Emits the user's current stage each micro-batch that touches the
+    user (update mode); the gold snapshot is a foreachBatch upsert
+    keyed on user_id.
+    """
+    stage_of = {s: i + 1 for i, s in enumerate(FUNNEL_STAGES)}
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        stage, stage_ts = state.get if state.exists else (0, -1)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows[type_col].isin(FUNNEL_STAGES)]
+        if len(rows):
+            ts_us = rows[ts_col].astype("int64")  # datetime64[us] -> micros
+            order = ts_us.sort_values(kind="mergesort").index
+            for i in order:
+                ev_stage = stage_of[rows[type_col][i]]
+                ev_ts = int(ts_us[i])
+                if ev_stage == stage + 1 and ev_ts > stage_ts:
+                    stage, stage_ts = ev_stage, ev_ts
+            state.update((int(stage), int(stage_ts)))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    grouped = df.groupBy(df[user_col])
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

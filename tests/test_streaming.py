@@ -537,3 +537,31 @@ def test_foreach_batch_upsert_stream_end_to_end(spark, tmp_path, replay_dir):
         for r in spark.read.parquet(path).collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_matches_batch_query(spark, replay_dir):
+    """The stateful streaming funnel (applyInPandasWithState, bounded
+    two-long state per user) converges to exactly the batch
+    `funnel_conversion` numbers when the same rows replay as
+    micro-batches."""
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.streaming.stateful import funnel_stages
+
+    d, schema = replay_dir
+    stream = file_stream(spark, d, schema, fmt="parquet", max_files_per_trigger=1)
+    staged = funnel_stages(stream)
+    _run_stream_to_memory(staged, "funnel_state", "update")
+    # stage is monotone per user, so the furthest emitted row is the
+    # final state regardless of emission interleaving
+    final = (
+        spark.table("funnel_state").groupBy("user_id").agg(F.max("stage").alias("stage"))
+    )
+    got = final.agg(
+        F.sum((F.col("stage") >= 1).cast("long")).alias("n_viewed"),
+        F.sum((F.col("stage") >= 2).cast("long")).alias("n_clicked_after_view"),
+        F.sum((F.col("stage") >= 3).cast("long")).alias("n_purchased_after_click"),
+    ).collect()[0]
+    want = REGISTRY["funnel_conversion"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert got["n_viewed"] == want["n_viewed"]
+    assert got["n_clicked_after_view"] == want["n_clicked_after_view"]
+    assert got["n_purchased_after_click"] == want["n_purchased_after_click"]
