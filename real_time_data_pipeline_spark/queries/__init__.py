@@ -29,103 +29,59 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # external correctness gate value-checks a 50-query PREFIX of this
 # registry per round, while the local pytest parity suite checks ALL
 # queries every run. To get every query externally checked across
-# rounds — not to hide any from checking — the prefix ROTATES:
-# queries that have never had an external check, plus queries whose
-# results changed this round (new, or semantics widened), register
-# first; the rest follow in module order, so previously-confirmed
-# families cycle back through the window on later rounds.
-_CHECK_FIRST = [
-    # erred in r4: the testdata's events.ts physical type changed
-    # between the r3 and r4 gates and the loader assumed the old
-    # layout (fixed in sources/tables.py — loader is now
-    # schema-adaptive). Re-confirm all seven first.
-    "pipeline_silver_normalize",
-    "pipeline_dedup_latest",
-    "pipeline_gold_15m",
-    "pipeline_gold_hourly_sliding",
-    "pipeline_dq_checks",
-    "pipeline_session_windows",
-    "agg_approx_count_distinct",
-    # new this round, never externally checked: retrieval ranking,
-    # robust outliers, cohort retention, kNN labeling, profiling,
-    # fuzzy linkage, corpus diagnostics
-    "text_tfidf_top_terms",
-    "text_bm25_ranking",
-    "text_zipf_slope",
-    "text_langid_confusion",
-    "corpus_cross_source_dup",
-    "event_outlier_zscore",
-    "event_outlier_mad",
-    "event_retention_cohorts",
-    "embed_knn_label_vote",
-    "embed_label_centroid_separation",
-    "agg_quantile_accuracy",
-    "data_profile_events",
-    "join_fuzzy_blocked_names",
-    "text_countmin_heavy_hitters",
-    "contamination_bloom_prefilter",
-    "data_partition_zonemap",
-    "event_dau_mau_stickiness",
-    "event_time_gapfill",
-    "join_market_basket_pairs",
-    "agg_rfm_segmentation",
-    "pipeline_scd2_history",
-    # events-reading queries whose last external green predates the
-    # testdata regeneration — re-confirm on the current files.
-    "funnel_conversion",
-    "event_sessionization_stats",
-    "event_type_transitions",
-    "window_frame_specs",
-    "json_map_extraction",
-    "json_corrupt_tolerance",
-    "pivot_user_event_avgs",
-    "array_functions_user_values",
-    "window_lag_lead_running",
-    "distinct_counts",
-    # remaining queries whose last green is r1 (oldest coverage),
-    # document/relational families — data may also have been
-    # regenerated, so cycle them back through the window.
-    "text_token_counts",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_top_ngrams",
-    "multimodal_binary_stats",
-    "data_hash_split",
-    "doc_chunking",
-    "text_redact_pii",
-    "multimodal_feature_extract",
-    "contamination_check",
-    "text_repetition_ratio",
-    "sequence_packing_plan",
-    "corpus_quality_filter",
-    "data_stratified_sample",
-    "corpus_decontaminated",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "join_broadcast_enrich",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_outer_order_counts",
-    "join_range_ship_within_30d",
-    "join_asof_purchase_last_click",
-    "set_ops_customer_segments",
-    "agg_rollup_region_nation",
-    "agg_cube_status_priority",
-    "agg_grouping_sets",
-    "window_topk_orders_per_segment",
-    "orderby_limit_top50",
-    "agg_stats_by_returnflag",
-    "subquery_above_avg_balance",
-    "case_balance_buckets",
-]
-_missing = [n for n in _CHECK_FIRST if n not in REGISTRY]
-if _missing:  # fail at import, not at gate time
-    raise RuntimeError(f"_CHECK_FIRST names unknown queries: {_missing}")
-_reordered = {n: REGISTRY[n] for n in _CHECK_FIRST}
-_reordered.update({n: s for n, s in REGISTRY.items() if n not in _reordered})
-REGISTRY.clear()
-REGISTRY.update(_reordered)
+# rounds — not to hide any from checking — the prefix ROTATES, and the
+# rotation is COMPUTED from the recorded gate results themselves
+# (CORRECTNESS_r*.json at the repo root): queries that errored in the
+# most recent round first, then queries with no green row in any round
+# (new ones), then everything else oldest-green-first. Ties keep
+# module registration order. If the history files are unreadable the
+# registry keeps plain module order — the fallback hides nothing, it
+# only rotates less cleverly.
+
+
+def _rotation_rank() -> "dict[str, tuple]":
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    rounds = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    last_green: dict[str, int] = {}
+    latest_err: set[str] = set()
+    for i, path in enumerate(rounds, 1):
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if (
+                row.get("hash_match")
+                and row.get("rows_match")
+                and row.get("schema_match")
+            ):
+                last_green[name] = i
+        if path == rounds[-1]:
+            latest_err = {n for n, row in data.items() if row.get("err")}
+    order = {n: i for i, n in enumerate(REGISTRY)}
+
+    def rank(name: str) -> tuple:
+        if name in latest_err:
+            tier = -1  # broke at the last gate: re-confirm first
+        elif name not in last_green:
+            tier = 0  # never externally green (new query)
+        else:
+            tier = last_green[name]  # stale-first among the green
+        return (tier, order[name])
+
+    return {n: rank(n) for n in REGISTRY}
+
+
+try:
+    _ranks = _rotation_rank()
+    _reordered = {
+        n: REGISTRY[n] for n in sorted(REGISTRY, key=lambda n: _ranks[n])
+    }
+    REGISTRY.clear()
+    REGISTRY.update(_reordered)
+except Exception:  # pragma: no cover — missing/corrupt history files
+    pass
 
 __all__ = ["REGISTRY", "QuerySpec", "query", "queries", "oracle_sql"]
