@@ -28,7 +28,7 @@ from real_time_data_pipeline_spark.operators.similarity import (
     minhash_signatures,
     simhash_signature,
 )
-from real_time_data_pipeline_spark.operators.text import word_shingles
+from real_time_data_pipeline_spark.operators.text import token_count_ws, word_shingles
 from real_time_data_pipeline_spark.queries.registry import query
 from real_time_data_pipeline_spark.sources.tables import load_table
 
@@ -1469,4 +1469,111 @@ def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", F.round(cos, 4).alias("centroid_cos"))
+    )
+
+
+# Exact-substring dedup geometry: 8-word grams, hot-gram df cap, and
+# the minimum number of shared distinct grams that counts as overlap.
+SUBSTR_N = 8
+SUBSTR_MAX_DF = 50
+SUBSTR_MIN_SHARED = 2
+
+_SUBSTR_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+{SUBSTR_N - 1}], ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - {SUBSTR_N - 2}, 1))) AS i
+            FROM words)
+      WHERE len(w) >= {SUBSTR_N}
+    ), keep AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) <= {SUBSTR_MAX_DF}
+    ), capped AS (
+      SELECT grams.doc_id, grams.g FROM grams JOIN keep USING (g)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared_grams
+    FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {SUBSTR_MIN_SHARED}
+"""
+
+
+@query("dedup_exact_substring_pairs", oracle=_SUBSTR_ORACLE)
+def q_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact long-substring overlap pairs: documents sharing ≥2
+    distinct 8-word grams — the substring-level dedup signal
+    (boilerplate headers, quoted passages, templated spans) that
+    document-level Jaccard underweights and MinHash can miss
+    entirely. The operator deduplicating-training-data pipelines run
+    alongside near-dup: overlap ≥ a long exact span ⇒ candidate for
+    span-level cutting, not whole-doc dropping.
+
+    Scale shape: same inverted-index discipline as the Jaccard
+    family — distinct postings (in-row dedup before the explode), a
+    df cap on hot grams (the OOM guard for templated corpora), and
+    pair counts aggregated from gram-bucket joins. Nothing is
+    quadratic in the corpus; the per-gram fan-out is bounded by the
+    cap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from real_time_data_pipeline_spark.operators.similarity import shingle_postings
+
+    grams = shingle_postings(docs, "doc_id", "text", SUBSTR_N).withColumnRenamed(
+        "shingle", "g"
+    )
+    keep = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= SUBSTR_MAX_DF
+    )
+    capped = grams.join(keep.select("g"), "g").localCheckpoint()
+    a = capped.withColumnRenamed("doc_id", "id_a")
+    b = capped.withColumnRenamed("doc_id", "id_b")
+    return (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= SUBSTR_MIN_SHARED)
+    )
+
+
+_LABEL_PROFILE_ORACLE = """
+    SELECT e.label,
+           count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           round(avg(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(d.text), '\\s+')) END), 6)
+             AS avg_tokens,
+           count(DISTINCT d.source) AS n_sources
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    GROUP BY 1
+"""
+
+
+@query("embed_doc_label_profile", oracle=_LABEL_PROFILE_ORACLE)
+def q_doc_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality profile: the embedding table's cluster labels
+    joined back to the raw documents they embed (vec_id = doc_id),
+    aggregated per label — the check that an embedding-space
+    clustering actually corresponds to meaningful text strata
+    (degenerate labels show up as uniform token stats across labels).
+
+    Scale shape: an id-equi-join between the two tables (both sides
+    hash-partition on the shared key — co-located if the lake buckets
+    both by id, one shuffle otherwise) into a |labels|-sized
+    aggregate. No vectors move: the join projects only the label and
+    the text-stat columns.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    joined = emb.join(docs, "doc_id")
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg(token_count_ws("text")), 6).alias("avg_tokens"),
+        F.count_distinct("source").alias("n_sources"),
     )

@@ -311,3 +311,20 @@ def test_bm25_postings_filtered_before_aggregation(spark, sf_dir):
     plan = _plan(REGISTRY["text_bm25_ranking"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final tf agg
+
+
+def test_gapfill_joins_calendar_sized_tables(spark, sf_dir):
+    """The spine/type/count join inputs are calendar-sized, so both
+    joins must broadcast — a shuffle join here would mean the dense
+    spine was built event-sized."""
+    plan = _plan(REGISTRY["event_time_gapfill"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+
+
+def test_rfm_windows_run_over_customer_aggregate(spark, sf_dir):
+    """The three ntile windows must sit ABOVE the customer-keyed
+    aggregate (window input is customer-sized, not order-sized): the
+    aggregate's exchange appears below every Window node."""
+    df = REGISTRY["agg_rfm_segmentation"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.index("HashAggregate") < plan.index("Window")
