@@ -575,3 +575,91 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("gap_filled"),
         )
     )
+
+
+_SESSION_PATHS_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sessions GROUP BY 1, 2
+    )
+    SELECT path, n_sessions, rk FROM (
+      SELECT path, count(*) AS n_sessions,
+             row_number() OVER (ORDER BY count(*) DESC, path) AS rk
+      FROM paths GROUP BY 1
+    ) WHERE rk <= 15
+"""
+
+
+@query("event_session_paths", oracle=_SESSION_PATHS_ORACLE)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the 15 most common event-type paths through
+    a 30-minute-gap session — the navigation-flow summary that sits
+    on top of sessionization (and the input to funnel hypothesis
+    mining: which real paths never reach purchase?).
+
+    Scale shape: the same single user_id shuffle as
+    `event_sessionization_stats` drives the lag flag, the running
+    session id, and the ordered path assembly (array_agg of
+    (ts, event_id, type) structs sorted in-row — deterministic
+    without a second sort exchange). Path counting then aggregates
+    session-sized rows, and the top-15 is a global heap.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    topw = Window.orderBy(F.desc("n_sessions"), "path")
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .withColumn("rk", F.row_number().over(topw))
+        .where(F.col("rk") <= 15)
+        .select("path", "n_sessions", "rk")
+    )
