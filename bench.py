@@ -33,39 +33,49 @@ def main() -> None:
     # Global warmup: absorb one-time JVM/codegen/scan initialization so
     # it doesn't land on whichever query happens to run first (each
     # query also gets its own untimed warm run below). load_table, not
-    # a bare read — events needs the nanos-timestamp conf it sets.
+    # a bare read — events needs the timestamp normalization it does.
+    # Warmup and per-query failures are RECORDED, never fatal: one
+    # environment drift (round 4: events.ts changed physical type)
+    # must not zero out the bench signal for every other query.
     from real_time_data_pipeline_spark.sources.tables import load_table
 
     for t in ("lineitem", "documents", "embeddings", "events"):
-        load_table(spark, SF_DIR, t).groupBy().count().write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            load_table(spark, SF_DIR, t).groupBy().count().write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            print(f"warmup {t} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
-        df = spec.fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT, file listing)
-        t0 = time.perf_counter()
-        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = spec.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()  # warm (JIT, listing)
+            t0 = time.perf_counter()
+            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            errors[name] = str(exc).split("\n", 1)[0][:300]
 
     families: dict[str, float] = {}
     for name, sec in timings.items():
         families[name.split("_")[0]] = round(families.get(name.split("_")[0], 0.0) + sec, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "families": families,
-                "n_queries": len(timings),
-                "sf": SF_DIR,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "families": families,
+        "n_queries": len(timings),
+        "sf": SF_DIR,
+    }
+    if errors:
+        out["errors"] = errors
+        out["n_errors"] = len(errors)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
