@@ -565,3 +565,54 @@ def test_streaming_funnel_matches_batch_query(spark, replay_dir):
     assert got["n_viewed"] == want["n_viewed"]
     assert got["n_clicked_after_view"] == want["n_clicked_after_view"]
     assert got["n_purchased_after_click"] == want["n_purchased_after_click"]
+
+
+def test_streaming_trending_topk_gold_snapshot(spark, replay_dir, tmp_path):
+    """Materialized trending view end to end: windowed counts rank to
+    a per-window top-k inside foreachBatch and upsert into a gold
+    parquet keyed on (window_start, rank) — re-ranking as counts grow
+    OVERWRITES the stale entry instead of appending beside it. Final
+    gold equals the batch twin computed from the same rows."""
+    from pyspark.sql import Window as W
+
+    d, schema = replay_dir
+    gold = str(tmp_path / "trending_gold")
+    aggs = default_gold_aggs("value")
+
+    def topk_of(df):
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), "event_type"
+        )
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 2)
+            .select("window_start", "rank", "event_type", "n_events")
+        )
+
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    counts = gold_transform(
+        silver_transform(stream, "ts"), "ts", "15 minutes", ["event_type"], aggs
+    )
+
+    def sink(batch_df, _batch_id):
+        upsert_parquet(
+            topk_of(batch_df), gold, keys=["window_start", "rank"],
+        )
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = topk_of(
+        gold_transform(
+            silver_transform(batch, "ts"), "ts", "15 minutes", ["event_type"], aggs
+        )
+    )
+    got = spark.read.parquet(gold).select("window_start", "rank", "event_type", "n_events")
+    assert _canon(got) == _canon(want)
