@@ -663,3 +663,39 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 15)
         .select("path", "n_sessions", "rk")
     )
+
+
+_MOVING_MEDIAN_ORACLE = """
+    SELECT event_id, event_type, value,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS moving_median_7
+    FROM events
+"""
+
+
+@query("window_moving_median", oracle=_MOVING_MEDIAN_ORACLE)
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-event moving median per event type — the robust
+    smoothing baseline for anomaly screens (a single spike moves a
+    moving AVERAGE for its whole window; the median shrugs it off,
+    which is why the MAD outlier screen pairs with this).
+
+    Scale shape: one event_type shuffle, then an exact interpolated
+    percentile evaluated over a BOUNDED 7-row frame — constant work
+    per row, no per-group materialization, and the frame bound is
+    what keeps it viable on an unbounded stream (the streaming twin
+    is the same frame over a watermarked window).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percentile("value", 0.5).over(w), 6).alias("moving_median_7"),
+    )
