@@ -1577,3 +1577,58 @@ def q_doc_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(token_count_ws("text")), 6).alias("avg_tokens"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+BALANCED_PER_LABEL = 20
+
+_BALANCED_ORACLE = f"""
+    WITH ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5('bal' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rk
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_sampled,
+           CAST(min(rk) AS BIGINT) AS min_rk, CAST(max(rk) AS BIGINT) AS max_rk,
+           bit_xor(vec_id) AS id_xor
+    FROM ranked WHERE rk <= {BALANCED_PER_LABEL}
+    GROUP BY 1
+"""
+
+
+@query("data_class_balanced_sample", oracle=_BALANCED_ORACLE)
+def q_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced deterministic sample: exactly N items per label,
+    chosen by ranking each class on a salted md5 of the id — the eval-
+    set builder that complements the PROPORTIONAL stratified sample
+    (rare classes get equal representation, and reruns pick the same
+    rows on the same data). The per-label bit_xor membership signature
+    pins the exact chosen set, not just its size.
+
+    Scale shape: one label-keyed shuffle and a per-class rank — the
+    hash order is data-independent, so adding items can only displace
+    the boundary of each class's top-N, never reshuffle it. Classes
+    are assumed numerous-but-bounded (labels, languages, sources); for
+    a single giant class the rank devolves to a global sort of that
+    class, which is what the proportional hash-threshold sampler is
+    for.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("bal"), F.col("vec_id").cast("string"))), "vec_id"
+    )
+    ranked = emb.select("vec_id", "label", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.where(F.col("rk") <= BALANCED_PER_LABEL)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("rk").cast("long").alias("min_rk"),
+            F.max("rk").cast("long").alias("max_rk"),
+            F.bit_xor("vec_id").alias("id_xor"),
+        )
+    )
