@@ -73,6 +73,10 @@ def main() -> None:
         "sf": SF_DIR,
     }
     if errors:
+        # The headline total covers only the successful subset — mark it
+        # PARTIAL so round-over-round comparisons never read a smaller
+        # total caused by failures as a speedup.
+        out["partial"] = True
         out["errors"] = errors
         out["n_errors"] = len(errors)
     print(json.dumps(out))

@@ -47,7 +47,7 @@ def _rotation_rank() -> "dict[str, tuple]":
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     rounds = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     last_green: dict[str, int] = {}
-    latest_err: set[str] = set()
+    latest_not_green: set[str] = set()
     for i, path in enumerate(rounds, 1):
         with open(path) as f:
             data = json.load(f)
@@ -59,11 +59,23 @@ def _rotation_rank() -> "dict[str, tuple]":
             ):
                 last_green[name] = i
         if path == rounds[-1]:
-            latest_err = {n for n, row in data.items() if row.get("err")}
+            # ANY non-fully-green latest row (error OR value/schema/row
+            # mismatch) fast-tracks: a green-to-mismatch regression must
+            # not ride its stale last-green tier out of the check window.
+            latest_not_green = {
+                n
+                for n, row in data.items()
+                if row.get("err")
+                or not (
+                    row.get("hash_match")
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                )
+            }
     order = {n: i for i, n in enumerate(REGISTRY)}
 
     def rank(name: str) -> tuple:
-        if name in latest_err:
+        if name in latest_not_green:
             tier = -1  # broke at the last gate: re-confirm first
         elif name not in last_green:
             tier = 0  # never externally green (new query)

@@ -1378,7 +1378,7 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair fan-out and force a count_distinct in the pair aggregate —
     after the distinct, a plain count gives the same order counts);
     the materialized distinct feeds both join sides, and the pair
-    aggregate and global top-20 act on the far smaller pair space.
+    aggregate and the heap top-20 act on the far smaller pair space.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -1395,10 +1395,13 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     total = li.agg(F.count_distinct("l_orderkey").alias("n"))
-    w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")
+    order = [F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")]
+    # Heap top-k (TakeOrderedAndProject: per-partition heaps, no global
+    # sort of the quadratic pair space), then rank only the 20
+    # survivors — the window is bounded by the limit, never the data.
+    top = pairs.orderBy(*order).limit(20)
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
         .crossJoin(F.broadcast(total))
         .select(
             "part_a",
@@ -1438,14 +1441,20 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency / frequency / monetary
     quartiles (deterministic ntile with custkey tie-break) rolled up
-    to segment counts — the classic value-segmentation matrix, and
-    the multi-window-over-one-aggregate pattern.
+    to segment counts — the classic value-segmentation matrix.
 
     Scale shape: one customer-keyed aggregate of orders, then three
-    global ntile windows over the CUSTOMER-sized result (not the
-    order table). Monetary stays in exact integer cents until the
-    final division so the hash can never flap.
+    SCALABLE exact ntiles (operators/ranking.exact_ntile: range
+    repartition + per-partition row_number + broadcast offsets — the
+    zipWithIndex pattern) joined back on custkey. Bit-identical to
+    the ANSI ntile the oracle runs, but no stage sorts more than one
+    partition's rows — RFM is run on customer tables that reach
+    billions of rows, where a global ntile window is a one-task
+    funnel. Monetary stays in exact integer cents until the final
+    division so the hash can never flap.
     """
+    from real_time_data_pipeline_spark.operators.ranking import exact_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     max_date = orders.agg(F.max("o_orderdate").alias("maxd"))
     rfm = (
@@ -1457,18 +1466,18 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(max_date))
         .withColumn("recency_days", F.datediff("maxd", "last_order"))
+        .localCheckpoint()  # one orders pass feeds all three ntiles
     )
-    scored = rfm.select(
-        "custkey",
-        "monetary_cents",
-        F.ntile(4).over(Window.orderBy("recency_days", "custkey")).alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), "custkey"))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_cents"), "custkey"))
-        .alias("m_quartile"),
-    )
+    quartiles = {
+        "r_quartile": [F.asc("recency_days"), F.asc("custkey")],
+        "f_quartile": [F.desc("frequency"), F.asc("custkey")],
+        "m_quartile": [F.desc("monetary_cents"), F.asc("custkey")],
+    }
+    scored = rfm.select("custkey", "monetary_cents")
+    for col, order in quartiles.items():
+        scored = scored.join(
+            exact_ntile(rfm, 4, order, col).select("custkey", col), "custkey"
+        )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("monetary_cents") / F.lit(100.0)).alias("total_monetary"),

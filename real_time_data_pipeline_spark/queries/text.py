@@ -1251,7 +1251,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (source, word) shuffle for tf, a word-keyed agg
     for df (vocabulary-sized, zipf-bounded — orders of magnitude
     smaller than the corpus), the source count as a 1-row broadcast,
-    and a global top-50. The word join broadcasts when the vocab is
+    and a heap top-50. The word join broadcasts when the vocab is
     small and degrades to a hash join on the word key when it is not;
     neither path touches raw text twice.
     """
@@ -1279,10 +1279,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    w = Window.orderBy(F.desc("tfidf"), "word", "source")
+    order = [F.desc("tfidf"), F.asc("word"), F.asc("source")]
+    # Heap top-k (TakeOrderedAndProject) then rank the 50 survivors:
+    # the window input is bounded by the limit, not the vocabulary.
+    top = scored.orderBy(*order).limit(50)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 50)
+        top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
         .select("source", "word", "tf", "tfidf", "rk")
     )
 
@@ -1338,8 +1340,8 @@ def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: term filter BEFORE the tf aggregation (postings exist
     only for query terms, so the shuffle carries |q| × matching docs,
     not the corpus vocabulary), df and corpus stats are tiny broadcast
-    aggregates, and the final top-20 is a global window over docs that
-    matched at least one term.
+    aggregates, and the final top-20 is a per-partition heap
+    (TakeOrderedAndProject) over docs that matched at least one term.
     """
     from real_time_data_pipeline_spark.operators.similarity import _fan_out
 
@@ -1378,10 +1380,12 @@ def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term), 6).alias("bm25"))
     )
-    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    order = [F.desc("bm25"), F.asc("doc_id")]
+    # Heap top-k (TakeOrderedAndProject) then rank the 20 survivors:
+    # the window input is bounded by the limit, not the match set.
+    top = scored.orderBy(*order).limit(20)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
         .select("doc_id", "bm25", "rk")
     )
 

@@ -321,10 +321,30 @@ def test_gapfill_joins_calendar_sized_tables(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_rfm_windows_run_over_customer_aggregate(spark, sf_dir):
-    """The three ntile windows must sit ABOVE the customer-keyed
-    aggregate (window input is customer-sized, not order-sized): the
-    aggregate's exchange appears below every Window node."""
-    df = REGISTRY["agg_rfm_segmentation"].fn(spark, sf_dir)
-    plan = _plan(df)
-    assert plan.index("HashAggregate") < plan.index("Window")
+def test_rfm_has_no_global_ntile_window(spark, sf_dir):
+    """RFM runs on customer-grain tables that reach billions of rows:
+    the quartiles must come from the scalable exact-ntile operator
+    (range repartition + pid-partitioned row_number), never a global
+    ntile window. Every window spec in the plan must be partitioned
+    by the range-partition id; no ntile function anywhere."""
+    plan = _plan(REGISTRY["agg_rfm_segmentation"].fn(spark, sf_dir))
+    assert "ntile" not in plan
+    specs = [s for s in plan.split("windowspecdefinition(")[1:]]
+    assert specs, "expected pid-partitioned row_number windows"
+    assert all(s.startswith("_gr_pid") for s in specs)
+
+
+@pytest.mark.parametrize(
+    "name", ["join_market_basket_pairs", "text_tfidf_top_terms", "text_bm25_ranking"]
+)
+def test_global_topk_queries_rank_after_heap_limit(spark, sf_dir, name):
+    """Global top-k must be per-partition heaps (TakeOrderedAndProject),
+    with any rank window sitting ABOVE the limit so its input is
+    bounded by k, never by the data. A global row_number window over
+    the full pair/vocabulary/match space is a one-task funnel at
+    scale."""
+    plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # root-first plan string: the (bounded) rank window prints above
+    # the heap limit that feeds it
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
