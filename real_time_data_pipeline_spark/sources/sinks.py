@@ -42,16 +42,25 @@ def write_parquet_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def jdbc_writer(df: DataFrame, url: str, table: str, user: str, password: str):
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "org.postgresql.Driver",
+):
     """JDBC batch append writer (reference K4), returned unexecuted so
-    callers control mode/savepoints."""
+    callers control mode/savepoints. ``driver`` defaults to Postgres
+    (the reference's target); the round-trip test drives the same
+    code against embedded Derby (jars ship with Spark)."""
     return (
         df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
         .option("user", user)
         .option("password", password)
-        .option("driver", "org.postgresql.Driver")
+        .option("driver", driver)
         .mode("append")
     )
 

@@ -105,12 +105,16 @@ def jdbc_reader(
     num_partitions: int = 8,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    driver: str = "org.postgresql.Driver",
 ):
     """JDBC scan (reference S4: Soda's SQL checks against Gold).
 
     Returned unexecuted. For any non-toy table, pass the partition
     bounds: without them Spark reads the whole table through ONE
     connection on one task — the classic JDBC-source scale trap.
+    ``driver`` defaults to Postgres (the reference's target); the
+    round-trip test drives the same code against embedded Derby, the
+    one JDBC engine whose jars ship with Spark itself.
     """
     reader = (
         spark.read.format("jdbc")
@@ -118,7 +122,7 @@ def jdbc_reader(
         .option("dbtable", table)
         .option("user", user)
         .option("password", password)
-        .option("driver", "org.postgresql.Driver")
+        .option("driver", driver)
     )
     if partition_column is not None:
         reader = (

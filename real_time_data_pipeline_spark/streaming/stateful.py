@@ -108,9 +108,12 @@ def funnel_stages(
     event that reached stage k. State per user is just (stage,
     stage_ts) — two longs, bounded regardless of event volume, the
     shape that survives 100 TB/day streams. Events inside one batch
-    are replayed in event-time order, so batch boundaries don't change
-    the result (verified against the batch query in
-    tests/test_streaming.py).
+    are replayed in event-time order, so for IN-ORDER feeds batch
+    boundaries don't change the result (verified against the batch
+    query in tests/test_streaming.py). A late event arriving in a
+    LATER micro-batch than a higher-stage event it precedes in event
+    time can still change which event qualifies vs the batch query —
+    inherent to single-pass streaming state, not a batching artifact.
 
     Emits the user's current stage each micro-batch that touches the
     user (update mode); the gold snapshot is a foreachBatch upsert
@@ -127,7 +130,10 @@ def funnel_stages(
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows[rows[type_col].isin(FUNNEL_STAGES)]
         if len(rows):
-            ts_us = rows[ts_col].astype("int64")  # datetime64[us] -> micros
+            # Arrow hands timestamps as datetime64[ns] (sometimes [us]
+            # depending on version): normalize to MICROS explicitly so
+            # stage_ts has one unit across batches and restarts.
+            ts_us = rows[ts_col].astype("datetime64[us]").astype("int64")
             order = ts_us.sort_values(kind="mergesort").index
             for i in order:
                 ev_stage = stage_of[rows[type_col][i]]

@@ -91,3 +91,35 @@ def test_sql_interface_over_catalog(spark):
     ).collect()
     assert sum(r.n_nations for r in got) == 25
     assert len(got) == 5
+
+
+def test_jdbc_derby_round_trip(spark, tmp_path):
+    """REAL executed JDBC path (not just the config contract): Spark
+    ships embedded Derby for the Hive metastore, which makes it the
+    one JDBC database this container can actually run. Drive the same
+    jdbc_writer / jdbc_reader code the reference points at Postgres
+    (K4/S4) through a full write → partitioned-read round trip."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(100).selectExpr(
+        "id", "cast(id * 1.5 as double) as val", "concat('u', id) as name"
+    )
+    jdbc_writer(df, url, "gold_t", "app", "app", driver=drv).save()
+
+    back = jdbc_reader(
+        spark, url, "gold_t", "app", "app",
+        partition_column="id", num_partitions=4, lower_bound=0, upper_bound=100,
+        driver=drv,
+    ).load()
+    # the partition bounds must actually split the scan (the JDBC
+    # scale trap is a single-connection read)
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    assert back.agg(F.sum("val").alias("s")).first().s == 7425.0
+
+    # append mode (reference K4 semantics): a second save doubles rows
+    jdbc_writer(df, url, "gold_t", "app", "app", driver=drv).save()
+    assert (
+        jdbc_reader(spark, url, "gold_t", "app", "app", driver=drv).load().count()
+        == 200
+    )

@@ -616,3 +616,107 @@ def test_streaming_trending_topk_gold_snapshot(spark, replay_dir, tmp_path):
     )
     got = spark.read.parquet(gold).select("window_start", "rank", "event_type", "n_events")
     assert _canon(got) == _canon(want)
+
+
+def test_kafka_wire_contract_through_dedup_ingest(spark, tmp_path):
+    """The Kafka record contract, executed: a live TCP feed is shaped
+    into Kafka's exact wire schema (binary key, binary value) and run
+    through decode_kafka_json → dedup_ingest_sink — the reference's
+    defining source path (spark_streaming_job's Kafka → decode →
+    dedup), with only the transport swapped for the socket source the
+    container can host. Proves the binary cast/from_json decode and
+    the ingest sink compose on a real stream, byte-identical records
+    to what kafka_stream would deliver."""
+    import socket
+    import threading
+    import time
+
+    from real_time_data_pipeline_spark.streaming.dedup_ingest import dedup_ingest_sink
+    from real_time_data_pipeline_spark.streaming.sources import decode_kafka_json
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    lines = [
+        '{"doc_id": 1, "text": "%s"}' % base,
+        '{"doc_id": 2, "text": "a wholly different document about shuffle plans and codegen"}',
+        '{"doc_id": 3, "text": "%s"}' % base,  # exact dup of 1
+        '{"doc_id": 4, "text": "novel third subject matter unrelated to the others entirely"}',
+    ]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def feed():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            time.sleep(8)  # keep the socket open while Spark drains it
+
+    threading.Thread(target=feed, daemon=True).start()
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1").option("port", port).load()
+    )
+    # Kafka wire shape: binary key, binary value (exactly what
+    # kafka_stream delivers; decode_kafka_json reads only `value`)
+    wire = raw.select(
+        F.encode(F.md5(F.col("value")), "UTF-8").alias("key"),
+        F.encode(F.col("value"), "UTF-8").alias("value"),
+    )
+    decoded = decode_kafka_json(wire, "doc_id long, text string")
+    corpus = str(tmp_path / "corpus")
+    q = dedup_ingest_sink(
+        decoded, "doc_id", "text", corpus, str(tmp_path / "store"),
+        checkpoint=str(tmp_path / "ck"), query_name="kafka_wire_ingest",
+    )
+    try:
+        deadline = time.time() + 40
+        got = set()
+        while time.time() < deadline:
+            try:
+                got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+            except Exception:
+                got = set()
+            if got >= {1, 2, 4}:
+                break
+            time.sleep(0.5)
+        assert got == {1, 2, 4}  # doc 3's text deduped against doc 1
+    finally:
+        q.stop()
+        srv.close()
+
+
+def test_continuous_trigger_end_to_end(spark):
+    """Continuous-processing trigger actually RUNNING (not just the
+    spec string): rate source → map-only normalize → sink at
+    epoch-level latency. Continuous mode forbids aggregations and
+    file sinks, so the pipeline is the map-like shape the mode
+    supports."""
+    import time
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50").option("numPartitions", "2").load()
+    )
+    out = rate.where(F.col("value") % 2 == 0).select(
+        "timestamp", (F.col("value") * 2).alias("doubled")
+    )
+    try:
+        q = (
+            out.writeStream.format("memory").queryName("continuous_e2e")
+            .outputMode("append").trigger(continuous="1 second").start()
+        )
+    except Exception as exc:  # pragma: no cover — runtime w/o continuous
+        pytest.skip(f"continuous mode unavailable: {exc}")
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("continuous_e2e").count() > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.table("continuous_e2e").collect()
+        assert rows and all(r.doubled % 4 == 0 for r in rows)
+    finally:
+        q.stop()
