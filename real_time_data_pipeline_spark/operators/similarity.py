@@ -149,6 +149,71 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """Shingle CONTAINMENT pairs: ``inter / min(|A|, |B|)`` ≥ threshold.
+
+    The asymmetric cousin of Jaccard, and a distinct dedup capability:
+    a short document fully quoted inside a long one scores near 1.0 on
+    containment but can score arbitrarily low on Jaccard (the union is
+    dominated by the long doc), so Jaccard-only dedup keeps
+    subset-duplicates that containment catches — the standard check
+    for boilerplate wrappers, quote-expansions, and version-extended
+    documents in training-corpus curation.
+
+    Same inverted-index scale shape as ``jaccard_pairs`` (docs meet
+    only on shared shingles; ``max_df`` caps hot-shingle buckets to
+    bound the in-bucket O(df²) pair expansion), so none of it is
+    all-pairs.
+
+    Output: (id_a, id_b, containment) with id_a < id_b, rounded 6.
+    """
+    sh = shingle_postings(df, id_col, text_col, n)
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    if max_df is not None:
+        buckets = buckets.where(F.size("ids") <= max_df)
+    buckets = buckets.localCheckpoint()  # feeds counts AND pair expansion
+    counts = (
+        buckets.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+                ),
+            )
+        ),
+        lambda s: s["id_a"] < s["id_b"],
+    )
+    inter = (
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("inter") / F.least("n_a", "n_b")
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = MINHASH_NUM
 ) -> DataFrame:

@@ -23,6 +23,7 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
     events_analytics,
     relational,
     tpch_extra,
+    graph,
 )
 
 # Registration-order policy (stated plainly for the gate owner): the
@@ -37,6 +38,19 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # module registration order. If the history files are unreadable the
 # registry keeps plain module order — the fallback hides nothing, it
 # only rotates less cleverly.
+
+
+# Queries whose IMPLEMENTATION changed this round: their recorded
+# green rows predate the edit, so they must re-enter the external
+# check window ahead of merely-stale greens. Maintained by hand at
+# edit time; cleared once the next round's gate re-confirms them.
+EDITED_THIS_ROUND = {
+    "agg_rfm_segmentation",       # scalable exact_ntile rewrite
+    "join_market_basket_pairs",   # heap top-k rewrite
+    "text_tfidf_top_terms",       # heap top-k rewrite
+    "text_bm25_ranking",          # heap top-k rewrite
+    "window_rank_distribution",   # scalable rank-family rewrite
+}
 
 
 def _rotation_rank() -> "dict[str, tuple]":
@@ -77,6 +91,8 @@ def _rotation_rank() -> "dict[str, tuple]":
     def rank(name: str) -> tuple:
         if name in latest_not_green:
             tier = -1  # broke at the last gate: re-confirm first
+        elif name in EDITED_THIS_ROUND:
+            tier = -0.5  # implementation changed since its green row
         elif name not in last_green:
             tier = 0  # never externally green (new query)
         else:

@@ -699,3 +699,50 @@ def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.percentile("value", 0.5).over(w), 6).alias("moving_median_7"),
     )
+
+
+@query(
+    "event_rate_anomaly_cusum",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT avg(n) AS mean_n, stddev_samp(n) AS sd_n FROM hourly
+    )
+    SELECT hour, n,
+           round(sum(n - mean_n) OVER (ORDER BY hour), 6) + 0 AS cum_dev,
+           abs(sum(n - mean_n) OVER (ORDER BY hour)) > 2 * sd_n AS flagged
+    FROM hourly CROSS JOIN stats
+    """,
+)
+def q_rate_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-style drift detection on the event arrival rate: hourly
+    counts, cumulative deviation from the mean rate, flag when the
+    cumulative drift exceeds 2σ of the hourly counts — the classic
+    change-point screen for feed outages and ingestion storms.
+
+    Scale shape: the raw table collapses to HOUR grain first (one
+    map-side-combining aggregate), so the running-sum window runs over
+    a calendar-bounded frame — 8,760 rows/year no matter how many
+    trillion events — and the mean/σ are a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = hourly.agg(
+        F.avg("n").alias("mean_n"), F.stddev_samp("n").alias("sd_n")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col("n") - F.col("mean_n")).over(w)
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .select(
+            "hour",
+            "n",
+            # + 0.0 canonicalizes IEEE -0.0 (a tiny negative cumulative
+            # deviation rounds to negative zero, which formats as "-0")
+            (F.round(cum, 6) + F.lit(0.0)).alias("cum_dev"),
+            (F.abs(cum) > 2 * F.col("sd_n")).alias("flagged"),
+        )
+    )

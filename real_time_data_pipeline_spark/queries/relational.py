@@ -1034,19 +1034,40 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking-function breadth: ntile/percent_rank/cume_dist/rank/
-    dense_rank over one global ordering (single-partition window —
-    fine for dimension-sized inputs; partition it for facts)."""
+    """Ranking-function breadth — ntile/percent_rank/cume_dist/rank/
+    dense_rank over one global ordering — computed SCALABLY from the
+    exact global row_number (operators/ranking): the window's order
+    key includes the unique c_custkey tie-break, so every peer group
+    is a singleton and the whole rank family is a closed form of
+    (rn, total): rank = dense_rank = rn, percent_rank = (rn-1)/(n-1),
+    cume_dist = rn/n, ntile = the ANSI bucket formula. Bit-identical
+    to the oracle's window, but the plan's only windows are
+    pid-partitioned — no one-task funnel on a fact-sized input. (For
+    an ordering with VALUE ties, derive rank/cume_dist from a peer-
+    group min/max-of-rn aggregate joined back on the value key.)"""
+    from real_time_data_pipeline_spark.operators.ranking import global_row_number
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return cust.select(
+    ranked, total = global_row_number(
+        cust, [F.desc("c_acctbal"), F.asc("c_custkey")], rn_col="_rn"
+    )
+    q, r = divmod(total, 4) if total else (0, 0)
+    rn = F.col("_rn")
+    if q == 0:
+        quartile = rn
+    else:
+        head = r * (q + 1)
+        quartile = F.when(
+            rn <= F.lit(head), F.expr(f"(_rn - 1) div {q + 1}") + F.lit(1)
+        ).otherwise(F.lit(r) + F.expr(f"(_rn - 1 - {head}) div {q}") + F.lit(1))
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("balance_quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        quartile.cast("int").alias("balance_quartile"),
+        F.round((rn - 1) / F.lit(max(total - 1, 1)), 9).alias("pct_rank"),
+        F.round(rn / F.lit(total if total else 1), 9).alias("cume"),
+        rn.alias("rnk"),
+        rn.alias("drnk"),
     )
 
 
@@ -1481,4 +1502,151 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("monetary_cents") / F.lit(100.0)).alias("total_monetary"),
+    )
+
+
+@query(
+    "window_global_leaderboard",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rank
+    FROM customer
+    """,
+)
+def q_global_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full global ranking of a table — the raw capability behind
+    leaderboards, exact percentile exports, and deterministic
+    pagination — via the scalable exact row_number (operators/ranking:
+    range repartition + pid-partitioned window + broadcast offsets).
+    Bit-identical to ``row_number() OVER (ORDER BY ...)`` with no
+    one-task sort; ranking a billion-row table costs one range
+    shuffle."""
+    from real_time_data_pipeline_spark.operators.ranking import global_row_number
+
+    cust = load_table(spark, sf_dir, "customer")
+    ranked, _ = global_row_number(
+        cust.select("c_custkey", "c_acctbal"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        rn_col="rank",
+    )
+    return ranked.select("c_custkey", "c_acctbal", "rank")
+
+
+@query(
+    "agg_order_value_deciles",
+    oracle="""
+    WITH scored AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM scored GROUP BY 1
+    """,
+)
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value decile profile over the FACT table — the revenue
+    concentration curve ("top decile carries X% of revenue"). A
+    global ntile over a fact is exactly where the one-task window
+    dies at scale, so the deciles come from the scalable exact_ntile
+    operator; the rollup keeps money in integer cents."""
+    from real_time_data_pipeline_spark.operators.ranking import exact_ntile
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    scored = exact_ntile(
+        orders, 10, [F.desc("o_totalprice"), F.asc("o_orderkey")], "decile"
+    )
+    return scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.sum(cents("o_totalprice")).alias("revenue_cents"),
+    )
+
+
+@query(
+    "data_key_skew_profile",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ), s AS (
+      SELECT sum(n) AS total, avg(n) AS avg_n FROM k
+    )
+    SELECT user_id, n,
+           round(n * 1.0 / total, 6) AS share,
+           round(n / avg_n, 6) AS skew_factor
+    FROM k CROSS JOIN s
+    ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis: the 20 heaviest keys with their
+    share of all rows and their load factor vs the mean key — the
+    first question to ask before every groupBy/join on a 100 TB
+    table (a skew_factor in the hundreds says: salt this key or let
+    AQE split it). One key-grain aggregate, a 1-row broadcast of the
+    totals, and a heap top-20 — the diagnosis itself never funnels."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    s = k.agg(F.sum("n").alias("total"), F.avg("n").alias("avg_n"))
+    return (
+        k.crossJoin(F.broadcast(s))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("avg_n"), 6).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "agg_hll_sketch_mergeability",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS n_exact,
+           TRUE AS merge_consistent,
+           TRUE AS within_5pct
+    FROM events
+    """,
+)
+def q_hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB count-distinct pattern, proven as a contract: build
+    one HLL sketch PER DAY (the mergeable partial any partitioned
+    pipeline materializes), union the daily sketches, and require the
+    merged estimate to equal the whole-table sketch's estimate
+    exactly — HLL register merge is a max, so partition-then-union
+    must be lossless; that equality is what lets a lakehouse keep
+    per-partition sketches and answer any date-range distinct query
+    without rescanning. The exact distinct count hash-matches the
+    oracle, and the sketch's 5% accuracy is a pinned-TRUE boolean
+    (sketches are deterministic for a fixed input)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_whole"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    return (
+        whole.crossJoin(F.broadcast(merged))
+        .select(
+            "n_exact",
+            (F.col("est_merged") == F.col("est_whole")).alias("merge_consistent"),
+            (
+                F.abs(F.col("est_whole") - F.col("n_exact"))
+                / F.col("n_exact")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
     )

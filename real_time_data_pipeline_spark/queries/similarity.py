@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.operators.similarity import (
     ann_brute_topk,
+    containment_pairs,
     cosine_neardup_pairs,
     exact_dedup_groups,
     hyperplane_lsh_bucket,
@@ -112,6 +113,39 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_ORACLE = _SHINGLE_CTES + _CAPPED_SH + f"""
+    , counts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           round(p.inter * 1.0 / least(ca.n, cb.n), 6) AS containment
+    FROM pairs p
+      JOIN counts ca ON p.id_a = ca.doc_id
+      JOIN counts cb ON p.id_b = cb.doc_id
+    WHERE p.inter * 1.0 / least(ca.n, cb.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment near-dup pairs (inter / min set size ≥ 0.8):
+    catches subset-duplicates — a short doc quoted inside a long one —
+    that Jaccard's union denominator dilutes below any usable
+    threshold. Same inverted-index + hot-shingle-cap scale shape as
+    the Jaccard path; the oracle applies the identical cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", n=3,
+        threshold=CONTAINMENT_THRESHOLD, max_df=JACCARD_MAX_DF,
     )
 
 
@@ -1630,5 +1664,40 @@ def q_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("rk").cast("long").alias("min_rk"),
             F.max("rk").cast("long").alias("max_rk"),
             F.bit_xor("vec_id").alias("id_xor"),
+        )
+    )
+
+
+@query(
+    "embed_dim_stats",
+    oracle="""
+    SELECT u.i AS dim,
+           round(avg(embedding[u.i]), 6) + 0 AS mean_v,
+           round(stddev_samp(embedding[u.i]), 6) AS sd_v,
+           round(min(embedding[u.i]), 6) AS min_v,
+           round(max(embedding[u.i]), 6) AS max_v
+    FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(i)
+    GROUP BY 1
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA profile (mean/σ/min/max for each of
+    the d dimensions) — the standard screen for dead dimensions,
+    un-centered models, and clipped values before building any index
+    over the vectors.
+
+    Scale shape: one posexplode to (row × d) immediately consumed by
+    a map-side-combining aggregate on the 64 dimension keys — no wide
+    intermediate survives the stage, and the output is d rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    return (
+        flat.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            # + 0.0 canonicalizes IEEE -0.0 (dim means hover near zero)
+            (F.round(F.avg("x"), 6) + F.lit(0.0)).alias("mean_v"),
+            F.round(F.stddev_samp("x"), 6).alias("sd_v"),
+            F.round(F.min("x"), 6).alias("min_v"),
+            F.round(F.max("x"), 6).alias("max_v"),
         )
     )

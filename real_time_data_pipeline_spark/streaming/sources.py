@@ -11,10 +11,11 @@ rate sources share a builder so pipelines are source-agnostic:
   micro-batches);
 - rate:   synthetic load for soak tests.
 
-The reference's HTTP poller (S1, `src/ingestion/producer.py:26-76`) is
-a *feeder* process, not a Spark source; its Spark-side equivalent is
-`json_feed_to_stream` decoding the same payload shape from any of the
-sources above.
+The reference's HTTP poller (S1, `src/ingestion/producer.py:26-76`)
+is a NATIVE source here: `http_poll_stream` (backed by the Python
+DataSource API, `sources/http_poll.py`) polls a JSON endpoint once
+per micro-batch with real offsets/checkpointing; `json_feed_to_stream`
+decodes the same payload shape from any of the sources above.
 """
 
 from __future__ import annotations
@@ -76,6 +77,24 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     return (
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def http_poll_stream(
+    spark: SparkSession, url: str, timeout_sec: float = 10.0
+) -> DataFrame:
+    """Native HTTP-poll streaming source (reference S1 as a real
+    `readStream` format — see sources/http_poll.py for semantics and
+    the driver-side-read scale caveat). One GET per micro-batch;
+    rows are (poll_seq, fetched_at, payload)."""
+    from real_time_data_pipeline_spark.sources.http_poll import register_http_poll
+
+    register_http_poll(spark)
+    return (
+        spark.readStream.format("http_poll")
+        .option("url", url)
+        .option("timeout", str(timeout_sec))
         .load()
     )
 

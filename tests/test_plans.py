@@ -321,13 +321,18 @@ def test_gapfill_joins_calendar_sized_tables(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_rfm_has_no_global_ntile_window(spark, sf_dir):
-    """RFM runs on customer-grain tables that reach billions of rows:
-    the quartiles must come from the scalable exact-ntile operator
-    (range repartition + pid-partitioned row_number), never a global
-    ntile window. Every window spec in the plan must be partitioned
-    by the range-partition id; no ntile function anywhere."""
-    plan = _plan(REGISTRY["agg_rfm_segmentation"].fn(spark, sf_dir))
+@pytest.mark.parametrize(
+    "name", ["agg_rfm_segmentation", "window_rank_distribution"]
+)
+def test_global_ranking_windows_are_pid_partitioned(spark, sf_dir, name):
+    """Queries ranking a whole table (RFM quartiles, the rank-family
+    distribution) must use the scalable exact ranking operator (range
+    repartition + pid-partitioned row_number + broadcast offsets),
+    never a global ntile/rank window — a one-task funnel on inputs
+    that reach billions of rows. Every window spec in the plan must
+    be partitioned by the range-partition id; no ntile function
+    anywhere."""
+    plan = _plan(REGISTRY[name].fn(spark, sf_dir))
     assert "ntile" not in plan
     specs = [s for s in plan.split("windowspecdefinition(")[1:]]
     assert specs, "expected pid-partitioned row_number windows"

@@ -720,3 +720,71 @@ def test_continuous_trigger_end_to_end(spark):
         assert rows and all(r.doubled % 4 == 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_http_poll_native_source_end_to_end(spark):
+    """The reference's S1 HTTP poller as a NATIVE Spark source
+    (Python DataSource API): a live local HTTP server serves the
+    station-status JSON shape; readStream.format("http_poll") polls
+    it with real offsets; the payload decodes and explodes downstream
+    exactly like the reference's producer → Kafka → decode path."""
+    import http.server
+    import threading
+    import time
+
+    from real_time_data_pipeline_spark.streaming.sources import http_poll_stream
+
+    body = (
+        '{"stations": ['
+        '{"station_id": "a", "bikes": 3, "docks": 7},'
+        '{"station_id": "b", "bikes": 0, "docks": 10}]}'
+    ).encode()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    stream = http_poll_stream(spark, f"http://127.0.0.1:{port}/status")
+    decoded = (
+        stream.select(
+            "poll_seq",
+            F.from_json(
+                "payload",
+                "stations array<struct<station_id string, bikes int, docks int>>",
+            ).alias("j"),
+        )
+        .select("poll_seq", F.explode("j.stations").alias("s"))
+        .select("poll_seq", "s.station_id", "s.bikes", "s.docks")
+    )
+    q = (
+        decoded.writeStream.format("memory").queryName("http_poll_e2e")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("http_poll_e2e").count() >= 4:  # >= 2 polls
+                break
+            time.sleep(0.5)
+        rows = spark.table("http_poll_e2e").collect()
+        assert len(rows) >= 4
+        by_station = {r.station_id for r in rows}
+        assert by_station == {"a", "b"}
+        assert all(r.docks in (7, 10) for r in rows)
+        # offsets advanced monotonically across polls
+        seqs = sorted({r.poll_seq for r in rows})
+        assert seqs == list(range(seqs[0], seqs[0] + len(seqs)))
+    finally:
+        q.stop()
+        httpd.shutdown()
