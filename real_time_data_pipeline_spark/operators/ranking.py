@@ -11,17 +11,29 @@ pattern expressed in DataFrame ops:
    keys ordered before partition ``p+1``'s keys;
 2. ``row_number`` over ``Window.partitionBy(partition_id)`` — every
    task ranks only its own partition's rows;
-3. add each partition's cumulative row offset. The offsets come from
-   a partition-id count aggregate that is numPartitions rows — a
-   bounded, documented driver collect (same class as the engine's
-   other bounded collects), broadcast back onto the data.
+3. add each partition's cumulative row offset, computed from a
+   partition-id count aggregate that is numPartitions rows. The
+   running sum over those counts is itself a window, but over a
+   frame bounded by the partition count (dozens), not the data —
+   and it stays a lazy broadcast-join input, so the whole rank is
+   ONE job with no driver round-trip.
 
 Requirements: the sort keys must form a TOTAL order (include a unique
 tie-break column such as the row key); otherwise the range partitioner
 may split equal keys across a boundary and the rank is only
-sort-stable, not deterministic. The repartitioned frame is
-``localCheckpoint``-ed so the count pass and the rank pass observe the
-same sampled range boundaries.
+sort-stable, not deterministic.
+
+Why the repartitioned frame is ``persist()``-ed: the count branch and
+the rank branch must observe the SAME sampled range boundaries, but
+range-boundary sampling is reseeded per physical exchange — planned
+naively, the two branches each get their own exchange (verified: the
+adaptive plan materializes two independent rangepartitioning stages,
+no stage reuse) and rows near a boundary can land in different
+partitions on each side, silently corrupting offsets. ``persist()``
+canonicalizes both branches onto ONE InMemoryRelation, so exactly one
+range exchange ever executes — and unlike ``localCheckpoint()`` it is
+lazy: the whole rank stays a single job. The cache spills to disk at
+scale, which is no worse than the checkpoint it replaces.
 """
 
 from __future__ import annotations
@@ -37,14 +49,20 @@ def global_row_number(
     order_by: "list[Column | str]",
     rn_col: str = "rn",
     num_partitions: int | None = None,
-) -> "tuple[DataFrame, int]":
+    total_col: str | None = None,
+) -> DataFrame:
     """Exact global ``row_number`` over ``order_by`` without a
-    single-partition window. Returns ``(frame_with_rn, total_rows)``.
+    single-partition window, as one lazy job.
 
-    Scale shape: one range shuffle of the input, one tiny
-    (numPartitions-row) count aggregate collected to the driver, one
-    broadcast join, one per-partition window. No stage ever sorts
-    more than one partition's rows.
+    Scale shape: one range shuffle of the input, one numPartitions-row
+    count aggregate (its running-sum window is bounded by the
+    partition count), one broadcast join, one pid-partitioned window.
+    No stage sorts more than one partition's rows; nothing reaches
+    the driver.
+
+    ``total_col``: also attach the total row count as a column (via a
+    1-row broadcast) — callers deriving percent_rank / cume_dist /
+    ntile need it.
     """
     spark = df.sparkSession
     n_parts = num_partitions or int(
@@ -53,26 +71,24 @@ def global_row_number(
     part = (
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_gr_pid", F.spark_partition_id())
-        # Freeze the sampled range boundaries: the count pass below and
-        # the rank pass must see identical partition assignments.
-        .localCheckpoint()
+        .persist()  # ONE shared range exchange for both branches (see module doc)
     )
-    sizes = {
-        r["_gr_pid"]: r["c"]
-        for r in part.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(sizes):
-        offsets.append((pid, acc))
-        acc += sizes[pid]
-    off_df = spark.createDataFrame(offsets, schema="_gr_pid INT, _gr_off BIGINT")
+    counts = part.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_gr_c"))
+    w_off = Window.orderBy("_gr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_gr_pid",
+        F.coalesce(F.sum("_gr_c").over(w_off), F.lit(0)).alias("_gr_off"),
+    )
     w = Window.partitionBy("_gr_pid").orderBy(*order_by)
-    ranked = (
-        part.join(F.broadcast(off_df), "_gr_pid")
+    out = (
+        part.join(F.broadcast(offs), "_gr_pid")
         .withColumn(rn_col, F.row_number().over(w) + F.col("_gr_off"))
         .drop("_gr_pid", "_gr_off")
     )
-    return ranked, acc
+    if total_col is not None:
+        total = counts.agg(F.sum("_gr_c").alias(total_col))
+        out = out.crossJoin(F.broadcast(total))
+    return out
 
 
 def exact_ntile(
@@ -85,25 +101,37 @@ def exact_ntile(
     """Exact ANSI ``ntile(n)`` over a global ordering, scalably.
 
     Standard ntile semantics: bucket sizes differ by at most one, the
-    larger buckets first. Computed from the scalable global
-    row_number via the closed-form bucket assignment, so the result is
-    bit-identical to ``ntile(n) OVER (ORDER BY ...)`` — the DuckDB /
-    ANSI oracle needs no adjustment — while the plan contains no
-    unpartitioned window.
+    larger buckets first. The closed-form bucket assignment is
+    computed from the scalable global row_number entirely in column
+    expressions (the total arrives as a 1-row broadcast), so the
+    result is bit-identical to ``ntile(n) OVER (ORDER BY ...)`` — the
+    DuckDB / ANSI oracle needs no adjustment — while the plan contains
+    no unpartitioned window and no driver round-trip.
     """
-    ranked, total = global_row_number(
-        df, order_by, rn_col="_gr_rn", num_partitions=num_partitions
+    ranked = global_row_number(
+        df, order_by, rn_col="_gr_rn",
+        num_partitions=num_partitions, total_col="_gr_n",
     )
-    q, r = divmod(total, n_buckets) if total else (0, 0)
-    rn = F.col("_gr_rn")
-    if q == 0:
-        # More buckets than rows: row i lands alone in bucket i.
-        bucket = rn
-    else:
-        head = r * (q + 1)  # rows covered by the (q+1)-sized buckets
-        bucket = F.when(
-            rn <= F.lit(head), F.expr(f"(_gr_rn - 1) div {q + 1}") + F.lit(1)
-        ).otherwise(
-            F.lit(r) + F.expr(f"(_gr_rn - 1 - {head}) div {q}") + F.lit(1)
+    rn, n = F.col("_gr_rn"), F.col("_gr_n")
+    quot = F.expr(f"_gr_n div {n_buckets}")
+    rem = n % n_buckets
+    head = rem * (quot + 1)  # rows covered by the (quot+1)-sized buckets
+    bucket = (
+        # more buckets than rows: row i lands alone in bucket i
+        F.when(quot == F.lit(0), rn)
+        .when(
+            rn <= head,
+            F.expr(f"(_gr_rn - 1) div ((_gr_n div {n_buckets}) + 1)") + F.lit(1),
         )
-    return ranked.withColumn(out_col, bucket.cast("int")).drop("_gr_rn")
+        .otherwise(
+            rem
+            + F.expr(
+                f"(_gr_rn - 1 - (_gr_n % {n_buckets}) * ((_gr_n div {n_buckets}) + 1))"
+                f" div (_gr_n div {n_buckets})"
+            )
+            + F.lit(1)
+        )
+    )
+    return (
+        ranked.withColumn(out_col, bucket.cast("int")).drop("_gr_rn", "_gr_n")
+    )

@@ -1048,24 +1048,26 @@ def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_pipeline_spark.operators.ranking import global_row_number
 
     cust = load_table(spark, sf_dir, "customer")
-    ranked, total = global_row_number(
-        cust, [F.desc("c_acctbal"), F.asc("c_custkey")], rn_col="_rn"
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    ranked = global_row_number(cust, order, rn_col="_rn", total_col="_n")
+    rn, n = F.col("_rn"), F.col("_n")
+    quot = F.expr("_n div 4")
+    head = (n % 4) * (quot + 1)
+    quartile = (
+        F.when(quot == F.lit(0), rn)
+        .when(rn <= head, F.expr("(_rn - 1) div ((_n div 4) + 1)") + F.lit(1))
+        .otherwise(
+            (n % 4)
+            + F.expr("(_rn - 1 - (_n % 4) * ((_n div 4) + 1)) div (_n div 4)")
+            + F.lit(1)
+        )
     )
-    q, r = divmod(total, 4) if total else (0, 0)
-    rn = F.col("_rn")
-    if q == 0:
-        quartile = rn
-    else:
-        head = r * (q + 1)
-        quartile = F.when(
-            rn <= F.lit(head), F.expr(f"(_rn - 1) div {q + 1}") + F.lit(1)
-        ).otherwise(F.lit(r) + F.expr(f"(_rn - 1 - {head}) div {q}") + F.lit(1))
     return ranked.select(
         "c_custkey",
         "c_acctbal",
         quartile.cast("int").alias("balance_quartile"),
-        F.round((rn - 1) / F.lit(max(total - 1, 1)), 9).alias("pct_rank"),
-        F.round(rn / F.lit(total if total else 1), 9).alias("cume"),
+        F.round((rn - 1) / F.greatest(n - 1, F.lit(1)), 9).alias("pct_rank"),
+        F.round(rn / n, 9).alias("cume"),
         rn.alias("rnk"),
         rn.alias("drnk"),
     )
@@ -1467,18 +1469,19 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one customer-keyed aggregate of orders, then three
     SCALABLE exact ntiles (operators/ranking.exact_ntile: range
     repartition + per-partition row_number + broadcast offsets — the
-    zipWithIndex pattern) joined back on custkey. Bit-identical to
-    the ANSI ntile the oracle runs, but no stage sorts more than one
-    partition's rows — RFM is run on customer tables that reach
-    billions of rows, where a global ntile window is a one-task
-    funnel. Monetary stays in exact integer cents until the final
-    division so the hash can never flap.
+    zipWithIndex pattern) CHAINED over the frame, so each quartile is
+    one range shuffle and there are no join-backs or driver
+    round-trips. Bit-identical to the ANSI ntile the oracle runs, but
+    no stage sorts more than one partition's rows — RFM is run on
+    customer tables that reach billions of rows, where a global ntile
+    window is a one-task funnel. Monetary stays in exact integer
+    cents until the final division so the hash can never flap.
     """
     from real_time_data_pipeline_spark.operators.ranking import exact_ntile
 
     orders = load_table(spark, sf_dir, "orders")
     max_date = orders.agg(F.max("o_orderdate").alias("maxd"))
-    rfm = (
+    scored = (
         orders.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.max("o_orderdate").alias("last_order"),
@@ -1487,18 +1490,14 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(max_date))
         .withColumn("recency_days", F.datediff("maxd", "last_order"))
-        .localCheckpoint()  # one orders pass feeds all three ntiles
     )
     quartiles = {
         "r_quartile": [F.asc("recency_days"), F.asc("custkey")],
         "f_quartile": [F.desc("frequency"), F.asc("custkey")],
         "m_quartile": [F.desc("monetary_cents"), F.asc("custkey")],
     }
-    scored = rfm.select("custkey", "monetary_cents")
     for col, order in quartiles.items():
-        scored = scored.join(
-            exact_ntile(rfm, 4, order, col).select("custkey", col), "custkey"
-        )
+        scored = exact_ntile(scored, 4, order, col)
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("monetary_cents") / F.lit(100.0)).alias("total_monetary"),
@@ -1524,7 +1523,7 @@ def q_global_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_pipeline_spark.operators.ranking import global_row_number
 
     cust = load_table(spark, sf_dir, "customer")
-    ranked, _ = global_row_number(
+    ranked = global_row_number(
         cust.select("c_custkey", "c_acctbal"),
         [F.desc("c_acctbal"), F.asc("c_custkey")],
         rn_col="rank",
