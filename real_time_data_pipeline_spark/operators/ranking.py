@@ -41,7 +41,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "exact_ntile"]
+__all__ = [
+    "global_row_number",
+    "exact_ntile",
+    "grouped_row_number",
+    "grouped_exact_ntile",
+]
 
 
 def global_row_number(
@@ -135,3 +140,97 @@ def exact_ntile(
     return (
         ranked.withColumn(out_col, bucket.cast("int")).drop("_gr_rn", "_gr_n")
     )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_by: "list[str]",
+    order_by: "list[Column | str]",
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact per-group ``row_number`` that survives MEGA-groups.
+
+    ``Window.partitionBy(group)`` is already scalable when every group
+    fits one task — but a per-language rank over a web corpus puts
+    billions of rows in 'en' and dies in that one task. Same
+    zipWithIndex trick, taken per group: range-partition on
+    (group, order) so each group occupies a contiguous RUN of
+    partitions, rank locally within (partition, group), and add
+    per-(group, partition) offsets — a frame bounded by
+    |groups| × numPartitions, windowed per group.
+
+    ``total_col``: also attach the group's total row count (joined on
+    the group key; AQE broadcasts it while groups are few).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = (
+        df.repartitionByRange(n_parts, *[F.col(g) for g in group_by], *order_by)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .persist()  # ONE shared range exchange for all branches (see module doc)
+    )
+    counts = part.groupBy("_gr_pid", *group_by).agg(
+        F.count(F.lit(1)).alias("_gr_c")
+    )
+    w_off = (
+        Window.partitionBy(*group_by)
+        .orderBy("_gr_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "_gr_pid",
+        *group_by,
+        F.coalesce(F.sum("_gr_c").over(w_off), F.lit(0)).alias("_gr_off"),
+    )
+    w = Window.partitionBy("_gr_pid", *group_by).orderBy(*order_by)
+    out = (
+        part.join(offs, ["_gr_pid", *group_by])
+        .withColumn(rn_col, F.row_number().over(w) + F.col("_gr_off"))
+        .drop("_gr_pid", "_gr_off")
+    )
+    if total_col is not None:
+        totals = counts.groupBy(*group_by).agg(F.sum("_gr_c").alias(total_col))
+        out = out.join(totals, group_by)
+    return out
+
+
+def grouped_exact_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    group_by: "list[str]",
+    order_by: "list[Column | str]",
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ANSI ``ntile(n) OVER (PARTITION BY group ORDER BY ...)``
+    for groups too large for one task — bit-identical to the windowed
+    oracle via the closed-form bucket over (per-group rn, per-group
+    total)."""
+    ranked = grouped_row_number(
+        df, group_by, order_by, rn_col="_gr_rn",
+        num_partitions=num_partitions, total_col="_gr_n",
+    )
+    rn, n = F.col("_gr_rn"), F.col("_gr_n")
+    quot = F.expr(f"_gr_n div {n_buckets}")
+    rem = n % n_buckets
+    head = rem * (quot + 1)
+    bucket = (
+        F.when(quot == F.lit(0), rn)
+        .when(
+            rn <= head,
+            F.expr(f"(_gr_rn - 1) div ((_gr_n div {n_buckets}) + 1)") + F.lit(1),
+        )
+        .otherwise(
+            rem
+            + F.expr(
+                f"(_gr_rn - 1 - (_gr_n % {n_buckets}) * ((_gr_n div {n_buckets}) + 1))"
+                f" div (_gr_n div {n_buckets})"
+            )
+            + F.lit(1)
+        )
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("_gr_rn", "_gr_n")

@@ -139,3 +139,57 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("name").alias("nation"), F.round("r", 6).alias("pagerank")
     )
+
+
+_EDGES_SQL = """
+      SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+"""
+
+_RECURSION_SQL = """
+    WITH RECURSIVE reach AS (
+      SELECT CAST('NATION_0' AS STRING) AS nation, 0 AS hops
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN trade_edges e ON e.src = r.nation
+      WHERE r.hops < 3
+    )
+    SELECT nation, min(hops) AS min_hops
+    FROM reach GROUP BY nation
+"""
+
+# DuckDB oracle: same recursion text, with the edge list as a leading
+# plain CTE (WITH RECURSIVE must lead the clause list) and DuckDB's
+# VARCHAR spelling for the cast.
+_REACHABILITY_ORACLE = (
+    "WITH RECURSIVE trade_edges AS ("
+    + _EDGES_SQL
+    + "), reach AS ("
+    + _RECURSION_SQL.split("reach AS (", 1)[1]
+).replace("AS STRING", "AS VARCHAR")
+
+
+@query("graph_recursive_reachability", oracle=_REACHABILITY_ORACLE)
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure by recursive CTE (Spark 4 WITH RECURSIVE):
+    which nations are reachable from NATION_0 through ≤3 trade hops,
+    with their shortest hop count — the recursion text is the same
+    SQL DuckDB runs as the oracle (modulo STRING/VARCHAR spelling).
+
+    Scale shape: the engine materializes the DISTINCT nation-grain
+    edge list ONCE (localCheckpoint temp view) before recursing —
+    recursive CTE references are inlined per step, so an un-
+    materialized edge CTE would re-run the 5-way fact join every hop.
+    Each recursion step is then one join of the frontier against the
+    tiny edge list, hop-bounded; the working set stays
+    path-count-bounded, never corpus-sized."""
+    from real_time_data_pipeline_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    spark.sql(_EDGES_SQL).localCheckpoint().createOrReplaceTempView("trade_edges")
+    return spark.sql(_RECURSION_SQL)

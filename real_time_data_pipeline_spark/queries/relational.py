@@ -33,7 +33,10 @@ from real_time_data_pipeline_spark.operators.joins import (
 )
 from real_time_data_pipeline_spark.operators.topk import topk, topk_per_group
 from real_time_data_pipeline_spark.queries.registry import query
-from real_time_data_pipeline_spark.sources.tables import load_table
+from real_time_data_pipeline_spark.sources.tables import (
+    load_table,
+    register_temp_views,
+)
 
 
 def cents(col: Column | str) -> Column:
@@ -1649,3 +1652,28 @@ def q_hll_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+_LATERAL_TOP2_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+"""
+
+
+@query("join_lateral_top2_orders", oracle=_LATERAL_TOP2_SQL)
+def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    ANSI spelling of top-N-per-group, run from the IDENTICAL SQL text
+    DuckDB executes as the oracle (the engine's SQL surface, not just
+    the DataFrame DSL). Catalyst decorrelates it into a grouped
+    window-limit, so the plan is the same scale shape as the
+    `window_topk_orders_per_segment` DataFrame form: per-group heaps
+    via WindowGroupLimit, no per-customer re-execution."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOP2_SQL)

@@ -1782,3 +1782,47 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((t & ~f_).cast("long")).alias("n_false_positives"),
         F.sum((f_ & ~t).cast("long")).alias("n_false_negatives"),
     )
+
+
+@query(
+    "corpus_length_terciles_by_lang",
+    oracle="""
+    WITH scored AS (
+      SELECT lang, n_chars,
+             ntile(3) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS tercile
+      FROM documents
+    )
+    SELECT lang, tercile,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q_length_terciles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language bucketing (here by document length;
+    swap in any per-doc quality score): exact terciles WITHIN each
+    language, rolled up to bucket stats — the head/middle/tail split
+    every corpus-curation pipeline runs before choosing what to keep.
+
+    Scale shape: `ntile() OVER (PARTITION BY lang)` funnels each
+    language through ONE task — and a web corpus puts billions of
+    docs in 'en'. The terciles instead come from
+    operators/ranking.grouped_exact_ntile: one range shuffle on
+    (lang, length, id) so a language spans a contiguous RUN of
+    partitions, per-(partition, lang) local ranks, and
+    per-(lang, partition) broadcast offsets. Bit-identical to the
+    windowed oracle."""
+    from real_time_data_pipeline_spark.operators.ranking import grouped_exact_ntile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    scored = grouped_exact_ntile(
+        docs, 3, ["lang"], [F.asc("n_chars"), F.asc("doc_id")], "tercile"
+    )
+    return scored.groupBy("lang", "tercile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )

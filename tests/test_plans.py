@@ -339,6 +339,19 @@ def test_global_ranking_windows_are_pid_partitioned(spark, sf_dir, name):
     assert all(s.startswith("_gr_pid") for s in specs)
 
 
+def test_grouped_ntile_has_no_per_group_funnel(spark, sf_dir):
+    """Per-language terciles must come from the grouped exact-ntile
+    operator: every window in the plan is partitioned by the
+    range-partition id (local ranks) or by the group key over the
+    bounded offsets frame — never `ntile() OVER (PARTITION BY lang)`,
+    which funnels each language through one task."""
+    plan = _plan(REGISTRY["corpus_length_terciles_by_lang"].fn(spark, sf_dir))
+    assert "ntile" not in plan
+    specs = [s for s in plan.split("windowspecdefinition(")[1:]]
+    assert specs
+    assert all(s.startswith(("_gr_pid", "lang")) for s in specs)
+
+
 @pytest.mark.parametrize(
     "name", ["join_market_basket_pairs", "text_tfidf_top_terms", "text_bm25_ranking"]
 )
