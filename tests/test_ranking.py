@@ -1,0 +1,116 @@
+"""Unit tests for operators/ranking: the scalable exact rank family
+must be BIT-IDENTICAL to Spark's own windowed functions on every
+shape — including the boundary cases the closed-form ntile math is
+most likely to get wrong (empty input, one row, rows < buckets,
+rows % buckets ∈ {0, 1, nb-1}, duplicate order values, skewed and
+singleton groups)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.operators.ranking import (
+    exact_ntile,
+    global_row_number,
+    grouped_exact_ntile,
+    grouped_row_number,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        [(i, v, g) for i, (v, g) in enumerate(rows)], "id long, v long, g string"
+    )
+
+
+# (value, group) rows: duplicates, skew, singleton groups
+CASES = [
+    [],
+    [(5, "a")],
+    [(1, "a"), (1, "a"), (1, "a")],  # all-equal values, tie-break only
+    [(3, "a"), (1, "a"), (2, "b")],
+    [(i % 4, "g" + str(i % 3)) for i in range(17)],  # 17 % 4 = 1
+    [(i % 2, "g" + str(i % 5)) for i in range(40)],  # 40 % 4 = 0
+    [(7 - i, "a") for i in range(7)],  # 7 rows, 4 buckets: q=1, r=3
+    [(i, "a") for i in range(3)],      # rows < buckets
+    [(0, "big")] * 30 + [(9, "tiny")], # skewed group + singleton group
+]
+
+
+@pytest.mark.parametrize("rows", CASES, ids=range(len(CASES)))
+def test_global_rank_and_ntile_match_window_forms(spark, rows):
+    df = _frame(spark, rows)
+    order = [F.asc("v"), F.asc("id")]
+    w = Window.orderBy(*order)
+
+    got_rn = {
+        r.id: r.rn
+        for r in global_row_number(df, order, rn_col="rn", num_partitions=4).collect()
+    }
+    want_rn = {
+        r.id: r.rn
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got_rn == want_rn
+
+    for nb in (1, 3, 4, 10):
+        got = {
+            r.id: r.b
+            for r in exact_ntile(df, nb, order, "b", num_partitions=4).collect()
+        }
+        want = {
+            r.id: r.b
+            for r in df.select("id", F.ntile(nb).over(w).alias("b")).collect()
+        }
+        assert got == want, f"ntile({nb}) diverged on {rows!r}"
+
+
+@pytest.mark.parametrize("rows", CASES, ids=range(len(CASES)))
+def test_grouped_rank_and_ntile_match_window_forms(spark, rows):
+    df = _frame(spark, rows)
+    order = [F.asc("v"), F.asc("id")]
+    w = Window.partitionBy("g").orderBy(*order)
+
+    got_rn = {
+        r.id: r.rn
+        for r in grouped_row_number(
+            df, ["g"], order, rn_col="rn", num_partitions=4
+        ).collect()
+    }
+    want_rn = {
+        r.id: r.rn
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got_rn == want_rn
+
+    for nb in (1, 3, 4):
+        got = {
+            r.id: r.b
+            for r in grouped_exact_ntile(
+                df, nb, ["g"], order, "b", num_partitions=4
+            ).collect()
+        }
+        want = {
+            r.id: r.b
+            for r in df.select("id", F.ntile(nb).over(w).alias("b")).collect()
+        }
+        assert got == want, f"grouped ntile({nb}) diverged on {rows!r}"
+
+
+def test_global_row_number_total_col(spark):
+    df = _frame(spark, [(3, "a"), (1, "b"), (2, "a")])
+    out = global_row_number(
+        df, [F.asc("v"), F.asc("id")], rn_col="rn", total_col="n"
+    )
+    rows = out.collect()
+    assert all(r.n == 3 for r in rows)
+    assert sorted(r.rn for r in rows) == [1, 2, 3]
+
+
+def test_grouped_total_col_is_per_group(spark):
+    df = _frame(spark, [(0, "big")] * 3 + [(9, "tiny")])
+    out = grouped_row_number(
+        df, ["g"], [F.asc("v"), F.asc("id")], rn_col="rn", total_col="n"
+    )
+    by_g = {(r.g, r.n) for r in out.collect()}
+    assert by_g == {("big", 3), ("tiny", 1)}
