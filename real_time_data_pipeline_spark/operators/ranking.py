@@ -46,6 +46,7 @@ __all__ = [
     "exact_ntile",
     "grouped_row_number",
     "grouped_exact_ntile",
+    "global_prefix_sum",
 ]
 
 
@@ -234,3 +235,46 @@ def grouped_exact_ntile(
         )
     )
     return ranked.withColumn(out_col, bucket.cast("int")).drop("_gr_rn", "_gr_n")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: "list[Column | str]",
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive prefix sum of ``value_col`` over a global
+    ordering — running totals, sequence-packing assignment, CDF
+    construction — without a single-partition window.
+
+    Same shape as ``global_row_number`` with counts generalized to
+    sums: range-partition, per-partition running sum, plus each
+    partition's cumulative PRIOR total from a numPartitions-row
+    aggregate joined back as a broadcast.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .persist()  # ONE shared range exchange for both branches (see module doc)
+    )
+    sums = part.groupBy("_gr_pid").agg(F.sum(value_col).alias("_gr_s"))
+    w_off = Window.orderBy("_gr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sums.select(
+        "_gr_pid",
+        F.coalesce(F.sum("_gr_s").over(w_off), F.lit(0)).alias("_gr_off"),
+    )
+    w = (
+        Window.partitionBy("_gr_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(offs), "_gr_pid")
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_gr_off"))
+        .drop("_gr_pid", "_gr_off")
+    )

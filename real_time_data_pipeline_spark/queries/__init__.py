@@ -50,6 +50,10 @@ EDITED_THIS_ROUND = {
     "text_tfidf_top_terms",       # heap top-k rewrite
     "text_bm25_ranking",          # heap top-k rewrite
     "window_rank_distribution",   # scalable rank-family rewrite
+    "sequence_packing_plan",      # scalable prefix-sum rewrite
+    "text_zipf_slope",            # scalable vocab-rank rewrite
+    "text_countmin_heavy_hitters",  # heap top-k rewrite
+    "event_session_paths",        # heap top-k rewrite
 }
 
 

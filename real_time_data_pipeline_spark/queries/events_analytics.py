@@ -655,12 +655,16 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("path")
         )
     )
-    topw = Window.orderBy(F.desc("n_sessions"), "path")
+    # heap top-15 (TakeOrderedAndProject) over the path space — path
+    # cardinality grows with the event log, so no path-wide window —
+    # then rank only the 15 survivors
+    top_order = [F.desc("n_sessions"), F.asc("path")]
     return (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .withColumn("rk", F.row_number().over(topw))
-        .where(F.col("rk") <= 15)
+        .orderBy(*top_order)
+        .limit(15)
+        .withColumn("rk", F.row_number().over(Window.orderBy(*top_order)))
         .select("path", "n_sessions", "rk")
     )
 

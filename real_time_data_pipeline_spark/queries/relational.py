@@ -1677,3 +1677,50 @@ def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     via WindowGroupLimit, no per-customer re-execution."""
     register_temp_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOP2_SQL)
+
+
+def _zorder_oracle() -> str:
+    from real_time_data_pipeline_spark.operators.layout import z_value_sql
+
+    z = z_value_sql("user_id", "vf")
+    return f"""
+    WITH base AS (
+      SELECT user_id, CAST(floor(value) AS BIGINT) AS vf FROM events
+    ), z AS (
+      SELECT user_id, vf, {z} AS zval FROM base
+    )
+    SELECT (zval >> 13) AS z_bucket,
+           count(*) AS n_rows,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(vf) AS min_val, max(vf) AS max_val
+    FROM z GROUP BY 1
+    """
+
+
+@query("data_zorder_zonemap", oracle=_zorder_oracle())
+def q_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering zone map: interleave the bits of
+    (user_id, floor(value)) and report per-curve-bucket min/max of
+    BOTH dimensions — the multi-dimensional data-skipping layout
+    (Delta's OPTIMIZE ZORDER BY, from primitives). Sorted by the
+    curve, every bucket bounds every interleaved dimension, so a scan
+    filtered on either column prunes buckets; the layout itself is
+    operators/layout.zorder_layout (range-partition + sort-within by
+    the z-value). The interleave formula is ONE generated SQL text
+    evaluated by both engines — pure integer math, hash-exact."""
+    from real_time_data_pipeline_spark.operators.layout import z_value_sql
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(floor(value) AS BIGINT)").alias("vf")
+    )
+    z = ev.withColumn("zval", F.expr(z_value_sql("user_id", "vf")))
+    return (
+        z.groupBy(F.expr("zval >> 13").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("vf").alias("min_val"),
+            F.max("vf").alias("max_val"),
+        )
+    )

@@ -562,17 +562,20 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — the shuffle-light way to plan fixed-budget training
     sequences (vs. greedy bin packing, which is inherently serial).
 
-    The running sum is a single ordered window; at 100 TB the same
-    plan runs per-shard (partition by shard, order within) so no
-    global ordering is required — the global variant here matches the
-    oracle exactly.
+    The running token total comes from the scalable exact prefix sum
+    (operators/ranking.global_prefix_sum: range repartition +
+    per-partition running sums + broadcast offsets), so the global
+    packing order costs one range shuffle and no stage ever windows
+    more than one partition's rows — bit-identical to the ordered-
+    window oracle at any scale.
     """
+    from real_time_data_pipeline_spark.operators.ranking import global_prefix_sum
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", token_count_ws("text").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    planned = toks.withColumn(
-        "pack_id", F.floor((F.sum("n_tokens").over(w) - 1) / 512).cast("long")
-    )
+    planned = global_prefix_sum(
+        toks, [F.asc("doc_id")], "n_tokens", out_col="_run"
+    ).withColumn("pack_id", F.floor((F.col("_run") - 1) / 512).cast("long"))
     return planned.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
@@ -1431,9 +1434,11 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = freq.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), "word"))
-    )
+    from real_time_data_pipeline_spark.operators.ranking import global_row_number
+
+    # rank EVERY vocabulary term scalably (a web-scale corpus has
+    # billions of distinct tokens — no single-partition window)
+    ranked = global_row_number(freq, [F.desc("c"), F.asc("word")], rn_col="rnk")
     ln_c = F.log(F.col("c").cast("double"))
     ln_r = F.log(F.col("rnk").cast("double"))
     return ranked.agg(
@@ -1648,11 +1653,13 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sketch = row if sketch is None else sketch.unionAll(row)
     exact = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # heap top-k over the vocabulary (TakeOrderedAndProject), then
+    # rank only the k survivors — no vocabulary-wide window
+    cm_order = [F.desc("c"), F.asc("word")]
     topk = (
-        exact.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("c"), "word"))
-        )
-        .where(F.col("rk") <= CM_TOPK)
+        exact.orderBy(*cm_order)
+        .limit(CM_TOPK)
+        .withColumn("rk", F.row_number().over(Window.orderBy(*cm_order)))
     )
     probe = None
     for i, s in enumerate(CM_SALTS):

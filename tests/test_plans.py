@@ -366,3 +366,42 @@ def test_global_topk_queries_rank_after_heap_limit(spark, sf_dir, name):
     # root-first plan string: the (bounded) rank window prints above
     # the heap limit that feeds it
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+# Queries whose unpartitioned window is provably BOUNDED, with the bound:
+_BOUNDED_GLOBAL_WINDOWS = {
+    "text_tfidf_top_terms": "rank over <=50 rows above TakeOrderedAndProject",
+    "text_bm25_ranking": "rank over <=20 rows above TakeOrderedAndProject",
+    "join_market_basket_pairs": "rank over <=20 rows above TakeOrderedAndProject",
+    "text_countmin_heavy_hitters": "rank over <=10 rows above TakeOrderedAndProject",
+    "event_session_paths": "rank over <=15 rows above TakeOrderedAndProject",
+    "event_rate_anomaly_cusum": "running sum over hour-grain calendar-bounded frame",
+}
+
+
+def test_no_unbounded_global_window_anywhere(spark, sf_dir):
+    """Registry-wide scale audit: every window with an empty partition
+    spec (first windowspec token is an ORDER key) must be either the
+    ranking operators' partition-offset frame (bounded by the
+    partition count — first token `_gr_pid`) or on the explicit
+    allowlist above with a stated bound. A global window over
+    data-sized input funnels everything through one task — the #1
+    scale-killer class this engine engineers out."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        plan = _plan(spec.fn(spark, sf_dir))
+        bad = []
+        for s in plan.split("windowspecdefinition(")[1:]:
+            first = s.split(",")[0]
+            if (" ASC" in first or " DESC" in first) and not first.startswith(
+                "_gr_pid"
+            ):
+                bad.append(first.strip()[:40])
+        if bad and name not in _BOUNDED_GLOBAL_WINDOWS:
+            offenders[name] = bad
+        if name in _BOUNDED_GLOBAL_WINDOWS and "TakeOrderedAndProject" not in plan:
+            # allowlisted as post-limit rank: the heap must actually
+            # be in the plan (cusum is frame-bounded, not heap-based)
+            if "calendar" not in _BOUNDED_GLOBAL_WINDOWS[name]:
+                offenders[name] = ["allowlisted heap form missing TakeOrderedAndProject"]
+    assert not offenders, f"unbounded global windows: {offenders}"
