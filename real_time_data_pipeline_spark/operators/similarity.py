@@ -1252,3 +1252,44 @@ def cross_jaccard_pairs(
         .where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def covariance_partials(
+    df: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """Per-Arrow-batch partial covariance sums via ``mapInPandas`` —
+    the distributed-linear-algebra pattern: each Python call reduces
+    its whole batch to ONE d×d partial (`X.T @ X` in numpy), so the
+    shuffle carries d²-sized partials per batch instead of row data,
+    and the final combine is a plain sum aggregate keyed on (i, j).
+
+    Output rows: (i, j, sxy, n) for the upper triangle i ≤ j (1-based
+    dims); callers divide by total n and subtract means for the
+    covariance. Never row-at-a-time: one BLAS call per batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu = None
+
+    def partials(batches):
+        nonlocal iu
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            S = X.T @ X
+            if iu is None:
+                iu = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0] + 1,
+                    "j": iu[1] + 1,
+                    "sxy": S[iu],
+                    "n": np.full(len(iu[0]), len(pdf), dtype="int64"),
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(
+        partials, schema="i int, j int, sxy double, n long"
+    )

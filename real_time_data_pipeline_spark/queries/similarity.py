@@ -1701,3 +1701,62 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("x"), 6).alias("max_v"),
         )
     )
+
+
+@query(
+    "embed_covariance_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT i.i, j.j,
+             avg(embedding[i.i] * embedding[j.j]) AS e_xy,
+             avg(embedding[i.i]) AS e_x,
+             avg(embedding[j.j]) AS e_y
+      FROM embeddings,
+           unnest(range(1, 65)) AS i(i),
+           unnest(range(1, 65)) AS j(j)
+      WHERE i.i <= j.j
+      GROUP BY 1, 2
+    )
+    SELECT i AS dim_i, j AS dim_j, round(e_xy - e_x * e_y, 6) + 0 AS cov
+    FROM pairs
+    """,
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d×d embedding covariance matrix (upper triangle) — the
+    input to PCA/whitening/decorrelation diagnostics over a vector
+    corpus — computed as distributed linear algebra: every Arrow
+    batch collapses to one d² partial via a single `X.T @ X` BLAS
+    call (operators/similarity.covariance_partials), partials sum in
+    a (i, j)-keyed aggregate, and the per-dimension means arrive as a
+    64-row broadcast. The shuffle carries d²-sized partials per
+    batch — never vectors — so the cost is O(rows·d²) compute but
+    O(batches·d²) network at any corpus size."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        covariance_partials,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = 64
+    parts = covariance_partials(emb, "embedding", d)
+    sums = parts.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("n").alias("nn")
+    )
+    means = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(F.avg("x").alias("mean_v"))
+    )
+    mi = means.select(F.col("dim").alias("i"), F.col("mean_v").alias("m_i"))
+    mj = means.select(F.col("dim").alias("j"), F.col("mean_v").alias("m_j"))
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            (
+                F.round(F.col("sxy") / F.col("nn") - F.col("m_i") * F.col("m_j"), 6)
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )

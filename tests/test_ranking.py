@@ -114,3 +114,20 @@ def test_grouped_total_col_is_per_group(spark):
     )
     by_g = {(r.g, r.n) for r in out.collect()}
     assert by_g == {("big", 3), ("tiny", 1)}
+
+
+@pytest.mark.parametrize("rows", CASES, ids=range(len(CASES)))
+def test_global_prefix_sum_matches_window_form(spark, rows):
+    from real_time_data_pipeline_spark.operators.ranking import global_prefix_sum
+
+    df = _frame(spark, rows)
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        r.id: r.ps
+        for r in global_prefix_sum(
+            df, order, "v", out_col="ps", num_partitions=4
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.id: r.ps for r in df.select("id", F.sum("v").over(w).alias("ps")).collect()}
+    assert got == want
