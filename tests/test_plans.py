@@ -405,3 +405,40 @@ def test_no_unbounded_global_window_anywhere(spark, sf_dir):
             if "calendar" not in _BOUNDED_GLOBAL_WINDOWS[name]:
                 offenders[name] = ["allowlisted heap form missing TakeOrderedAndProject"]
     assert not offenders, f"unbounded global windows: {offenders}"
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
+    """Runtime Bloom-filter join pruning — the 100 TB fact⋈fact
+    feature: a selective filter on one side injects a might_contain
+    pre-filter into the other side's scan, cutting shuffle volume
+    before the join. Default thresholds are cluster-sized
+    (application side ≥ 10 GB), so the test lowers them to prove the
+    engine's plans are SHAPED to receive the filter (equi-join above
+    eligible scans, no broadcast in the way)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan  # bloom filter reached the big side
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
