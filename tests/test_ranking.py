@@ -131,3 +131,30 @@ def test_global_prefix_sum_matches_window_form(spark, rows):
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     want = {r.id: r.ps for r in df.select("id", F.sum("v").over(w).alias("ps")).collect()}
     assert got == want
+
+
+def test_global_rank_consistency_at_scale(spark):
+    """Corruption canary for the shared-exchange design: if the count
+    branch and rank branch ever observed DIFFERENT range boundaries
+    (the hazard persist() exists to prevent), ranks would duplicate
+    or gap at partition seams. On a 600k-row fact with 32 partitions:
+    ranks must be exactly 1..n with no duplicates."""
+    from real_time_data_pipeline_spark.operators.ranking import global_row_number
+
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    ranked = global_row_number(
+        li,
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        rn_col="rn",
+        num_partitions=32,
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("rn").alias("n_distinct"),
+        F.min("rn").alias("mn"),
+        F.max("rn").alias("mx"),
+    ).first()
+    assert stats.n_distinct == stats.n
+    assert stats.mn == 1 and stats.mx == stats.n
