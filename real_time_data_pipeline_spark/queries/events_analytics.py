@@ -750,3 +750,101 @@ def q_rate_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(cum) > 2 * F.col("sd_n")).alias("flagged"),
         )
     )
+
+
+@query(
+    "event_attribution_position",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), tagged AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                        IGNORE NULLS) OVER w AS p_eid,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                        IGNORE NULLS) OVER w AS p_ts
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), touches AS (
+      SELECT * FROM tagged
+      WHERE event_type <> 'purchase' AND p_eid IS NOT NULL
+        AND ts < p_ts AND ts >= p_ts - INTERVAL 7 DAY
+    ), pos AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, p_eid
+                                ORDER BY ts, event_id) AS pos,
+             count(*) OVER (PARTITION BY user_id, p_eid) AS n
+      FROM touches
+    )
+    SELECT event_type AS channel,
+           count(DISTINCT p_eid) AS attributed_purchases,
+           count(*) AS n_touches,
+           round(sum(CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                          WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                          WHEN pos = 1 THEN CAST(0.4 AS DOUBLE)
+                          WHEN pos = n THEN CAST(0.4 AS DOUBLE)
+                          ELSE CAST(0.2 AS DOUBLE) / (n - 2) END), 6)
+             AS total_credit
+    FROM pos GROUP BY 1
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional multi-touch attribution: each purchase's credit is
+    split over the user's view/click touchpoints in the 7 days before
+    it — 40% to the first touch, 40% to the last, the middle 20%
+    spread evenly (100% / 50-50 for one- and two-touch paths) — then
+    rolled up per channel. The marketing-attribution workhorse, and
+    the general "assign each event to the NEXT anchor event of its
+    key" sequence pattern (also: error-to-release triage, session
+    stitching to conversions).
+
+    Scale shape: the touch→purchase assignment is a reversed
+    running ``last(..., ignorenulls)`` window — NOT a range self-join
+    of touches against purchases, whose fan-out is touches×purchases
+    per user before the range filter prunes. Every window here is
+    partitioned by user (or user+purchase); no global window, no
+    join at all until the final channel-grain aggregate. Credit
+    weights are exact rationals computed identically on both sides;
+    the 6dp round absorbs shuffle-order float summation.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "ts", "event_id", "event_type")
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_p = F.col("event_type") == "purchase"
+    tagged = ev.withColumn(
+        "p_eid", F.last(F.when(is_p, F.col("event_id")), ignorenulls=True).over(w_next)
+    ).withColumn(
+        "p_ts", F.last(F.when(is_p, F.col("ts")), ignorenulls=True).over(w_next)
+    )
+    touches = tagged.where(
+        (~is_p)
+        & F.col("p_eid").isNotNull()
+        & (F.col("ts") < F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    w_path = Window.partitionBy("user_id", "p_eid")
+    pos = touches.withColumn(
+        "pos", F.row_number().over(w_path.orderBy("ts", "event_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(w_path))
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        pos.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count_distinct("p_eid").alias("attributed_purchases"),
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(weight), 6).alias("total_credit"),
+        )
+    )

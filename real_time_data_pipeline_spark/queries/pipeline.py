@@ -359,3 +359,60 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "pipeline_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, round(value, 6) AS value,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM events WHERE event_type IN ('purchase', 'signup', 'error')
+    ), latest AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, value AS last_value, ts AS updated_at
+    FROM latest WHERE rn = 1 AND op = 'upsert'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application: collapse an ordered change log
+    (upserts + delete tombstones per key) into the current snapshot —
+    the batch form of a Debezium/ Delta-CDF apply. Here `purchase`/
+    `signup` events act as upserts of the key's value and `error`
+    events as tombstones; a key whose LATEST change is a tombstone is
+    absent from the snapshot, otherwise the latest upsert wins.
+
+    Differs from plain latest-wins dedup (pipeline_dedup_latest) in
+    the tombstone semantics: the rank must run over the FULL log
+    (deletes included) and filter after — filtering deletes first
+    would wrongly resurrect an older upsert under a newer tombstone.
+
+    Scale shape: one partitioned window keyed by user_id (no global
+    window; audit-exempt), deterministic (ts, event_id) tie-break —
+    the same shape the streaming twin runs per micro-batch with the
+    snapshot as upsert-sink state (streaming/sinks.upsert_parquet
+    honors deletes the same way when fed this op column).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "signup", "error")
+    )
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select("user_id", F.col("value").alias("last_value"), F.col("ts").alias("updated_at"))
+    )

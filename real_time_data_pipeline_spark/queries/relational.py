@@ -1724,3 +1724,78 @@ def q_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vf").alias("max_val"),
         )
     )
+
+
+@query(
+    "agg_incremental_view_merge",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority, CAST(round(o_totalprice) AS BIGINT) AS d
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(d) AS BIGINT) AS total_dollars,
+           CAST(min(d) AS BIGINT) AS min_dollars,
+           CAST(max(d) AS BIGINT) AS max_dollars,
+           round(sum(d) * 1.0 / count(*), 6) AS avg_dollars,
+           round(sum(d * d) * 1.0 / count(*)
+                 - (sum(d) * 1.0 / count(*)) * (sum(d) * 1.0 / count(*)),
+                 6) AS var_dollars
+    FROM d GROUP BY 1
+    """,
+)
+def q_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the engine computes
+    MERGEABLE partial aggregates per ingest batch (count, sum, sum of
+    squares, min, max over integer dollars) and then MERGES the
+    partials into the final view — while the oracle recomputes the
+    view directly from scratch. Equality proves the merge algebra,
+    which is exactly what an incremental refresh relies on: a new
+    batch only touches its own partials and the merge, never the
+    historical corpus.
+
+    The batch id (``o_orderkey % 3``) stands in for arrival order;
+    in production the partials live keyed by (group, batch/partition)
+    and refresh cost is O(new batch + group cardinality), not O(all
+    data). Derived stats (avg, variance) come off the merged sums via
+    the algebraic forms, so they need no second pass. All partials
+    are exact integers (dollars as BIGINT; sums stay < 2^53 through
+    sf10 — move to DECIMAL(38,0) beyond that), so merged == direct
+    holds bit-exactly, not approximately.
+
+    Scale shape: two chained hash aggregates (batch grain, then group
+    grain) — both map-side-combinable, no window, no collect.
+    """
+    d = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 3).alias("batch_id"),
+        F.expr("CAST(round(o_totalprice) AS BIGINT)").alias("d"),
+    )
+    partials = d.groupBy("o_orderpriority", "batch_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+        F.min("d").alias("mn"),
+        F.max("d").alias("mx"),
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("s2").alias("s2"),
+        F.min("mn").alias("min_dollars"),
+        F.max("mx").alias("max_dollars"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("s").alias("total_dollars"),
+        "min_dollars",
+        "max_dollars",
+        F.round(F.col("s") / F.col("n"), 6).alias("avg_dollars"),
+        F.round(
+            F.col("s2") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+            6,
+        ).alias("var_dollars"),
+    )
