@@ -391,10 +391,11 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     would wrongly resurrect an older upsert under a newer tombstone.
 
     Scale shape: one partitioned window keyed by user_id (no global
-    window; audit-exempt), deterministic (ts, event_id) tie-break —
-    the same shape the streaming twin runs per micro-batch with the
-    snapshot as upsert-sink state (streaming/sinks.upsert_parquet
-    honors deletes the same way when fed this op column).
+    window; audit-exempt), deterministic (ts, event_id) tie-break.
+    The streaming twin is streaming/sinks.cdc_upsert_parquet /
+    foreach_batch_cdc (event-time-wins merge, tombstones retained
+    until expire_tombstones); tests/test_cdc.py replays the same rows
+    as micro-batches and asserts the snapshot equals this query.
     """
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "signup", "error")

@@ -188,6 +188,12 @@ def upsert_parquet(
     # single-writer/reader-retries discipline usual for foreachBatch
     # gold tables; use `merge_upsert_delta` where readers must never
     # observe the gap.
+    _swap_write(fs, result, path, tmp_path, jpath, jtmp, jold, exists)
+
+
+def _swap_write(fs, result, path, tmp_path, jpath, jtmp, jold, exists) -> None:
+    """Write ``result`` beside ``path`` then swap via two renames —
+    the crash-safe commit shared by every parquet merge sink here."""
     fs.delete(jtmp, True)
     result.write.mode("overwrite").parquet(tmp_path)
     if exists:
@@ -195,6 +201,134 @@ def upsert_parquet(
         fs.rename(jpath, jold)
     fs.rename(jtmp, jpath)
     fs.delete(jold, True)
+
+
+def _merge_event_time_wins(
+    old: DataFrame | None,
+    new: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """One surviving row per key by EVENT-TIME order, not arrival
+    order: unlike `_merge_last_writer_wins` (where the new batch
+    always beats the table — right for re-emitted running
+    aggregates), a CDC changelog must let an already-applied NEWER
+    change beat a late-arriving older one, so the merge ranks by
+    ``order_cols`` alone with a full-row hash tie-break (retries
+    still elect the identical winner)."""
+    merged = old.unionByName(new) if old is not None else new
+    order: list = [F.desc(c) for c in order_cols]
+    order.append(F.desc(F.xxhash64(F.struct(*[F.col(c) for c in merged.columns]))))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def cdc_upsert_parquet(
+    batch_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    tombstone_col: str,
+) -> None:
+    """Apply a CDC micro-batch (upserts + delete tombstones) to a
+    parquet snapshot table — the streaming twin of the
+    ``pipeline_cdc_apply`` batch query.
+
+    Semantics: per key, the change with the greatest ``order_cols``
+    (event time + a unique change id) wins, whether it arrived in
+    this batch or an earlier one — out-of-order and re-delivered
+    batches converge to the same state. Tombstone rows
+    (``tombstone_col`` true) are RETAINED in the stored table rather
+    than dropped: a tombstone that vanished immediately could be
+    silently overridden by a late-arriving older upsert. Readers get
+    the live view via `current_snapshot`; bound the retained-tombstone
+    footprint with `expire_tombstones` once the pipeline's lateness
+    horizon has passed (Kafka compaction's delete-retention, same
+    idea).
+
+    Crash-safety is the `upsert_parquet` swap commit; per-batch cost
+    is O(table ∪ batch) here — key-bucket the table (see
+    streaming/dedup_ingest.py for the partition-pruned pattern) when
+    the snapshot outgrows a single merge.
+    """
+    spark = batch_df.sparkSession
+    fs, jpath = _hadoop_fs(spark, path)
+    tmp_path, old_path = path.rstrip("/") + "__tmp__", path.rstrip("/") + "__old__"
+    jtmp, jold = _hadoop_fs(spark, tmp_path)[1], _hadoop_fs(spark, old_path)[1]
+    if not fs.exists(jpath) and fs.exists(jold):
+        fs.rename(jold, jpath)  # crash recovery, as in upsert_parquet
+    exists = bool(fs.exists(jpath))
+    old = spark.read.parquet(path) if exists else None
+    result = _merge_event_time_wins(old, batch_df, keys, order_cols)
+    _swap_write(fs, result, path, tmp_path, jpath, jtmp, jold, exists)
+
+
+def current_snapshot(
+    spark: SparkSession, path: str, tombstone_col: str | None = None
+) -> DataFrame:
+    """Live view of a CDC snapshot table: everything that is not a
+    retained delete tombstone. NULL in the tombstone column reads as
+    live (upstreams that never delete need no flag maintenance)."""
+    df = spark.read.parquet(path)
+    if tombstone_col is not None:
+        df = df.where(~F.coalesce(F.col(tombstone_col), F.lit(False))).drop(
+            tombstone_col
+        )
+    return df
+
+
+def expire_tombstones(
+    spark: SparkSession,
+    path: str,
+    tombstone_col: str,
+    order_col: str,
+    horizon,
+) -> None:
+    """Drop tombstones older than ``horizon`` (exclusive) from a CDC
+    snapshot table — safe once no in-flight change can predate the
+    horizon (the stream's watermark bound). Same crash-safe swap
+    commit as the merge itself."""
+    fs, jpath = _hadoop_fs(spark, path)
+    tmp_path, old_path = path.rstrip("/") + "__tmp__", path.rstrip("/") + "__old__"
+    jtmp, jold = _hadoop_fs(spark, tmp_path)[1], _hadoop_fs(spark, old_path)[1]
+    if not fs.exists(jpath) and fs.exists(jold):
+        fs.rename(jold, jpath)
+    if not fs.exists(jpath):
+        return
+    df = spark.read.parquet(path)
+    keep = ~(
+        F.coalesce(F.col(tombstone_col), F.lit(False))
+        & (F.col(order_col) < F.lit(horizon))
+    )
+    _swap_write(fs, df.where(keep), path, tmp_path, jpath, jtmp, jold, True)
+
+
+def foreach_batch_cdc(
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    tombstone_col: str,
+    checkpoint: str,
+    query_name: str,
+) -> StreamingQuery:
+    """Streaming CDC apply: drive `cdc_upsert_parquet` per micro-batch
+    (append-mode changelog in, snapshot table out)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cdc_upsert_parquet(batch_df, path, keys, order_cols, tombstone_col)
+
+    return (
+        df.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
 
 
 def delta_available(spark: SparkSession) -> bool:

@@ -1,0 +1,120 @@
+"""CDC apply: streaming changelog → snapshot table.
+
+Covers the event-time-wins merge (`cdc_upsert_parquet`), tombstone
+retention + expiry, and stream/batch parity against the
+`pipeline_cdc_apply` registry query — the same rows replayed as
+micro-batches must converge to the batch query's snapshot.
+"""
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.streaming.sinks import (
+    cdc_upsert_parquet,
+    current_snapshot,
+    expire_tombstones,
+    foreach_batch_cdc,
+)
+from real_time_data_pipeline_spark.streaming.sources import file_stream
+from tests.test_streaming import replay_dir  # noqa: F401  (module-scoped fixture)
+
+
+def _ts(s: int):
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=k, ts=_ts(t), event_id=e, value=float(v), is_delete=d)
+         for (k, t, e, v, d) in rows],
+        "user_id bigint, ts timestamp, event_id bigint, value double, is_delete boolean",
+    )
+
+
+def _snap(spark, path):
+    return {
+        r.user_id: (r.value, r.ts)
+        for r in current_snapshot(spark, path, "is_delete").collect()
+    }
+
+
+def test_cdc_tombstone_beats_late_older_upsert(spark, tmp_path):
+    """A late-arriving upsert OLDER than an applied tombstone must not
+    resurrect the key — the property arrival-order merges get wrong."""
+    path = str(tmp_path / "snap")
+    cdc_upsert_parquet(
+        _chg(spark, [(1, 10, 100, 1.0, False), (1, 20, 101, 0.0, True),
+                     (2, 10, 102, 5.0, False)]),
+        path, keys=["user_id"], order_cols=["ts", "event_id"],
+        tombstone_col="is_delete",
+    )
+    assert _snap(spark, path) == {2: (5.0, _ts(10))}
+    # late batch: older change for the deleted key, newer for key 2
+    cdc_upsert_parquet(
+        _chg(spark, [(1, 15, 103, 2.0, False), (2, 30, 104, 6.0, False)]),
+        path, keys=["user_id"], order_cols=["ts", "event_id"],
+        tombstone_col="is_delete",
+    )
+    assert _snap(spark, path) == {2: (6.0, _ts(30))}
+    # tombstone row is RETAINED in storage (so the guard keeps holding)
+    stored = spark.read.parquet(path)
+    assert stored.where("is_delete").count() == 1
+
+
+def test_cdc_redelivered_batch_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    batch = _chg(spark, [(1, 10, 100, 1.0, False), (1, 12, 101, 2.0, False)])
+    for _ in range(3):  # retries converge to the identical state
+        cdc_upsert_parquet(
+            batch, path, keys=["user_id"], order_cols=["ts", "event_id"],
+            tombstone_col="is_delete",
+        )
+    assert _snap(spark, path) == {1: (2.0, _ts(12))}
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_expire_tombstones_bounds_state(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    cdc_upsert_parquet(
+        _chg(spark, [(1, 10, 100, 1.0, False), (1, 20, 101, 0.0, True),
+                     (2, 25, 102, 3.0, True)]),
+        path, keys=["user_id"], order_cols=["ts", "event_id"],
+        tombstone_col="is_delete",
+    )
+    # horizon between the two tombstones: only the older one expires
+    expire_tombstones(spark, path, "is_delete", "ts", _ts(22))
+    stored = spark.read.parquet(path)
+    assert stored.where("is_delete").count() == 1
+    assert _snap(spark, path) == {}
+
+
+def test_cdc_stream_matches_batch_query(spark, tmp_path, replay_dir):
+    """events replayed as micro-batches through foreach_batch_cdc
+    converge to exactly the `pipeline_cdc_apply` batch snapshot."""
+    from real_time_data_pipeline_spark.queries import REGISTRY
+
+    d, schema = replay_dir
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    changelog = stream.where(
+        F.col("event_type").isin("purchase", "signup", "error")
+    ).select(
+        "user_id", "ts", "event_id",
+        F.round("value", 6).alias("value"),
+        (F.col("event_type") == "error").alias("is_delete"),
+    )
+    path = str(tmp_path / "cdc_snap")
+    q = foreach_batch_cdc(
+        changelog, path, keys=["user_id"], order_cols=["ts", "event_id"],
+        tombstone_col="is_delete", checkpoint=str(tmp_path / "ck"),
+        query_name="cdc_stream",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    want = {
+        r.user_id: (r.last_value, r.updated_at)
+        for r in REGISTRY["pipeline_cdc_apply"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert _snap(spark, path) == want
