@@ -191,11 +191,16 @@ def upsert_parquet(
     _swap_write(fs, result, path, tmp_path, jpath, jtmp, jold, exists)
 
 
-def _swap_write(fs, result, path, tmp_path, jpath, jtmp, jold, exists) -> None:
+def _swap_write(
+    fs, result, path, tmp_path, jpath, jtmp, jold, exists, partition_by=None
+) -> None:
     """Write ``result`` beside ``path`` then swap via two renames —
     the crash-safe commit shared by every parquet merge sink here."""
     fs.delete(jtmp, True)
-    result.write.mode("overwrite").parquet(tmp_path)
+    writer = result.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp_path)
     if exists:
         fs.delete(jold, True)
         fs.rename(jpath, jold)
@@ -233,6 +238,8 @@ def cdc_upsert_parquet(
     keys: Sequence[str],
     order_cols: Sequence[str],
     tombstone_col: str,
+    n_buckets: int | None = None,
+    bucket_col: str = "bkt",
 ) -> None:
     """Apply a CDC micro-batch (upserts + delete tombstones) to a
     parquet snapshot table — the streaming twin of the
@@ -250,12 +257,39 @@ def cdc_upsert_parquet(
     horizon has passed (Kafka compaction's delete-retention, same
     idea).
 
-    Crash-safety is the `upsert_parquet` swap commit; per-batch cost
-    is O(table ∪ batch) here — key-bucket the table (see
-    streaming/dedup_ingest.py for the partition-pruned pattern) when
-    the snapshot outgrows a single merge.
+    Scale: pass ``n_buckets`` and the snapshot is stored PARTITIONED
+    by a hash bucket of the key (``bucket_col``). Each batch then
+    collects only its own distinct buckets (bounded by the batch's key
+    count), reads just those partitions, and dynamically overwrites
+    just those partitions — per-batch cost O(touched buckets), never
+    O(snapshot), the same layout streaming/dedup_ingest.py uses for
+    its corpus state. Without ``n_buckets`` the whole table is merged
+    under the crash-safe `upsert_parquet` swap commit — fine for
+    dimension-sized snapshots.
     """
     spark = batch_df.sparkSession
+    if n_buckets is not None:
+        batch = batch_df.withColumn(
+            bucket_col,
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int"),
+        )
+        old = None
+        if table_exists(spark, path):
+            touched = [
+                r[0] for r in batch.select(bucket_col).distinct().collect()
+            ]  # micro-batch-bounded
+            old = spark.read.parquet(path).where(F.col(bucket_col).isin(touched))
+        result = _merge_event_time_wins(old, batch, keys, order_cols)
+        # Materialize before the dynamic overwrite: the plan reads the
+        # same partitions it rewrites.
+        (
+            result.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucket_col)
+            .parquet(path)
+        )
+        return
     fs, jpath = _hadoop_fs(spark, path)
     tmp_path, old_path = path.rstrip("/") + "__tmp__", path.rstrip("/") + "__old__"
     jtmp, jold = _hadoop_fs(spark, tmp_path)[1], _hadoop_fs(spark, old_path)[1]
@@ -287,11 +321,15 @@ def expire_tombstones(
     tombstone_col: str,
     order_col: str,
     horizon,
+    partition_cols: Sequence[str] | None = None,
 ) -> None:
     """Drop tombstones older than ``horizon`` (exclusive) from a CDC
     snapshot table — safe once no in-flight change can predate the
     horizon (the stream's watermark bound). Same crash-safe swap
-    commit as the merge itself."""
+    commit as the merge itself; pass the bucketed layout's
+    ``partition_cols`` so the rewrite preserves partitioning (the
+    swap, not dynamic overwrite, because a bucket whose rows ALL
+    expire must end up deleted, not left stale)."""
     fs, jpath = _hadoop_fs(spark, path)
     tmp_path, old_path = path.rstrip("/") + "__tmp__", path.rstrip("/") + "__old__"
     jtmp, jold = _hadoop_fs(spark, tmp_path)[1], _hadoop_fs(spark, old_path)[1]
@@ -304,7 +342,12 @@ def expire_tombstones(
         F.coalesce(F.col(tombstone_col), F.lit(False))
         & (F.col(order_col) < F.lit(horizon))
     )
-    _swap_write(fs, df.where(keep), path, tmp_path, jpath, jtmp, jold, True)
+    # No materialization needed: the tmp write executes while the
+    # current table is still in place; only then do the renames run.
+    _swap_write(
+        fs, df.where(keep), path, tmp_path, jpath, jtmp, jold, True,
+        partition_by=partition_cols,
+    )
 
 
 def foreach_batch_cdc(
@@ -315,12 +358,15 @@ def foreach_batch_cdc(
     tombstone_col: str,
     checkpoint: str,
     query_name: str,
+    n_buckets: int | None = None,
 ) -> StreamingQuery:
     """Streaming CDC apply: drive `cdc_upsert_parquet` per micro-batch
     (append-mode changelog in, snapshot table out)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        cdc_upsert_parquet(batch_df, path, keys, order_cols, tombstone_col)
+        cdc_upsert_parquet(
+            batch_df, path, keys, order_cols, tombstone_col, n_buckets=n_buckets
+        )
 
     return (
         df.writeStream.foreachBatch(_sink)

@@ -118,3 +118,61 @@ def test_cdc_stream_matches_batch_query(spark, tmp_path, replay_dir):
         for r in REGISTRY["pipeline_cdc_apply"].fn(spark, "/root/testdata/sf0.001").collect()
     }
     assert _snap(spark, path) == want
+
+
+def test_cdc_bucketed_layout_and_semantics(spark, tmp_path):
+    """Bucketed snapshot: partitioned on disk by the key bucket, same
+    event-time-wins + tombstone semantics, batch merges touch only
+    their own buckets."""
+    import os
+
+    path = str(tmp_path / "snap_bkt")
+    kw = dict(keys=["user_id"], order_cols=["ts", "event_id"],
+              tombstone_col="is_delete", n_buckets=8)
+    cdc_upsert_parquet(
+        _chg(spark, [(k, 10, 100 + k, float(k), False) for k in range(1, 7)]),
+        path, **kw,
+    )
+    assert any(d.startswith("bkt=") for d in os.listdir(path))
+    # second batch: tombstone one key, update another, late-older a third
+    cdc_upsert_parquet(
+        _chg(spark, [(1, 20, 201, 0.0, True), (2, 20, 202, 9.0, False),
+                     (3, 5, 203, 99.0, False)]),
+        path, **kw,
+    )
+    got = _snap(spark, path)
+    assert got[2] == (9.0, _ts(20))      # newer update wins
+    assert got[3] == (3.0, _ts(10))      # late older change loses
+    assert 1 not in got                  # tombstoned
+    assert set(got) == {2, 3, 4, 5, 6}
+    # retention preserves the partitioned layout and drops the tombstone
+    expire_tombstones(spark, path, "is_delete", "ts", _ts(30),
+                      partition_cols=["bkt"])
+    assert any(d.startswith("bkt=") for d in os.listdir(path))
+    stored = spark.read.parquet(path)
+    assert stored.where("is_delete").count() == 0
+    assert _snap(spark, path) == got
+
+
+def test_cdc_bucketed_merge_prunes_partitions(spark, tmp_path):
+    """The probe read of the stored snapshot is partition-pruned to
+    the micro-batch's own buckets (PartitionFilters on bkt)."""
+    path = str(tmp_path / "snap_bkt")
+    kw = dict(keys=["user_id"], order_cols=["ts", "event_id"],
+              tombstone_col="is_delete", n_buckets=16)
+    cdc_upsert_parquet(
+        _chg(spark, [(k, 10, 100 + k, float(k), False) for k in range(1, 30)]),
+        path, **kw,
+    )
+    batch = _chg(spark, [(1, 20, 300, 7.0, False)])
+    bkt = batch.select(
+        F.pmod(F.xxhash64("user_id"), F.lit(16)).cast("int").alias("b")
+    ).first().b
+    pruned = spark.read.parquet(path).where(F.col("bkt").isin([bkt]))
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "bkt" in plan
+    # and the end-to-end merge still lands the row
+    cdc_upsert_parquet(batch, path, **kw)
+    assert _snap(spark, path)[1] == (7.0, _ts(20))
