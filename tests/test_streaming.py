@@ -788,3 +788,66 @@ def test_http_poll_native_source_end_to_end(spark):
     finally:
         q.stop()
         httpd.shutdown()
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched left rows emit as
+    null-padded results once the watermark passes their event time —
+    the semantics (and the state-eviction guarantee) inner joins never
+    exercise. A far-future sentinel row advances the watermark so the
+    unmatched purchase flushes deterministically."""
+    import datetime
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # batch 0: one matched purchase, one unmatched purchase
+        dict(event_id=1, ts=t0, user_id=1, event_type="purchase", value=1.0),
+        dict(event_id=2, ts=t0 - datetime.timedelta(minutes=5), user_id=1,
+             event_type="click", value=0.0),
+        dict(event_id=3, ts=t0, user_id=2, event_type="purchase", value=2.0),
+    ]
+    sentinel = [
+        # batch 1: far-future rows push BOTH watermarks past batch 0 —
+        # each side filters by type before its watermark node, so each
+        # needs its own sentinel
+        dict(event_id=98, ts=t0 + datetime.timedelta(days=2), user_id=998,
+             event_type="purchase", value=0.0),
+        dict(event_id=99, ts=t0 + datetime.timedelta(days=2), user_id=999,
+             event_type="click", value=0.0),
+    ]
+    d = str(tmp_path / "replay")
+    os.makedirs(d, exist_ok=True)
+    for i, batch in enumerate((rows, sentinel)):
+        pdf = pd.DataFrame(batch)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # NANOS would break Spark's reader
+        pdf.to_parquet(os.path.join(d, f"batch_{i}.parquet"), index=False)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+
+    purchases = file_stream(spark, d, schema, max_files_per_trigger=1).where(
+        F.col("event_type") == "purchase"
+    ).select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+             F.col("event_id").alias("p_id"))
+    clicks = file_stream(spark, d, schema, max_files_per_trigger=1).where(
+        F.col("event_type") == "click"
+    ).select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+             F.col("event_id").alias("c_id"))
+    joined = stream_stream_interval_join(
+        purchases, clicks,
+        left_time="p_ts", right_time="c_ts",
+        keys=F.col("p_user") == F.col("c_user"),
+        interval="30 MINUTES",
+        left_watermark="10 seconds", right_watermark="10 seconds",
+        how="left_outer",
+    ).select("p_id", "c_id")
+    _run_stream_to_memory(joined, "ssleftjoin", "append")
+    got = {(r.p_id, r.c_id) for r in spark.table("ssleftjoin").collect()}
+    # matched pair + null-padded unmatched purchase; the sentinel-era
+    # rows stay buffered (watermark never passes end-of-stream)
+    assert (1, 2) in got
+    assert (3, None) in got
