@@ -848,3 +848,76 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(weight), 6).alias("total_credit"),
         )
     )
+
+
+@query(
+    "event_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), seq AS (
+      SELECT user_id, d,
+             lag(d)  OVER (PARTITION BY user_id ORDER BY d) AS pd,
+             lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nd,
+             min(d)  OVER (PARTITION BY user_id) AS fd
+      FROM ud
+    ), active AS (
+      SELECT d, CASE WHEN d = fd THEN 'new'
+                     WHEN pd = d - INTERVAL 1 DAY THEN 'retained'
+                     ELSE 'resurrected' END AS state
+      FROM seq
+    ), churned AS (
+      SELECT d + INTERVAL 1 DAY AS d, 'churned' AS state
+      FROM seq
+      WHERE (nd IS NULL OR nd <> d + INTERVAL 1 DAY)
+        AND d + INTERVAL 1 DAY <= (SELECT max(d) FROM ud)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, state, count(*) AS n_users
+    FROM (SELECT * FROM active UNION ALL SELECT * FROM churned)
+    GROUP BY 1, 2
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active user-day classified as
+    new / retained / resurrected, plus the churned count for users
+    who went inactive — the DAU decomposition behind every growth
+    dashboard ("quick ratio" = (new+resurrected)/churned).
+
+    Scale shape: one distinct to user-day grain, then lag/lead/min
+    windows partitioned BY USER (bounded by one user's active days —
+    never a global window), a day-grain aggregate at the end. The
+    max-day scalar arrives as a 1-row broadcast. Day arithmetic in
+    date_add exactly mirrors the oracle's INTERVAL 1 DAY.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = (
+        ud.withColumn("pd", F.lag("d").over(w))
+        .withColumn("nd", F.lead("d").over(w))
+        .withColumn("fd", F.min("d").over(Window.partitionBy("user_id")))
+    )
+    one_day = F.expr("INTERVAL 1 DAY")
+    active = seq.select(
+        "d",
+        F.when(F.col("d") == F.col("fd"), F.lit("new"))
+        .when(F.col("pd") == F.col("d") - one_day, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    maxd = ud.agg(F.max("d").alias("maxd"))
+    churned = (
+        seq.crossJoin(F.broadcast(maxd))
+        .where(
+            (F.col("nd").isNull() | (F.col("nd") != F.col("d") + one_day))
+            & (F.col("d") + one_day <= F.col("maxd"))
+        )
+        .select((F.col("d") + one_day).alias("d"), F.lit("churned").alias("state"))
+    )
+    return (
+        active.unionByName(churned)
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"), "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

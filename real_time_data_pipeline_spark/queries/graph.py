@@ -301,3 +301,148 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
     )
+
+
+_CLUSTERING_ORACLE = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dst_deg
+      FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM o e1
+      JOIN o e2 ON e1.src = e2.src
+              AND (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)
+      JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    node_tri AS (
+      SELECT n, count(*) AS t
+      FROM (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY 1
+    ),
+    coeff AS (
+      SELECT deg.n, deg.d, coalesce(node_tri.t, 0) AS t,
+             2.0 * coalesce(node_tri.t, 0) / (deg.d * (deg.d - 1)) AS cc
+      FROM deg LEFT JOIN node_tri ON node_tri.n = deg.n
+      WHERE deg.d >= 2
+    )
+    SELECT count(*) AS n_nodes_deg2,
+           round(avg(cc), 6) AS avg_clustering,
+           round(3.0 * (SELECT count(*) FROM tri)
+                 / sum(d * (d - 1) / 2.0), 6) AS transitivity
+    FROM coeff
+"""
+
+
+@query("graph_clustering_coefficient", oracle=_CLUSTERING_ORACLE)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (averaged) and global transitivity
+    of the part co-purchase graph — how cliquish each node's
+    neighborhood is (2·tri(v) / d(v)(d(v)−1)) and the wedge-closure
+    rate (3·triangles / wedges). The community-structure summary
+    statistics next to `graph_triangle_count`'s raw count.
+
+    Scale shape: identical degree-oriented wedge-close join as the
+    triangle count (fan-out bounded at each edge's low-degree end),
+    but triangles are kept as (a,b,c) rows and exploded to one row
+    per corner, so per-node counts are one hash aggregate; the wedge
+    denominator comes off the degree table. No global window, no
+    collect; avg/sum reduce to a 1-row result.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    a = li.withColumnsRenamed({"l_partkey": "u"})
+    b = li.withColumnsRenamed({"l_partkey": "v"})
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+        )
+        .localCheckpoint()
+    )
+    e1 = oriented.select("src", F.col("dst").alias("b"), F.col("dst_deg").alias("bd"))
+    e2 = oriented.select("src", F.col("dst").alias("c"), F.col("dst_deg").alias("cd"))
+    wedge_lt = (F.col("bd") < F.col("cd")) | (
+        (F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c"))
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = (
+        e1.join(e2, "src")
+        .where(wedge_lt)
+        .join(closing, ["b", "c"], "left_semi")
+        .select(F.col("src").alias("a"), "b", "c")
+        .localCheckpoint()
+    )
+    node_tri = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    coeff = (
+        deg.where(F.col("d") >= 2)
+        .join(node_tri, "n", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        )
+        .withColumn("cc", 2.0 * F.col("t") / (F.col("d") * (F.col("d") - 1)))
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("nt"))
+    return (
+        coeff.agg(
+            F.count(F.lit(1)).alias("n_nodes_deg2"),
+            F.round(F.avg("cc"), 6).alias("avg_clustering"),
+            F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2.0)).alias("__wedges"),
+        )
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes_deg2",
+            "avg_clustering",
+            F.round(F.lit(3.0) * F.col("nt") / F.col("__wedges"), 6).alias(
+                "transitivity"
+            ),
+        )
+    )
