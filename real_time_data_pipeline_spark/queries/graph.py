@@ -195,7 +195,10 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSION_SQL)
 
 
-_TRIANGLE_ORACLE = """
+# Shared CTE text: the co-purchase graph (edges = part pairs co-ordered
+# in >=2 distinct orders), degrees, and degree-ordered orientation —
+# used by both the triangle-count and clustering-coefficient oracles.
+_COPURCHASE_GRAPH_SQL = """
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     edges AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -213,8 +216,11 @@ _TRIANGLE_ORACLE = """
              CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
              CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dst_deg
       FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
-    ),
-    tri AS (
+    )
+"""
+
+_TRIANGLE_ORACLE = _COPURCHASE_GRAPH_SQL + """
+    , tri AS (
       SELECT count(*) AS t
       FROM o e1
       JOIN o e2 ON e1.src = e2.src
@@ -227,27 +233,12 @@ _TRIANGLE_ORACLE = """
 """
 
 
-@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed triangle counting over the part co-purchase graph
-    (edge = two parts co-ordered in ≥2 distinct orders) via
-    degree-ordered edge orientation — the Suri–Vassilvitskii pattern
-    that makes triangle enumeration feasible at scale.
-
-    Scale shape: every edge is oriented from its lower-(degree, id)
-    endpoint to its higher one, so wedges are only generated at each
-    edge's LOW-degree end — the join fan-out per node is bounded by
-    its out-degree, which orientation caps near sqrt(|E|) even for
-    celebrity nodes (a star hub of degree d contributes 0 wedges
-    instead of d²). Wedge endpoints are ordered by the SAME
-    (degree, id) key used for orientation, so the closing edge of a
-    triangle {a≺b≺c} is guaranteed stored as b→c and each triangle
-    is counted exactly once. Three shuffle joins total (two degree
-    attachments, one wedge-close); the edge list is localCheckpointed
-    once and reused by the degree count, both wedge sides, and the
-    closing probe. Nothing is collected; the same plan runs on a
-    billion-edge graph.
-    """
+def _copurchase_oriented(spark: SparkSession, sf_dir: str):
+    """(edges, deg, oriented) of the co-purchase graph, each
+    localCheckpointed for reuse across the downstream self-joins.
+    Orientation is low-(degree, id) -> high-(degree, id), the
+    Suri-Vassilvitskii trick that bounds wedge fan-out near sqrt(|E|)
+    per node even for celebrity hubs."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -270,6 +261,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -284,45 +276,46 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    return edges, deg, oriented
+
+
+def _wedge_close_triangles(oriented: DataFrame) -> DataFrame:
+    """Triangle corner rows (a, b, c): wedges generated at each edge's
+    low-degree end, endpoints ordered by the SAME (degree, id) key as
+    the orientation so the closing edge is guaranteed stored b->c and
+    each triangle appears exactly once."""
     e1 = oriented.select("src", F.col("dst").alias("b"), F.col("dst_deg").alias("bd"))
     e2 = oriented.select("src", F.col("dst").alias("c"), F.col("dst_deg").alias("cd"))
     wedge_lt = (F.col("bd") < F.col("cd")) | (
         (F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c"))
     )
     closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = (
+    return (
         e1.join(e2, "src")
         .where(wedge_lt)
         .join(closing, ["b", "c"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .select(F.col("src").alias("a"), "b", "c")
+    )
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the part co-purchase graph
+    via degree-ordered edge orientation (see `_copurchase_oriented` /
+    `_wedge_close_triangles` for the scale argument): three shuffle
+    joins total, nothing collected, the same plan runs on a
+    billion-edge graph."""
+    edges, deg, oriented = _copurchase_oriented(spark, sf_dir)
+    tri = _wedge_close_triangles(oriented).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
-    )
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
 
 
-_CLUSTERING_ORACLE = """
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM op a JOIN op b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
-    deg AS (
-      SELECT n, count(*) AS d
-      FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
-      GROUP BY 1
-    ),
-    o AS (
-      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
-             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
-             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dst_deg
-      FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
-    ),
-    tri AS (
+_CLUSTERING_ORACLE = _COPURCHASE_GRAPH_SQL + """
+    , tri AS (
       SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       FROM o e1
       JOIN o e2 ON e1.src = e2.src
@@ -353,67 +346,14 @@ _CLUSTERING_ORACLE = """
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient (averaged) and global transitivity
     of the part co-purchase graph — how cliquish each node's
-    neighborhood is (2·tri(v) / d(v)(d(v)−1)) and the wedge-closure
-    rate (3·triangles / wedges). The community-structure summary
-    statistics next to `graph_triangle_count`'s raw count.
-
-    Scale shape: identical degree-oriented wedge-close join as the
-    triangle count (fan-out bounded at each edge's low-degree end),
-    but triangles are kept as (a,b,c) rows and exploded to one row
-    per corner, so per-node counts are one hash aggregate; the wedge
-    denominator comes off the degree table. No global window, no
-    collect; avg/sum reduce to a 1-row result.
-    """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
-    )
-    a = li.withColumnsRenamed({"l_partkey": "u"})
-    b = li.withColumnsRenamed({"l_partkey": "v"})
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_co"))
-        .where(F.col("n_co") >= 2)
-        .select("u", "v")
-        .localCheckpoint()
-    )
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()
-    )
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        edges.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
-        )
-        .localCheckpoint()
-    )
-    e1 = oriented.select("src", F.col("dst").alias("b"), F.col("dst_deg").alias("bd"))
-    e2 = oriented.select("src", F.col("dst").alias("c"), F.col("dst_deg").alias("cd"))
-    wedge_lt = (F.col("bd") < F.col("cd")) | (
-        (F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c"))
-    )
-    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = (
-        e1.join(e2, "src")
-        .where(wedge_lt)
-        .join(closing, ["b", "c"], "left_semi")
-        .select(F.col("src").alias("a"), "b", "c")
-        .localCheckpoint()
-    )
+    neighborhood is (2*tri(v) / d(v)(d(v)-1)) and the wedge-closure
+    rate (3*triangles / wedges). Same degree-oriented wedge-close join
+    as `graph_triangle_count`, but triangles kept as corner rows and
+    exploded to one row per corner, so per-node counts are one hash
+    aggregate; the wedge denominator comes off the degree table. No
+    global window, no collect; avg/sum reduce to a 1-row result."""
+    _, deg, oriented = _copurchase_oriented(spark, sf_dir)
+    tri = _wedge_close_triangles(oriented).localCheckpoint()
     node_tri = (
         tri.select(F.col("a").alias("n"))
         .unionAll(tri.select(F.col("b").alias("n")))
@@ -424,10 +364,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     coeff = (
         deg.where(F.col("d") >= 2)
         .join(node_tri, "n", "left")
-        .select(
-            "d",
-            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
-        )
+        .select("d", F.coalesce(F.col("t"), F.lit(0)).alias("t"))
         .withColumn("cc", 2.0 * F.col("t") / (F.col("d") * (F.col("d") - 1)))
     )
     n_tri = tri.agg(F.count(F.lit(1)).alias("nt"))
