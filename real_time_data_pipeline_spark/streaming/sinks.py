@@ -138,16 +138,7 @@ def upsert_parquet(
       elects the same winner.
     """
     spark = batch_df.sparkSession
-    fs, jpath = _hadoop_fs(spark, path)
-    tmp_path, old_path = path.rstrip("/") + "__tmp__", path.rstrip("/") + "__old__"
-    jtmp, jold = _hadoop_fs(spark, tmp_path)[1], _hadoop_fs(spark, old_path)[1]
-
-    # Crash recovery: a previous call that died between the two swap
-    # renames leaves the committed table at __old__ — restore it.
-    if not fs.exists(jpath) and fs.exists(jold):
-        fs.rename(jold, jpath)
-
-    exists = bool(fs.exists(jpath))
+    fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, path)
 
     if partition_cols:
         parts = (
@@ -189,6 +180,24 @@ def upsert_parquet(
     # gold tables; use `merge_upsert_delta` where readers must never
     # observe the gap.
     _swap_write(fs, result, path, tmp_path, jpath, jtmp, jold, exists)
+
+
+def _swap_paths(spark: SparkSession, path: str):
+    """Resolve the swap-commit sibling paths for ``path`` and run
+    crash recovery: a previous commit that died between the two swap
+    renames leaves the committed table at ``__old__`` — restore it.
+    EVERY entry point that reads or rewrites a swap-committed table
+    must call this first (a reader that skips it would see the table
+    as absent and a writer would silently restart it from one batch).
+
+    Returns (fs, jpath, jtmp, jold, tmp_path, exists).
+    """
+    fs, jpath = _hadoop_fs(spark, path)
+    tmp_path, old_path = path.rstrip("/") + "__tmp__", path.rstrip("/") + "__old__"
+    jtmp, jold = _hadoop_fs(spark, tmp_path)[1], _hadoop_fs(spark, old_path)[1]
+    if not fs.exists(jpath) and fs.exists(jold):
+        fs.rename(jold, jpath)
+    return fs, jpath, jtmp, jold, tmp_path, bool(fs.exists(jpath))
 
 
 def _swap_write(
@@ -268,13 +277,26 @@ def cdc_upsert_parquet(
     dimension-sized snapshots.
     """
     spark = batch_df.sparkSession
+    if tombstone_col not in batch_df.columns:
+        # Validated at write time even though only readers consult it:
+        # a typo'd flag column would otherwise surface much later as
+        # deleted keys served live by current_snapshot.
+        raise ValueError(
+            f"tombstone_col {tombstone_col!r} not in batch columns "
+            f"{batch_df.columns}"
+        )
+    # Shared-path resolution ALSO runs __old__ crash recovery — the
+    # bucketed branch needs it too: expire_tombstones swap-commits
+    # even on bucketed layouts, and a merge that missed the restore
+    # would silently restart the snapshot from one micro-batch.
+    fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, path)
     if n_buckets is not None:
         batch = batch_df.withColumn(
             bucket_col,
             F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int"),
         )
         old = None
-        if table_exists(spark, path):
+        if exists:
             touched = [
                 r[0] for r in batch.select(bucket_col).distinct().collect()
             ]  # micro-batch-bounded
@@ -290,12 +312,6 @@ def cdc_upsert_parquet(
             .parquet(path)
         )
         return
-    fs, jpath = _hadoop_fs(spark, path)
-    tmp_path, old_path = path.rstrip("/") + "__tmp__", path.rstrip("/") + "__old__"
-    jtmp, jold = _hadoop_fs(spark, tmp_path)[1], _hadoop_fs(spark, old_path)[1]
-    if not fs.exists(jpath) and fs.exists(jold):
-        fs.rename(jold, jpath)  # crash recovery, as in upsert_parquet
-    exists = bool(fs.exists(jpath))
     old = spark.read.parquet(path) if exists else None
     result = _merge_event_time_wins(old, batch_df, keys, order_cols)
     _swap_write(fs, result, path, tmp_path, jpath, jtmp, jold, exists)
@@ -326,17 +342,18 @@ def expire_tombstones(
     """Drop tombstones older than ``horizon`` (exclusive) from a CDC
     snapshot table — safe once no in-flight change can predate the
     horizon (the stream's watermark bound). Same crash-safe swap
-    commit as the merge itself; pass the bucketed layout's
-    ``partition_cols`` so the rewrite preserves partitioning (the
-    swap, not dynamic overwrite, because a bucket whose rows ALL
-    expire must end up deleted, not left stale)."""
-    fs, jpath = _hadoop_fs(spark, path)
-    tmp_path, old_path = path.rstrip("/") + "__tmp__", path.rstrip("/") + "__old__"
-    jtmp, jold = _hadoop_fs(spark, tmp_path)[1], _hadoop_fs(spark, old_path)[1]
-    if not fs.exists(jpath) and fs.exists(jold):
-        fs.rename(jold, jpath)
-    if not fs.exists(jpath):
+    commit as the merge itself. The table's partition layout is
+    AUTO-DETECTED from its directory structure (the swap, not dynamic
+    overwrite, because a bucket whose rows ALL expire must end up
+    deleted, not left stale — but the rewrite must reproduce the
+    layout, or the next bucketed merge would leave a mixed-depth
+    directory that parquet partition discovery rejects). Pass
+    ``partition_cols`` only to override the detection."""
+    fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, path)
+    if not exists:
         return
+    if partition_cols is None:
+        partition_cols = _detect_partition_cols(fs, jpath)
     df = spark.read.parquet(path)
     keep = ~(
         F.coalesce(F.col(tombstone_col), F.lit(False))
@@ -346,8 +363,26 @@ def expire_tombstones(
     # current table is still in place; only then do the renames run.
     _swap_write(
         fs, df.where(keep), path, tmp_path, jpath, jtmp, jold, True,
-        partition_by=partition_cols,
+        partition_by=partition_cols or None,
     )
+
+
+def _detect_partition_cols(fs, jpath) -> "list[str]":
+    """Partition columns of an on-disk parquet table, read off its
+    ``col=value`` directory levels (depth-first along the first
+    subdirectory chain — hive layouts are uniform across siblings)."""
+    cols: list[str] = []
+    current = jpath
+    while True:
+        subdirs = [
+            st.getPath()
+            for st in fs.listStatus(current)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].getName().split("=", 1)[0])
+        current = subdirs[0]
 
 
 def foreach_batch_cdc(

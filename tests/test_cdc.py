@@ -176,3 +176,55 @@ def test_cdc_bucketed_merge_prunes_partitions(spark, tmp_path):
     # and the end-to-end merge still lands the row
     cdc_upsert_parquet(batch, path, **kw)
     assert _snap(spark, path)[1] == (7.0, _ts(20))
+
+
+def test_cdc_bucketed_crash_recovery_restores_backup(spark, tmp_path):
+    """A crash between expire_tombstones' two swap renames leaves the
+    snapshot only at __old__; the next bucketed merge must restore it
+    rather than silently restarting the table from one micro-batch."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "snap_bkt")
+    kw = dict(keys=["user_id"], order_cols=["ts", "event_id"],
+              tombstone_col="is_delete", n_buckets=8)
+    cdc_upsert_parquet(
+        _chg(spark, [(k, 10, 100 + k, float(k), False) for k in range(1, 6)]),
+        path, **kw,
+    )
+    # simulate the mid-swap crash state
+    shutil.move(path, path + "__old__")
+    assert not os.path.exists(path)
+    cdc_upsert_parquet(_chg(spark, [(9, 20, 200, 9.0, False)]), path, **kw)
+    got = _snap(spark, path)
+    assert set(got) == {1, 2, 3, 4, 5, 9}  # old snapshot recovered + merged
+
+
+def test_expire_tombstones_autodetects_bucketed_layout(spark, tmp_path):
+    """Retention called WITHOUT partition_cols on a bucketed snapshot
+    must preserve the bkt= layout (a flat rewrite would leave the next
+    bucketed merge with a mixed-depth directory parquet rejects)."""
+    import os
+
+    path = str(tmp_path / "snap_bkt")
+    kw = dict(keys=["user_id"], order_cols=["ts", "event_id"],
+              tombstone_col="is_delete", n_buckets=8)
+    cdc_upsert_parquet(
+        _chg(spark, [(1, 10, 100, 1.0, False), (2, 20, 101, 0.0, True)]),
+        path, **kw,
+    )
+    expire_tombstones(spark, path, "is_delete", "ts", _ts(30))  # no partition_cols
+    assert any(d.startswith("bkt=") for d in os.listdir(path))
+    cdc_upsert_parquet(_chg(spark, [(3, 30, 102, 3.0, False)]), path, **kw)
+    assert _snap(spark, path) == {1: (1.0, _ts(10)), 3: (3.0, _ts(30))}
+
+
+def test_cdc_rejects_missing_tombstone_column(spark, tmp_path):
+    import pytest
+
+    batch = _chg(spark, [(1, 10, 100, 1.0, False)])
+    with pytest.raises(ValueError, match="tombstone_col"):
+        cdc_upsert_parquet(
+            batch, str(tmp_path / "s"), keys=["user_id"],
+            order_cols=["ts", "event_id"], tombstone_col="deleted_flag",
+        )
