@@ -228,3 +228,46 @@ def test_cdc_rejects_missing_tombstone_column(spark, tmp_path):
             batch, str(tmp_path / "s"), keys=["user_id"],
             order_cols=["ts", "event_id"], tombstone_col="deleted_flag",
         )
+
+
+def test_cdc_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The O(touched buckets) claim, physically: merging a one-key
+    batch must leave every other bucket's files byte-identical and
+    untouched on disk (dynamic partition overwrite, not a table
+    rewrite)."""
+    import os
+
+    path = str(tmp_path / "snap_bkt")
+    kw = dict(keys=["user_id"], order_cols=["ts", "event_id"],
+              tombstone_col="is_delete", n_buckets=8)
+    cdc_upsert_parquet(
+        _chg(spark, [(k, 10, 100 + k, float(k), False) for k in range(1, 40)]),
+        path, **kw,
+    )
+
+    def bucket_files(root):
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("bkt="):
+                full = os.path.join(root, d)
+                out[d] = {
+                    f: os.stat(os.path.join(full, f)).st_mtime_ns
+                    for f in os.listdir(full) if f.endswith(".parquet")
+                }
+        return out
+
+    before = bucket_files(path)
+    batch = _chg(spark, [(1, 20, 500, 42.0, False)])
+    touched = "bkt=%d" % batch.select(
+        F.pmod(F.xxhash64("user_id"), F.lit(8)).cast("int").alias("b")
+    ).first().b
+    cdc_upsert_parquet(batch, path, **kw)
+    after = bucket_files(path)
+
+    assert before.keys() == after.keys()
+    for d in before:
+        if d == touched:
+            assert before[d] != after[d], "touched bucket must be rewritten"
+        else:
+            assert before[d] == after[d], f"untouched bucket {d} was rewritten"
+    assert _snap(spark, path)[1] == (42.0, _ts(20))
