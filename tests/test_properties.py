@@ -261,3 +261,60 @@ def test_cross_jaccard_equals_full_jaccard_across_cut(sf_dir):
         ).collect()
     }
     assert cross == full
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(1, 5),        # key
+            st.integers(0, 50),       # event-time seconds
+            st.floats(0, 100, allow_nan=False, width=32),
+            st.booleans(),            # tombstone?
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    assignment=st.lists(st.integers(0, 2), min_size=20, max_size=20),
+)
+@settings(max_examples=6, deadline=None)
+def test_cdc_snapshot_invariant_under_batching(tmp_path_factory, changes, assignment):
+    """CDC convergence: ANY split of a changelog into micro-batches,
+    applied in any batch order, yields the same snapshot as applying
+    the whole log at once — the event-time-wins merge is associative
+    over batching (what makes out-of-order replay safe)."""
+    import datetime
+
+    from real_time_data_pipeline_spark.streaming.sinks import (
+        cdc_upsert_parquet,
+        current_snapshot,
+    )
+
+    def chg_df(rows):
+        t0 = datetime.datetime(2024, 1, 1)
+        return _spark.createDataFrame(
+            [(k, t0 + datetime.timedelta(seconds=t), i, float(v), d)
+             for i, (k, t, v, d) in rows],
+            "user_id bigint, ts timestamp, event_id bigint, value double, is_delete boolean",
+        )
+
+    rows = list(enumerate(changes))  # unique event_id per change
+    kw = dict(keys=["user_id"], order_cols=["ts", "event_id"],
+              tombstone_col="is_delete")
+
+    base = str(tmp_path_factory.mktemp("cdc_prop"))
+    one_shot = base + "/one"
+    cdc_upsert_parquet(chg_df(rows), one_shot, **kw)
+
+    split = base + "/split"
+    for b in range(3):
+        batch = [r for r, a in zip(rows, assignment) if a == b]
+        if batch:
+            cdc_upsert_parquet(chg_df(batch), split, **kw)
+
+    def snap(p):
+        return {
+            r.user_id: (r.value, r.ts)
+            for r in current_snapshot(_spark, p, "is_delete").collect()
+        }
+
+    assert snap(one_shot) == snap(split)
