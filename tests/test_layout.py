@@ -46,3 +46,51 @@ def test_zorder_partitions_bound_the_non_sort_dimension(spark):
     assert s_dvs[len(s_dvs) // 2] > 0.8 * gv
     # z-ordered: the median partition bounds the value dimension tightly
     assert z_dvs[len(z_dvs) // 2] <= gv / 4
+
+
+def test_compact_parquet_reduces_files_and_preserves_data(spark, tmp_path):
+    """Many micro-batch-sized files collapse to ~target-sized few;
+    rows and values survive byte-identically; swap commit leaves no
+    temp/backup dirs behind."""
+    import os
+
+    from real_time_data_pipeline_spark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "small_files")
+    for i in range(12):  # 12 tiny append commits = 12+ files
+        spark.range(i * 100, (i + 1) * 100).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert before >= 12
+
+    n_after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n_after < before
+    assert n_after == sum(f.endswith(".parquet") for f in os.listdir(path))
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(i, i * 2) for i in range(1200)}
+    assert not os.path.exists(path + "__tmp__")
+    assert not os.path.exists(path + "__old__")
+
+
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    import os
+
+    from real_time_data_pipeline_spark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "part_small")
+    for i in range(6):
+        (
+            spark.range(i * 50, (i + 1) * 50)
+            .withColumn("shard", (F.col("id") % 3).cast("int"))
+            .repartition(2)
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("shard=")
+    ) == ["shard=0", "shard=1", "shard=2"]
+    got = {(r.id, r.shard) for r in spark.read.parquet(path).collect()}
+    assert got == {(i, i % 3) for i in range(300)}
