@@ -851,3 +851,50 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_pa
     # rows stay buffered (watermark never passes end-of-stream)
     assert (1, 2) in got
     assert (3, None) in got
+
+
+def test_progress_capture_listener_records_batches(spark, tmp_path):
+    """The progress listener records one row per micro-batch with real
+    input counts, and exposes them as a queryable DataFrame."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.streaming.metrics import (
+        attach_progress_capture,
+    )
+
+    d = str(tmp_path / "replay")
+    os.makedirs(d, exist_ok=True)
+    for i in range(3):
+        pd.DataFrame({"id": range(i * 10, (i + 1) * 10)}).to_parquet(
+            os.path.join(d, f"b{i}.parquet"), index=False
+        )
+    cap = attach_progress_capture(spark)
+    try:
+        stream = file_stream(spark, d, "id bigint", max_files_per_trigger=1)
+        q = (
+            stream.writeStream.format("noop")
+            .queryName("metrics_probe")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener events arrive on an async bus thread — wait bounded
+        import time
+
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = [r for r in cap.rows() if r["query_name"] == "metrics_probe"]
+            if sum(r["num_input_rows"] for r in rows) >= 30:
+                break
+            time.sleep(0.2)
+        assert sum(r["num_input_rows"] for r in rows) == 30
+        assert len(rows) >= 3  # one per file-paced micro-batch
+        mf = cap.progress_frame(spark)
+        got = mf.where(F.col("query_name") == "metrics_probe").agg(
+            F.sum("num_input_rows").alias("n")
+        ).first().n
+        assert got == 30
+    finally:
+        spark.streams.removeListener(cap)
