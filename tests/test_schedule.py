@@ -188,3 +188,61 @@ def test_backfill_job_spark_submit(spark, tmp_path):
     assert "backfill 2024-05-06: 2 gold rows" in out.stdout
     gold = spark.read.parquet(str(tmp_path / "gold"))
     assert {r.station_id for r in gold.collect()} == {"a", "b"}
+
+
+def test_maintenance_dag_expires_tombstones_then_compacts(spark, tmp_path):
+    """The new maintenance ops as scheduled tasks: a CDC snapshot with
+    stale tombstones and micro-batch file litter is cleaned by an
+    expire → compact DAG; both effects land and the run reports
+    success."""
+    import datetime
+    import os
+
+    from real_time_data_pipeline_spark.operators.layout import compact_parquet
+    from real_time_data_pipeline_spark.pipelines.schedule import TaskSpec, run_dag
+    from real_time_data_pipeline_spark.streaming.sinks import (
+        cdc_upsert_parquet,
+        current_snapshot,
+        expire_tombstones,
+    )
+
+    path = str(tmp_path / "snap")
+    t0 = datetime.datetime(2024, 1, 1)
+    kw = dict(keys=["user_id"], order_cols=["ts", "event_id"],
+              tombstone_col="is_delete")
+    # many single-row batches -> one file each + old tombstones
+    for i in range(6):
+        cdc_upsert_parquet(
+            spark.createDataFrame(
+                [(i, t0 + datetime.timedelta(seconds=i), i, float(i), i % 2 == 0)],
+                "user_id bigint, ts timestamp, event_id bigint, value double, is_delete boolean",
+            ),
+            path, **kw,
+        )
+
+    run = run_dag(
+        [
+            TaskSpec(
+                name="expire_tombstones",
+                fn=lambda: expire_tombstones(
+                    spark, path, "is_delete", "ts",
+                    t0 + datetime.timedelta(seconds=60),
+                ),
+                retry_delay_s=0.0,
+            ),
+            TaskSpec(
+                name="compact",
+                fn=lambda: compact_parquet(spark, path, target_file_bytes=1 << 30),
+                retry_delay_s=0.0,
+            ),
+        ],
+        deps={"compact": ["expire_tombstones"]},
+        sleep=lambda s: None,
+    )
+    assert run.ok
+    stored = spark.read.parquet(path)
+    assert stored.where("is_delete").count() == 0          # expired
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_files == 1                                     # compacted
+    got = {r.user_id for r in current_snapshot(spark, path, "is_delete").collect()}
+    assert got == {1, 3, 5}                                 # live keys intact
