@@ -921,3 +921,79 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"), "state")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "event_rolling_7d_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           count(DISTINCT ud.user_id) AS wau
+    FROM days JOIN ud
+      ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY 1
+    """,
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (daily WAU) — the rolling
+    distinct-count every engagement dashboard plots, which neither
+    Spark nor ANSI window functions can express as COUNT(DISTINCT)
+    OVER a frame.
+
+    Scale shape: activity is first collapsed to the (day, user) grain
+    (one distinct — the only corpus-sized shuffle), then range-joined
+    against the DISTINCT DAYS dimension, which is calendar-sized and
+    broadcast: the fan-out is exactly 7× the user-day grain,
+    independent of raw event volume, and the final day-grain distinct
+    aggregate is over that bounded frame. No window at all, so
+    nothing is single-partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = ud.select(F.col("d").alias("day_d")).distinct()
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("d") >= F.col("day_d") - F.expr("INTERVAL 6 DAY"))
+            & (F.col("d") <= F.col("day_d")),
+        )
+        .groupBy(F.date_format("day_d", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@query(
+    "event_power_user_curve",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), per_user AS (
+      SELECT user_id, count(*) AS active_days FROM ud GROUP BY 1
+    )
+    SELECT active_days, count(*) AS n_users
+    FROM per_user GROUP BY 1
+    """,
+)
+def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve (the L30/L7 engagement histogram): how many
+    users were active on exactly N distinct days — the
+    smile-vs-frown shape product teams read addiction off.
+
+    Scale shape: (day, user) distinct, a user-grain count, then a
+    histogram aggregate over the bounded active-days domain; three
+    map-side-combinable aggregates, no window, no collect.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    per_user = ud.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("active_days")
+    )
+    return per_user.groupBy("active_days").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
