@@ -74,15 +74,28 @@ def compact_parquet(
     ~``target_file_bytes`` files, preserving the partition layout.
     Returns the file count after compaction.
 
-    Scale shape: file count is computed from the table's actual
-    on-disk bytes (Hadoop FS listing, no data read); the rewrite is
-    one coalesce-free repartition — at most one shuffle of the data,
-    the same cost every compactor pays — committed with the
-    rename-swap so readers never see a half-compacted table and a
-    crash leaves the original intact. Partition layout is
-    auto-detected like `expire_tombstones` when not given. Run it
-    from the scheduler (pipelines/schedule) off the hot path.
+    Scale shape: sizing comes from the FS listing (no data read).
+    Flat tables hash-repartition to ceil(bytes/target) tasks. For
+    PARTITIONED tables, hashing by the partition columns alone would
+    collapse each partition directory to ONE file regardless of size
+    (a 5 GB day partition written by one task), so each row gets a
+    salt bounded by its own partition's file budget — computed from a
+    per-partition-value row count joined back in — and the shuffle
+    key is (partition cols, salt): every (value, salt) bucket is one
+    task writing one right-sized file. One count aggregate + one
+    shuffle, committed with the rename-swap so readers never see a
+    half-compacted table and a crash leaves the original intact.
+
+    REFUSES tables managed by a streaming FileStreamSink
+    (``_spark_metadata`` present): rewriting their files without
+    rewriting the sink's transaction log would make compacted history
+    invisible to log-trusting readers. Stop the sink and migrate (or
+    compact downstream copies) instead. Run from the scheduler
+    (pipelines/schedule) off the hot path; single-writer discipline
+    as everywhere in this module.
     """
+    from pyspark.sql import functions as F
+
     from real_time_data_pipeline_spark.streaming.sinks import (
         _detect_partition_cols,
         _swap_paths,
@@ -92,40 +105,58 @@ def compact_parquet(
     fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, path)
     if not exists:
         return 0
+    if any(
+        st.getPath().getName() == "_spark_metadata" for st in fs.listStatus(jpath)
+    ):
+        raise ValueError(
+            f"{path} is managed by a streaming FileStreamSink "
+            "(_spark_metadata present); compacting it would orphan the "
+            "sink's transaction log and hide compacted files from "
+            "log-trusting readers"
+        )
     if partition_cols is None:
         partition_cols = _detect_partition_cols(fs, jpath)
 
-    def walk_bytes(p):
+    def walk(p, per_file):
         total = 0
         for st in fs.listStatus(p):
             if st.isDirectory():
-                total += walk_bytes(st.getPath())
+                total += walk(st.getPath(), per_file)
             elif st.getPath().getName().endswith(".parquet"):
-                total += st.getLen()
+                total += per_file(st)
         return total
 
-    total_bytes = walk_bytes(jpath)
-    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    total_bytes = walk(jpath, lambda st: st.getLen())
     df = spark.read.parquet(path)
-    # Repartition by the partition columns so each output partition
-    # directory is written by as few tasks as possible (hash keeps
-    # same-partition rows together); plain round-robin when flat.
+
     if partition_cols:
-        compacted = df.repartition(n_files, *partition_cols)
+        # Per-partition-value file budgets from row counts scaled by
+        # the table-wide bytes/row (exact per-value bytes would need a
+        # value<->directory mapping; the estimate only skews file
+        # sizes, never correctness).
+        counts = df.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("__rows"))
+        total_rows = df.count()
+        bytes_per_row = (total_bytes / total_rows) if total_rows else 0.0
+        files = counts.withColumn(
+            "__files",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("__rows") * F.lit(bytes_per_row) / F.lit(target_file_bytes)),
+            ).cast("int"),
+        ).drop("__rows")
+        n_tasks = max(1, files.agg(F.sum("__files")).first()[0] or 1)
+        salted = df.join(F.broadcast(files), partition_cols).withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__files")),
+        )
+        compacted = salted.repartition(
+            n_tasks, *partition_cols, F.col("__salt")
+        ).drop("__files", "__salt")
     else:
+        n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
         compacted = df.repartition(n_files)
     _swap_write(
         fs, compacted, path, tmp_path, jpath, jtmp, jold, True,
         partition_by=partition_cols or None,
     )
-
-    def count_files(p):
-        n = 0
-        for st in fs.listStatus(p):
-            if st.isDirectory():
-                n += count_files(st.getPath())
-            elif st.getPath().getName().endswith(".parquet"):
-                n += 1
-        return n
-
-    return count_files(_swap_paths(spark, path)[1])
+    return walk(jpath, lambda st: 1)

@@ -943,24 +943,33 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     OVER a frame.
 
     Scale shape: activity is first collapsed to the (day, user) grain
-    (one distinct — the only corpus-sized shuffle), then range-joined
-    against the DISTINCT DAYS dimension, which is calendar-sized and
-    broadcast: the fan-out is exactly 7× the user-day grain,
-    independent of raw event volume, and the final day-grain distinct
-    aggregate is over that bounded frame. No window at all, so
-    nothing is single-partition.
+    (one distinct — the only corpus-sized shuffle); each user-day then
+    EXPLODES into exactly the 7 window-anchor days it contributes to
+    (``sequence(d, d+6)``), equi-joined against the broadcast
+    calendar-sized distinct-days dimension. A broadcast RANGE join
+    here would plan as BroadcastNestedLoopJoin — every user-day
+    compared against every calendar day, O(user_days × days) — while
+    the explode keeps the fan-out at exactly 7× the user-day grain
+    with a hash join, independent of history length. No window at
+    all, so nothing is single-partition.
     """
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(
         F.date_trunc("day", "ts").alias("d"), "user_id"
     ).distinct()
     days = ud.select(F.col("d").alias("day_d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day_d"),
+    )
     return (
-        ud.join(
-            F.broadcast(days),
-            (F.col("d") >= F.col("day_d") - F.expr("INTERVAL 6 DAY"))
-            & (F.col("d") <= F.col("day_d")),
-        )
+        contrib.join(F.broadcast(days), "day_d")
         .groupBy(F.date_format("day_d", "yyyy-MM-dd").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
     )

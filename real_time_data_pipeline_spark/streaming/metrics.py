@@ -20,24 +20,36 @@ micro-batch) so the write cost is noise.
 from __future__ import annotations
 
 import json
+import threading
 from collections import deque
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
 
-PROGRESS_SCHEMA = (
-    "query_name string, batch_id long, timestamp string, "
-    "num_input_rows long, input_rows_per_second double, "
-    "processed_rows_per_second double, batch_duration_ms long, "
-    "state_rows long, watermark string"
-)
+_FIELDS = [
+    ("query_name", "string"),
+    ("batch_id", "long"),
+    ("timestamp", "string"),
+    ("num_input_rows", "long"),
+    ("input_rows_per_second", "double"),
+    ("processed_rows_per_second", "double"),
+    ("batch_duration_ms", "long"),
+    ("state_rows", "long"),
+    ("watermark", "string"),
+]
+PROGRESS_SCHEMA = ", ".join(f"{n} {t}" for n, t in _FIELDS)
 
 
 class ProgressCapture(StreamingQueryListener):
-    """Collects micro-batch progress events into a bounded buffer."""
+    """Collects micro-batch progress events into a bounded buffer.
+
+    Appends happen on Spark's listener-bus thread while readers call
+    `rows`/`progress_frame` from their own — the buffer is guarded by
+    a lock (an unguarded deque raises mid-iteration when mutated)."""
 
     def __init__(self, max_batches: int = 1000):
         self._buf: deque = deque(maxlen=max_batches)
+        self._lock = threading.Lock()
 
     # -- StreamingQueryListener interface --------------------------------
     def onQueryStarted(self, event) -> None:  # pragma: no cover - trivial
@@ -46,22 +58,27 @@ class ProgressCapture(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:
         p = json.loads(event.progress.json)
         durations = p.get("durationMs") or {}
-        state = (p.get("stateOperators") or [{}])[0]
-        self._buf.append(
-            {
-                "query_name": p.get("name"),
-                "batch_id": p.get("batchId"),
-                "timestamp": p.get("timestamp"),
-                "num_input_rows": p.get("numInputRows", 0),
-                "input_rows_per_second": float(p.get("inputRowsPerSecond") or 0.0),
-                "processed_rows_per_second": float(
-                    p.get("processedRowsPerSecond") or 0.0
-                ),
-                "batch_duration_ms": durations.get("triggerExecution", 0),
-                "state_rows": state.get("numRowsTotal", 0),
-                "watermark": (p.get("eventTime") or {}).get("watermark"),
-            }
+        # Sum across ALL state operators: a dedup + windowed-agg (or
+        # stream-stream join) query reports several, and an unbounded
+        # second operator must not hide behind the first.
+        state_rows = sum(
+            op.get("numRowsTotal", 0) for op in p.get("stateOperators") or []
         )
+        row = {
+            "query_name": p.get("name"),
+            "batch_id": p.get("batchId"),
+            "timestamp": p.get("timestamp"),
+            "num_input_rows": p.get("numInputRows", 0),
+            "input_rows_per_second": float(p.get("inputRowsPerSecond") or 0.0),
+            "processed_rows_per_second": float(
+                p.get("processedRowsPerSecond") or 0.0
+            ),
+            "batch_duration_ms": durations.get("triggerExecution", 0),
+            "state_rows": state_rows,
+            "watermark": (p.get("eventTime") or {}).get("watermark"),
+        }
+        with self._lock:
+            self._buf.append(row)
 
     def onQueryTerminated(self, event) -> None:  # pragma: no cover - trivial
         pass
@@ -71,7 +88,8 @@ class ProgressCapture(StreamingQueryListener):
 
     # -- query surface ---------------------------------------------------
     def rows(self) -> list[dict]:
-        return list(self._buf)
+        with self._lock:
+            return list(self._buf)
 
     def progress_frame(self, spark: SparkSession) -> DataFrame:
         """The captured progress as a DataFrame (PROGRESS_SCHEMA) —
@@ -80,8 +98,7 @@ class ProgressCapture(StreamingQueryListener):
         if not rows:
             return spark.createDataFrame([], PROGRESS_SCHEMA)
         return spark.createDataFrame(
-            [tuple(r[f.split(" ")[0]] for f in PROGRESS_SCHEMA.split(", "))
-             for r in rows],
+            [tuple(r[name] for name, _ in _FIELDS) for r in rows],
             PROGRESS_SCHEMA,
         )
 

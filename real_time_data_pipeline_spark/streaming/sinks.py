@@ -359,10 +359,21 @@ def expire_tombstones(
         F.coalesce(F.col(tombstone_col), F.lit(False))
         & (F.col(order_col) < F.lit(horizon))
     )
+    result = df.where(keep)
+    if partition_cols and result.isEmpty():
+        # A partitionBy write of zero rows emits no data files at all
+        # (only _SUCCESS) — an unreadable directory. A fully-expired
+        # snapshot is semantically an ABSENT table (the next merge
+        # recreates it), so delete it through the same crash window
+        # the swap uses: back up, then drop the backup.
+        fs.delete(jold, True)
+        fs.rename(jpath, jold)
+        fs.delete(jold, True)
+        return
     # No materialization needed: the tmp write executes while the
     # current table is still in place; only then do the renames run.
     _swap_write(
-        fs, df.where(keep), path, tmp_path, jpath, jtmp, jold, True,
+        fs, result, path, tmp_path, jpath, jtmp, jold, True,
         partition_by=partition_cols or None,
     )
 

@@ -271,3 +271,24 @@ def test_cdc_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
         else:
             assert before[d] == after[d], f"untouched bucket {d} was rewritten"
     assert _snap(spark, path)[1] == (42.0, _ts(20))
+
+
+def test_expire_tombstones_fully_expired_bucketed_table_becomes_absent(spark, tmp_path):
+    """When EVERY row is an expired tombstone, a partitionBy write of
+    zero rows would leave an unreadable directory (no data files) —
+    the table must instead become absent, which the next merge
+    recreates cleanly."""
+    import os
+
+    path = str(tmp_path / "snap_bkt")
+    kw = dict(keys=["user_id"], order_cols=["ts", "event_id"],
+              tombstone_col="is_delete", n_buckets=4)
+    cdc_upsert_parquet(
+        _chg(spark, [(1, 10, 100, 0.0, True), (2, 11, 101, 0.0, True)]),
+        path, **kw,
+    )
+    expire_tombstones(spark, path, "is_delete", "ts", _ts(30))
+    assert not os.path.exists(path)
+    # the maintenance DAG's next step / next merge must both work
+    cdc_upsert_parquet(_chg(spark, [(3, 20, 102, 3.0, False)]), path, **kw)
+    assert _snap(spark, path) == {3: (3.0, _ts(20))}

@@ -94,3 +94,47 @@ def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
     ) == ["shard=0", "shard=1", "shard=2"]
     got = {(r.id, r.shard) for r in spark.read.parquet(path).collect()}
     assert got == {(i, i % 3) for i in range(300)}
+
+
+def test_compact_parquet_splits_large_partitions_by_target(spark, tmp_path):
+    """A partition directory bigger than the target must come out as
+    MULTIPLE right-sized files, not one file per partition value."""
+    import os
+
+    from real_time_data_pipeline_spark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "skewed")
+    (
+        spark.range(0, 20000)
+        .withColumn("shard", (F.col("id") % 2).cast("int"))
+        .withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+        .write.partitionBy("shard")
+        .parquet(path)
+    )
+    # pick a target ~1/4 of a partition's bytes -> expect >=2 files/dir
+    dir0 = os.path.join(path, "shard=0")
+    part_bytes = sum(
+        os.path.getsize(os.path.join(dir0, f))
+        for f in os.listdir(dir0) if f.endswith(".parquet")
+    )
+    compact_parquet(spark, path, target_file_bytes=max(1, part_bytes // 4))
+    for d in ("shard=0", "shard=1"):
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) >= 2, f"{d} collapsed to one file despite small target"
+    got = spark.read.parquet(path)
+    assert got.count() == 20000
+    assert got.select(F.count_distinct("id")).first()[0] == 20000
+
+
+def test_compact_parquet_refuses_filestreamsink_tables(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from real_time_data_pipeline_spark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "sinkish")
+    spark.range(10).write.parquet(path)
+    os.makedirs(os.path.join(path, "_spark_metadata"))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_parquet(spark, path)
