@@ -1833,3 +1833,57 @@ def q_length_terciles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "multimodal_shard_plan",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sum(CAST(octet_length(encode(text)) AS BIGINT))
+               OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    SELECT CAST((cum - n_bytes) // 65536 AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM p GROUP BY 1
+    """,
+)
+def q_multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing plan for binary payloads: docs in
+    id order are packed into ~64 KiB shards by START OFFSET (a doc
+    whose payload straddles a boundary belongs to the shard its first
+    byte falls in), with per-shard doc count, bytes, and the
+    contiguous id range a tar writer needs. The multimodal twin of
+    `sequence_packing_plan` — bytes instead of tokens.
+
+    Scale shape: the running byte offset is operators/ranking's
+    `global_prefix_sum` (range repartition + per-partition running sum
+    + broadcast offsets) — bit-identical to the ANSI running-sum
+    window the oracle uses, with no single-partition window — and the
+    shard rollup is one hash aggregate on the shard id.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    cum = global_prefix_sum(docs, [F.asc("doc_id")], "n_bytes", out_col="cum")
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.expr("CAST((cum - n_bytes) div 65536 AS BIGINT)"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
