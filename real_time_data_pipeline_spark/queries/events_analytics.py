@@ -1006,3 +1006,59 @@ def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("active_days").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "event_seasonal_anomaly_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
+    ), base AS (
+      SELECT h, n,
+             avg(n)    OVER w AS mu,
+             stddev(n) OVER w AS sd,
+             count(*)  OVER w AS m
+      FROM hourly
+      WINDOW w AS (PARTITION BY extract(hour FROM h) ORDER BY h
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, n AS n_events,
+           round(mu, 6) AS baseline,
+           (abs(n - mu) > 2 * sd) AS flagged
+    FROM base WHERE m = 3 AND sd > 0
+    """,
+)
+def q_seasonal_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomaly: each hour's event count
+    against the trailing mean/stddev of the SAME hour-of-day (the
+    last 3 occurrences), flagging >2σ deviations — the baseline that
+    doesn't page at 9am because 3am was quiet, complementing the
+    global CUSUM and rolling z-score detectors.
+
+    Scale shape: raw events collapse to the hour grain first (one
+    hash aggregate — the only corpus-sized pass), then every window
+    is PARTITIONED by hour-of-day over a bounded 3-row trailing
+    frame; state per partition is the hour-grain history, never
+    events. Counts are exact ints, so the only floats are the
+    identically-computed avg/stddev, rounded 6dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy(F.hour("h"))
+        .orderBy("h")
+        .rowsBetween(-3, -1)
+    )
+    base = (
+        hourly.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sd", F.stddev("n").over(w))
+        .withColumn("m", F.count(F.lit(1)).over(w))
+    )
+    return base.where((F.col("m") == 3) & (F.col("sd") > 0)).select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("n").alias("n_events"),
+        F.round("mu", 6).alias("baseline"),
+        (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sd")).alias("flagged"),
+    )
