@@ -1799,3 +1799,145 @@ def q_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_dollars"),
     )
+
+
+@query(
+    "data_psi_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ), tagged AS (
+      SELECT value,
+             epoch_us(ts) < (SELECT (lo + hi) // 2 FROM bounds) AS is_ref
+      FROM events
+    ), edges AS (
+      SELECT quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM tagged WHERE is_ref
+    ), binned AS (
+      SELECT is_ref,
+             1 + CAST(qs[1] <= value AS INT) + CAST(qs[2] <= value AS INT)
+               + CAST(qs[3] <= value AS INT) + CAST(qs[4] <= value AS INT)
+               + CAST(qs[5] <= value AS INT) + CAST(qs[6] <= value AS INT)
+               + CAST(qs[7] <= value AS INT) + CAST(qs[8] <= value AS INT)
+               + CAST(qs[9] <= value AS INT) AS bin
+      FROM tagged CROSS JOIN edges
+    ), dist AS (
+      SELECT bin,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      FROM binned GROUP BY 1
+    ), tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM dist)
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           round((n_cur * 1.0 / tc - n_ref * 1.0 / tr)
+                 * ln((n_cur * 1.0 / tc) / (n_ref * 1.0 / tr)), 6) AS psi_term
+    FROM dist CROSS JOIN tot
+    WHERE n_ref > 0 AND n_cur > 0
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second time
+    halves of the `value` column — THE production drift metric for
+    features and model scores (PSI > 0.2 = retrain alarm). Bins are
+    the reference half's exact deciles; the output is the per-bin
+    contingency plus each bin's PSI term (sum them for the headline
+    index; bins one side never hits are excluded, the standard
+    convention).
+
+    Scale shape: the decile EDGES are exact type-7 quantiles computed
+    from the scalable global rank (operators/ranking: range shuffle +
+    broadcast offsets) — NOT Spark's exact `percentile` aggregate,
+    which buffers every value in one reducer and cannot survive a
+    billion-row reference. The 9 interpolated edges collapse to one
+    broadcast row; binning is 9 codegen comparisons per row; the PSI
+    contingency is one 10-key aggregate. Identical type-7
+    interpolation to DuckDB's quantile_cont, so the hash matches
+    exactly.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        (F.unix_micros("ts") < F.expr("(lo + hi) div 2")).alias("is_ref"),
+    )
+    ref = tagged.where("is_ref").select("value")
+    ranked = global_row_number(
+        ref, [F.asc("value")], rn_col="rn", total_col="n"
+    )
+    fracs = spark.createDataFrame(
+        [(i, (i + 1) / 10.0) for i in range(9)], "idx int, q double"
+    )
+    # type-7: h = 1 + q*(n-1); edge = x[floor(h)] + frac*(x[ceil(h)] - x[floor(h)])
+    hits = ranked.join(
+        F.broadcast(fracs),
+        (F.col("rn") == F.floor(F.lit(1) + F.col("q") * (F.col("n") - 1)))
+        | (F.col("rn") == F.ceil(F.lit(1) + F.col("q") * (F.col("n") - 1))),
+    )
+    edges = (
+        hits.groupBy("idx", "q", "n")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.floor(F.lit(1) + F.col("q") * (F.col("n") - 1)),
+                    F.col("value"),
+                )
+            ).alias("x_lo"),
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(1) + F.col("q") * (F.col("n") - 1)),
+                    F.col("value"),
+                )
+            ).alias("x_hi"),
+        )
+        .select(
+            "idx",
+            (
+                F.col("x_lo")
+                + (
+                    (F.lit(1) + F.col("q") * (F.col("n") - 1))
+                    - F.floor(F.lit(1) + F.col("q") * (F.col("n") - 1))
+                )
+                * (F.col("x_hi") - F.col("x_lo"))
+            ).alias("edge"),
+        )
+    )
+    qs_row = edges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("idx", "edge"))
+        ).alias("pairs")
+    ).select(F.expr("transform(pairs, p -> p.edge)").alias("qs"))
+    binned = tagged.crossJoin(F.broadcast(qs_row)).select(
+        "is_ref",
+        (
+            F.lit(1)
+            + sum(
+                F.expr(f"CAST(qs[{i}] <= value AS INT)") for i in range(9)
+            )
+        ).alias("bin"),
+    )
+    dist = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    tot = dist.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p = F.col("n_cur") * F.lit(1.0) / F.col("tc")
+    q = F.col("n_ref") * F.lit(1.0) / F.col("tr")
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .where((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            "bin",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
