@@ -1941,3 +1941,82 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
     )
+
+
+@query(
+    "data_chi2_categorical_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ), tagged AS (
+      SELECT event_type,
+             epoch_us(ts) < (SELECT (lo + hi) // 2 FROM bounds) AS is_ref
+      FROM events
+    ), cont AS (
+      SELECT event_type,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      FROM tagged GROUP BY 1
+    ), tot AS (
+      SELECT sum(n_ref) AS tr, sum(n_cur) AS tc, sum(n_ref + n_cur) AS n
+      FROM cont
+    )
+    SELECT event_type,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(
+             ((n_ref - (n_ref + n_cur) * tr * 1.0 / n)
+              * (n_ref - (n_ref + n_cur) * tr * 1.0 / n))
+               / ((n_ref + n_cur) * tr * 1.0 / n)
+             + ((n_cur - (n_ref + n_cur) * tc * 1.0 / n)
+                * (n_cur - (n_ref + n_cur) * tc * 1.0 / n))
+               / ((n_ref + n_cur) * tc * 1.0 / n),
+             6) AS chi2_term
+    FROM cont CROSS JOIN tot
+    """,
+)
+def q_chi2_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity terms for event-type mix drift between
+    the first and second time halves — the categorical companion to
+    `data_psi_drift` (sum the terms for the statistic; dof =
+    categories − 1). Flags a changed traffic mix (bot surge, a client
+    release dropping an event) that per-value PSI can't see.
+
+    Scale shape: one pass to the (type, half) contingency — a
+    category-cardinality aggregate — then expected counts and terms
+    from two 1-row broadcasts; everything after the first aggregate
+    is dimension-sized. Counts stay exact integers; the only floats
+    are the identically-written expected-count expressions, rounded
+    6dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (F.unix_micros("ts") < F.expr("(lo + hi) div 2")).alias("is_ref"),
+    )
+    cont = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    tot = cont.agg(
+        F.sum("n_ref").alias("tr"),
+        F.sum("n_cur").alias("tc"),
+        F.sum(F.col("n_ref") + F.col("n_cur")).alias("n"),
+    )
+    row = F.col("n_ref") + F.col("n_cur")
+    e_ref = row * F.col("tr") * F.lit(1.0) / F.col("n")
+    e_cur = row * F.col("tc") * F.lit(1.0) / F.col("n")
+    return cont.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(
+            (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / e_ref
+            + (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / e_cur,
+            6,
+        ).alias("chi2_term"),
+    )
