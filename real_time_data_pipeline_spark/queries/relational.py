@@ -2020,3 +2020,83 @@ def q_chi2_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "data_ks_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ), tagged AS (
+      SELECT value,
+             epoch_us(ts) < (SELECT (lo + hi) // 2 FROM bounds) AS is_ref
+      FROM events
+    ), per_value AS (
+      SELECT value,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cur
+      FROM tagged GROUP BY 1
+    ), tot AS (SELECT sum(c_ref) AS tr, sum(c_cur) AS tc FROM per_value),
+    cdf AS (
+      SELECT sum(c_ref) OVER w AS r, sum(c_cur) OVER w AS c
+      FROM per_value
+      WINDOW w AS (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST((SELECT tr FROM tot) AS BIGINT) AS n_ref,
+           CAST((SELECT tc FROM tot) AS BIGINT) AS n_cur,
+           round(max(abs(r * 1.0 / (SELECT tr FROM tot)
+                         - c * 1.0 / (SELECT tc FROM tot))), 6) AS ks_stat
+    FROM cdf
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the time
+    halves of `value` — the third drift lens next to binned PSI and
+    categorical chi-square: the max CDF gap catches shape changes
+    (variance, bimodality) that decile bins smooth away, with no
+    binning choice at all.
+
+    Scale shape: values collapse to distinct-value grain (one hash
+    aggregate), then BOTH empirical CDFs come from the scalable
+    global prefix sum (operators/ranking: range shuffle + broadcast
+    offsets — never a single-partition running-sum window), and the
+    max-gap reduction is a 1-row aggregate. Exact integers until the
+    two final divisions, identically written on both sides.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "value",
+        (F.unix_micros("ts") < F.expr("(lo + hi) div 2")).alias("is_ref"),
+    )
+    per_value = tagged.groupBy("value").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
+    )
+    tot = per_value.agg(
+        F.sum("c_ref").alias("tr"), F.sum("c_cur").alias("tc")
+    )
+    cdf = global_prefix_sum(per_value, [F.asc("value")], "c_ref", out_col="r")
+    cdf = global_prefix_sum(cdf, [F.asc("value")], "c_cur", out_col="c")
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first(F.col("tr")).cast("long").alias("n_ref"),
+            F.first(F.col("tc")).cast("long").alias("n_cur"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("r") * F.lit(1.0) / F.col("tr")
+                        - F.col("c") * F.lit(1.0) / F.col("tc")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
