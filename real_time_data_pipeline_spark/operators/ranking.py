@@ -47,6 +47,7 @@ __all__ = [
     "grouped_row_number",
     "grouped_exact_ntile",
     "global_prefix_sum",
+    "global_prefix_sums",
 ]
 
 
@@ -278,3 +279,51 @@ def global_prefix_sum(
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_gr_off"))
         .drop("_gr_pid", "_gr_off")
     )
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_by: "list[Column | str]",
+    value_cols: "list[str]",
+    out_cols: "list[str]",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """`global_prefix_sum` for SEVERAL columns in ONE range shuffle —
+    N chained single-column calls would each re-repartition by the
+    same keys (N shuffles of the same rows for no new ordering).
+    Joint-CDF builds (e.g. the two-sample KS statistic) need exactly
+    this: every column shares the one exchange, per-partition running
+    sums, and one broadcast offsets join."""
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must pair up")
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .persist()  # ONE shared range exchange for both branches (see module doc)
+    )
+    sums = part.groupBy("_gr_pid").agg(
+        *[F.sum(c).alias(f"_gr_s_{i}") for i, c in enumerate(value_cols)]
+    )
+    w_off = Window.orderBy("_gr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sums.select(
+        "_gr_pid",
+        *[
+            F.coalesce(F.sum(f"_gr_s_{i}").over(w_off), F.lit(0)).alias(
+                f"_gr_off_{i}"
+            )
+            for i in range(len(value_cols))
+        ],
+    )
+    w = (
+        Window.partitionBy("_gr_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = part.join(F.broadcast(offs), "_gr_pid")
+    for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+        out = out.withColumn(oc, F.sum(vc).over(w) + F.col(f"_gr_off_{i}"))
+    return out.drop("_gr_pid", *[f"_gr_off_{i}" for i in range(len(value_cols))])

@@ -2064,7 +2064,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-gap reduction is a 1-row aggregate. Exact integers until the
     two final divisions, identically written on both sides.
     """
-    from real_time_data_pipeline_spark.operators.ranking import global_prefix_sum
+    from real_time_data_pipeline_spark.operators.ranking import global_prefix_sums
 
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
@@ -2082,8 +2082,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_value.agg(
         F.sum("c_ref").alias("tr"), F.sum("c_cur").alias("tc")
     )
-    cdf = global_prefix_sum(per_value, [F.asc("value")], "c_ref", out_col="r")
-    cdf = global_prefix_sum(cdf, [F.asc("value")], "c_cur", out_col="c")
+    # both CDFs off ONE range shuffle (a chained per-column prefix sum
+    # would re-exchange the same rows a second time for no new order)
+    cdf = global_prefix_sums(
+        per_value, [F.asc("value")], ["c_ref", "c_cur"], ["r", "c"]
+    )
     return (
         cdf.crossJoin(F.broadcast(tot))
         .agg(
