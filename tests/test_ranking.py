@@ -158,3 +158,30 @@ def test_global_rank_consistency_at_scale(spark):
     ).first()
     assert stats.n_distinct == stats.n
     assert stats.mn == 1 and stats.mx == stats.n
+
+
+def test_global_prefix_sums_matches_chained_single_column(spark):
+    """The one-shuffle multi-column prefix sum equals two chained
+    single-column passes (and the ANSI running-sum window)."""
+    from real_time_data_pipeline_spark.operators.ranking import (
+        global_prefix_sum,
+        global_prefix_sums,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 101).alias("k"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 11).alias("b"),
+        "id",
+    )
+    multi = global_prefix_sums(df, [F.asc("k"), F.asc("id")], ["a", "b"], ["ra", "rb"])
+    single = global_prefix_sum(df, [F.asc("k"), F.asc("id")], "a", out_col="ra")
+    single = global_prefix_sum(single, [F.asc("k"), F.asc("id")], "b", out_col="rb")
+    got = {(r.id, r.ra, r.rb) for r in multi.collect()}
+    want = {(r.id, r.ra, r.rb) for r in single.collect()}
+    assert got == want
+    from pyspark.sql import Window
+
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    oracle = df.withColumn("ra", F.sum("a").over(w)).withColumn("rb", F.sum("b").over(w))
+    assert got == {(r.id, r.ra, r.rb) for r in oracle.collect()}
