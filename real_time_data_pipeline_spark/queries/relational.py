@@ -1872,7 +1872,15 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fracs = spark.createDataFrame(
         [(i, (i + 1) / 10.0) for i in range(9)], "idx int, q double"
     )
-    # type-7: h = 1 + q*(n-1); edge = x[floor(h)] + frac*(x[ceil(h)] - x[floor(h)])
+    # type-7: h = 1 + q*(n-1); edge = x[floor(h)] + frac*(x[ceil(h)] - x[floor(h)]).
+    # The rank-match condition makes this a BroadcastNestedLoopJoin —
+    # DELIBERATE here: the broadcast side is a FIXED 9-row fraction
+    # frame, so the "loop" is 9 codegen comparisons per ranked row
+    # (linear, same order as the binning pass below). Contrast
+    # event_rolling_7d_active_users, where an NLJ against a
+    # data-sized calendar had to be rewritten; an equi-join variant
+    # of this lookup was measured 2-3x SLOWER at sf0.1 (4 extra
+    # tiny-exchange stages dominate).
     hits = ranked.join(
         F.broadcast(fracs),
         (F.col("rn") == F.floor(F.lit(1) + F.col("q") * (F.col("n") - 1)))
