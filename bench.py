@@ -47,6 +47,8 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             print(f"warmup {t} failed: {exc}", file=sys.stderr)
 
+    from real_time_data_pipeline_spark.operators.ranking import release_rank_caches
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
@@ -58,6 +60,10 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = str(exc).split("\n", 1)[0][:300]
+        finally:
+            # A 170-query session would otherwise accumulate one cached
+            # range shuffle per ranking-backed query (VERDICT r6 #1).
+            release_rank_caches()
 
     families: dict[str, float] = {}
     for name, sec in timings.items():

@@ -34,6 +34,15 @@ canonicalizes both branches onto ONE InMemoryRelation, so exactly one
 range exchange ever executes — and unlike ``localCheckpoint()`` it is
 lazy: the whole rank stays a single job. The cache spills to disk at
 scale, which is no worse than the checkpoint it replaces.
+
+Cache lifetime: each helper call registers its persisted frame in a
+module registry; ``release_rank_caches()`` unpersists everything
+registered. Long-lived sessions (the bench harness, a query service)
+MUST call it between requests or the caches accumulate for the session
+lifetime. Call it only AFTER the final action on the returned frame
+has run — unpersisting a never-materialized cache de-canonicalizes
+the two branches back onto independent range exchanges, which is the
+exact correctness hazard the persist exists to prevent.
 """
 
 from __future__ import annotations
@@ -48,7 +57,41 @@ __all__ = [
     "grouped_exact_ntile",
     "global_prefix_sum",
     "global_prefix_sums",
+    "release_rank_caches",
 ]
+
+# Persisted range-shuffled frames not yet released. Module-level on
+# purpose: the helpers return plain DataFrames (so callers compose
+# them freely), which leaves no per-call handle to hang an unpersist
+# on — the registry IS that handle, shared across calls.
+_LIVE_RANK_CACHES: "list[DataFrame]" = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() + register for later `release_rank_caches`."""
+    part = df.persist()
+    _LIVE_RANK_CACHES.append(part)
+    return part
+
+
+def release_rank_caches(blocking: bool = False) -> int:
+    """Unpersist every range-shuffled cache the ranking helpers have
+    created since the last release; returns how many were released.
+
+    Call after the final action on each ranking-derived result (the
+    bench harness calls it per query; services should call it per
+    request). Never call it while a ranking-derived frame is still
+    awaiting its first action — see the module doc's correctness note.
+    """
+    n = 0
+    while _LIVE_RANK_CACHES:
+        df = _LIVE_RANK_CACHES.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # pragma: no cover — session already stopped
+            pass
+    return n
 
 
 def global_row_number(
@@ -78,8 +121,8 @@ def global_row_number(
     part = (
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_gr_pid", F.spark_partition_id())
-        .persist()  # ONE shared range exchange for both branches (see module doc)
     )
+    part = _persist_tracked(part)  # ONE shared range exchange (see module doc)
     counts = part.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_gr_c"))
     w_off = Window.orderBy("_gr_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
@@ -173,8 +216,8 @@ def grouped_row_number(
     part = (
         df.repartitionByRange(n_parts, *[F.col(g) for g in group_by], *order_by)
         .withColumn("_gr_pid", F.spark_partition_id())
-        .persist()  # ONE shared range exchange for all branches (see module doc)
     )
+    part = _persist_tracked(part)  # ONE shared range exchange (see module doc)
     counts = part.groupBy("_gr_pid", *group_by).agg(
         F.count(F.lit(1)).alias("_gr_c")
     )
@@ -261,8 +304,8 @@ def global_prefix_sum(
     part = (
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_gr_pid", F.spark_partition_id())
-        .persist()  # ONE shared range exchange for both branches (see module doc)
     )
+    part = _persist_tracked(part)  # ONE shared range exchange (see module doc)
     sums = part.groupBy("_gr_pid").agg(F.sum(value_col).alias("_gr_s"))
     w_off = Window.orderBy("_gr_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = sums.select(
@@ -303,8 +346,8 @@ def global_prefix_sums(
     part = (
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_gr_pid", F.spark_partition_id())
-        .persist()  # ONE shared range exchange for both branches (see module doc)
     )
+    part = _persist_tracked(part)  # ONE shared range exchange (see module doc)
     sums = part.groupBy("_gr_pid").agg(
         *[F.sum(c).alias(f"_gr_s_{i}") for i, c in enumerate(value_cols)]
     )

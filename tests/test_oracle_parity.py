@@ -15,8 +15,14 @@ def _specs():
 
 @pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
 def test_query_matches_oracle(spark, sf_dir, spec):
+    from real_time_data_pipeline_spark.operators.ranking import release_rank_caches
+
     df = spec.fn(spark, sf_dir)
     assert_matches(df, spec.oracle, sf_dir)
+    # The parity suite is a long-lived session running all ~170
+    # queries; release the ranking helpers' shared range-shuffle
+    # caches per query (safe: assert_matches collected the result).
+    release_rank_caches()
 
 
 def test_registry_nonempty():

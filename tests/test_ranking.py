@@ -185,3 +185,32 @@ def test_global_prefix_sums_matches_chained_single_column(spark):
     w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
     oracle = df.withColumn("ra", F.sum("a").over(w)).withColumn("rb", F.sum("b").over(w))
     assert got == {(r.id, r.ra, r.rb) for r in oracle.collect()}
+
+
+def test_release_rank_caches_leaves_no_persistent_rdds(spark):
+    """VERDICT r6 #1: the ranking helpers' shared range-shuffle caches
+    must be releasable — after a materialize + release cycle the
+    session holds no more persistent RDDs than before the calls.
+    Baseline-delta (not ==0) so an unrelated persisted frame elsewhere
+    in the session can't break this test."""
+    from real_time_data_pipeline_spark.operators.ranking import (
+        exact_ntile,
+        global_prefix_sum,
+        global_row_number,
+        release_rank_caches,
+    )
+
+    release_rank_caches(blocking=True)  # drop strays from earlier tests
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 13 % 997).alias("k"), (F.col("id") % 5).alias("v"), "id"
+    )
+    global_row_number(df, [F.asc("k"), F.asc("id")]).count()
+    exact_ntile(df, 4, [F.asc("k"), F.asc("id")], "q").count()
+    global_prefix_sum(df, [F.asc("k"), F.asc("id")], "v").count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
+    released = release_rank_caches(blocking=True)
+    assert released >= 3
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+    # idempotent: a second release finds nothing
+    assert release_rank_caches(blocking=True) == 0
