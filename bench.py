@@ -29,6 +29,14 @@ def main() -> None:
 
     spark = get_spark(app_name="rtdp-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
+    if spark.sparkContext.getCheckpointDir() is None:
+        # Bench times the reliable-checkpoint path the cluster story
+        # relies on, not the localCheckpoint fast path.
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="rtdp-bench-ckpt-")
+        )
 
     # Global warmup: absorb one-time JVM/codegen/scan initialization so
     # it doesn't land on whichever query happens to run first (each

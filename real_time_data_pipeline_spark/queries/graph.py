@@ -18,11 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
 from real_time_data_pipeline_spark.queries.registry import query
 from real_time_data_pipeline_spark.sources.tables import load_table
 
 DAMPING = 0.85
 N_ITER = 3
+# Re-truncate the rank vector's lineage every k iterations: at
+# N_ITER=3 this never fires, but a parameterized N must not grow the
+# plan (and the DAG scheduler's walk) linearly with iteration count.
+_TRUNCATE_EVERY = 5
 
 _PAGERANK_ITER = """
 , d{k} AS (
@@ -72,9 +77,14 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistribution — the canonical iterative algorithm expressed as a
     join-per-iteration DataFrame loop.
 
-    Scale shape: the edge list is built once and localCheckpoint-ed
-    (the 5-way star join never re-runs, and the iteration lineage
-    can't blow up the plan); each iteration is ONE shuffle join of
+    Scale shape: the edge list is built once and materialized via
+    `reliable_materialize` — reliable checkpoint when the session has
+    a checkpoint dir (survives executor loss on a cluster; local
+    blocks otherwise), so the 5-way star join never re-runs and the
+    iteration lineage can't blow up the plan. The rank vector itself
+    is re-truncated every ``_TRUNCATE_EVERY`` iterations so the loop
+    stays plan-bounded if ``N_ITER`` is ever raised. Each iteration is
+    ONE shuffle join of
     edges against the rank vector keyed on src, an aggregate keyed on
     dst, and two 1-row broadcast scalars (node count, dangling mass).
     Nothing is ever collected; the same loop runs on a billion-edge
@@ -101,19 +111,22 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = flows.withColumn(
         "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
-    ).select("src", "dst", "p").localCheckpoint()
+    ).select("src", "dst", "p")
+    edges = reliable_materialize(edges)
     nodes = (
         edges.select(F.col("src").alias("name"))
         .union(edges.select("dst"))
         .distinct()
-        .localCheckpoint()
     )
-    srcs = edges.select("src").distinct().localCheckpoint()
+    nodes = reliable_materialize(nodes)
+    srcs = reliable_materialize(edges.select("src").distinct())
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "name", (F.lit(1.0) / F.col("n")).alias("r")
     )
-    for _ in range(N_ITER):
+    for it in range(N_ITER):
+        if it > 0 and it % _TRUNCATE_EVERY == 0:
+            ranks = reliable_materialize(ranks)
         dangling = (
             ranks.join(srcs, ranks.name == srcs.src, "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
@@ -182,7 +195,7 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL DuckDB runs as the oracle (modulo STRING/VARCHAR spelling).
 
     Scale shape: the engine materializes the DISTINCT nation-grain
-    edge list ONCE (localCheckpoint temp view) before recursing —
+    edge list ONCE (reliable_materialize temp view) before recursing —
     recursive CTE references are inlined per step, so an un-
     materialized edge CTE would re-run the 5-way fact join every hop.
     Each recursion step is then one join of the frontier against the
@@ -191,7 +204,7 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_pipeline_spark.sources.tables import register_temp_views
 
     register_temp_views(spark, sf_dir)
-    spark.sql(_EDGES_SQL).localCheckpoint().createOrReplaceTempView("trade_edges")
+    reliable_materialize(spark.sql(_EDGES_SQL)).createOrReplaceTempView("trade_edges")
     return spark.sql(_RECURSION_SQL)
 
 
@@ -235,7 +248,9 @@ _TRIANGLE_ORACLE = _COPURCHASE_GRAPH_SQL + """
 
 def _copurchase_oriented(spark: SparkSession, sf_dir: str):
     """(edges, deg, oriented) of the co-purchase graph, each
-    localCheckpointed for reuse across the downstream self-joins.
+    materialized (reliable_materialize) for reuse across the
+    downstream self-joins — durable checkpoint on clusters with a
+    checkpoint dir, local blocks on single-JVM runs.
     Orientation is low-(degree, id) -> high-(degree, id), the
     Suri-Vassilvitskii trick that bounds wedge fan-out near sqrt(|E|)
     per node even for celebrity hubs."""
@@ -243,8 +258,8 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint()
     )
+    li = reliable_materialize(li)
     a = li.withColumnsRenamed({"l_partkey": "u"})
     b = li.withColumnsRenamed({"l_partkey": "v"})
     edges = (
@@ -254,15 +269,15 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_co"))
         .where(F.col("n_co") >= 2)
         .select("u", "v")
-        .localCheckpoint()
     )
+    edges = reliable_materialize(edges)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()
     )
+    deg = reliable_materialize(deg)
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -274,8 +289,8 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
         )
-        .localCheckpoint()
     )
+    oriented = reliable_materialize(oriented)
     return edges, deg, oriented
 
 
@@ -353,7 +368,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the wedge denominator comes off the degree table. No
     global window, no collect; avg/sum reduce to a 1-row result."""
     _, deg, oriented = _copurchase_oriented(spark, sf_dir)
-    tri = _wedge_close_triangles(oriented).localCheckpoint()
+    tri = reliable_materialize(_wedge_close_triangles(oriented))
     node_tri = (
         tri.select(F.col("a").alias("n"))
         .unionAll(tri.select(F.col("b").alias("n")))

@@ -48,6 +48,9 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     # Cap in-flight UI/event history memory in long local runs.
     "spark.ui.enabled": "false",
+    # Reliable-checkpoint files (operators/materialize.py) are deleted
+    # once their RDD is GC'd instead of accumulating until session end.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 
@@ -75,7 +78,15 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Reliable checkpoint dir for iterative queries (graph family —
+    # operators/materialize.py): on a cluster point this at shared
+    # storage (HDFS/S3) so executor loss recomputes instead of failing;
+    # unset, those queries fall back to localCheckpoint.
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark
 
 
 ROCKSDB_PROVIDER = (

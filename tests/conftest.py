@@ -9,10 +9,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from real_time_data_pipeline_spark.session import get_spark
 
     s = get_spark(app_name="rtdp-tests", shuffle_partitions=8)
+    # Exercise the RELIABLE checkpoint path of operators/materialize.py
+    # (graph queries et al.) rather than the localCheckpoint fallback.
+    if s.sparkContext.getCheckpointDir() is None:
+        s.sparkContext.setCheckpointDir(
+            str(tmp_path_factory.mktemp("spark-checkpoints"))
+        )
     yield s
     s.stop()
 
