@@ -269,11 +269,16 @@ def cdc_upsert_parquet(
     Scale: pass ``n_buckets`` and the snapshot is stored PARTITIONED
     by a hash bucket of the key (``bucket_col``). Each batch then
     collects only its own distinct buckets (bounded by the batch's key
-    count), reads just those partitions, and dynamically overwrites
-    just those partitions — per-batch cost O(touched buckets), never
-    O(snapshot), the same layout streaming/dedup_ingest.py uses for
-    its corpus state. Without ``n_buckets`` the whole table is merged
-    under the crash-safe `upsert_parquet` swap commit — fine for
+    count), reads just those partitions, and replaces just those
+    partitions — per-batch cost O(touched buckets), never O(snapshot),
+    the same layout streaming/dedup_ingest.py uses for its corpus
+    state. The bucket replacement is a staged PER-BUCKET rename swap
+    (not dynamic partition overwrite, whose delete-then-write window
+    can lose a bucket's pre-batch rows to a crash): every bucket is
+    always a complete pre- or post-batch directory, interrupted swaps
+    are finished on the next call, and batch replay converges.
+    Without ``n_buckets`` the whole table is merged under the
+    crash-safe `upsert_parquet` swap commit — fine for
     dimension-sized snapshots.
     """
     spark = batch_df.sparkSession
@@ -291,6 +296,10 @@ def cdc_upsert_parquet(
     # would silently restart the snapshot from one micro-batch.
     fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, path)
     if n_buckets is not None:
+        # Finish any bucket-level swap a previous run crashed inside
+        # of BEFORE probing the snapshot (a half-swapped bucket read
+        # as-is would merge against corrupted pre-batch state).
+        _recover_bucket_swaps(fs, spark, path)
         batch = batch_df.withColumn(
             bucket_col,
             F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int"),
@@ -302,15 +311,41 @@ def cdc_upsert_parquet(
             ]  # micro-batch-bounded
             old = spark.read.parquet(path).where(F.col(bucket_col).isin(touched))
         result = _merge_event_time_wins(old, batch, keys, order_cols)
-        # Materialize before the dynamic overwrite: the plan reads the
-        # same partitions it rewrites.
-        (
-            result.localCheckpoint(eager=True)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(bucket_col)
-            .parquet(path)
-        )
+        # Commit: stage the merged touched buckets to a sibling dir,
+        # then swap each bucket directory with the same rename
+        # discipline as the flat path. Dynamic partition overwrite
+        # would delete-then-write each bucket in place — a crash in
+        # that window loses the bucket's pre-batch rows and the
+        # replayed batch then merges against the corrupted snapshot.
+        # With the per-bucket swap, a crash leaves every bucket either
+        # fully pre-batch or fully post-batch (recovery above restores
+        # any bucket caught mid-rename), and replay converges because
+        # the event-time-wins merge is idempotent. Staging also means
+        # the write no longer reads the partitions it replaces, so the
+        # eager pre-materialization is gone. Same single-writer /
+        # reader-retries discipline as the flat swap: a concurrent
+        # reader can see a bucket vanish for the instant between its
+        # two renames.
+        fs.delete(jtmp, True)
+        result.write.mode("overwrite").partitionBy(bucket_col).parquet(tmp_path)
+        if not exists:
+            fs.rename(jtmp, jpath)
+            return
+        old_path = path.rstrip("/") + "__old__"
+        fs.mkdirs(jold)
+        for st in fs.listStatus(jtmp):
+            name = st.getPath().getName()
+            if not name.startswith(f"{bucket_col}="):
+                continue  # _SUCCESS etc.
+            jb_cur = _hadoop_fs(spark, path.rstrip("/") + "/" + name)[1]
+            jb_old = _hadoop_fs(spark, old_path + "/" + name)[1]
+            fs.delete(jb_old, True)
+            if fs.exists(jb_cur):
+                fs.rename(jb_cur, jb_old)
+            fs.rename(st.getPath(), jb_cur)
+            fs.delete(jb_old, True)
+        fs.delete(jtmp, True)
+        fs.delete(jold, True)
         return
     old = spark.read.parquet(path) if exists else None
     result = _merge_event_time_wins(old, batch_df, keys, order_cols)
@@ -376,6 +411,35 @@ def expire_tombstones(
         fs, result, path, tmp_path, jpath, jtmp, jold, True,
         partition_by=partition_cols or None,
     )
+
+
+def _recover_bucket_swaps(fs, spark: SparkSession, path: str) -> None:
+    """Finish a per-bucket swap commit that crashed mid-sequence.
+
+    A bucket directory left under ``__old__`` whose twin is missing
+    from the table was caught between its two renames — restore it. A
+    backup whose twin exists means that bucket's swap completed (or a
+    whole-table swap died after its final rename) — the backup is
+    stale, drop it. Runs only when BOTH the table and ``__old__``
+    exist; the table-missing case is the whole-table restore that
+    `_swap_paths` already performs.
+    """
+    jpath = _hadoop_fs(spark, path)[1]
+    old_path = path.rstrip("/") + "__old__"
+    jold = _hadoop_fs(spark, old_path)[1]
+    if not (fs.exists(jold) and fs.exists(jpath)):
+        return
+    for st in fs.listStatus(jold):
+        name = st.getPath().getName()
+        if "=" not in name:
+            fs.delete(st.getPath(), True)  # stray commit-metadata file
+            continue
+        jb_cur = _hadoop_fs(spark, path.rstrip("/") + "/" + name)[1]
+        if fs.exists(jb_cur):
+            fs.delete(st.getPath(), True)
+        else:
+            fs.rename(st.getPath(), jb_cur)
+    fs.delete(jold, True)
 
 
 def _detect_partition_cols(fs, jpath) -> "list[str]":

@@ -292,3 +292,74 @@ def test_expire_tombstones_fully_expired_bucketed_table_becomes_absent(spark, tm
     # the maintenance DAG's next step / next merge must both work
     cdc_upsert_parquet(_chg(spark, [(3, 20, 102, 3.0, False)]), path, **kw)
     assert _snap(spark, path) == {3: (3.0, _ts(20))}
+
+
+def test_cdc_bucketed_commit_is_per_bucket_swap(spark, tmp_path):
+    """ADVICE r6 (medium): the bucketed merge must never delete a
+    bucket before its replacement is in place. The commit stages
+    touched buckets to __tmp__ and swaps each via renames — at every
+    point the table holds only complete pre- or post-batch buckets.
+    Here: inject the worst crash state (bucket renamed away to
+    __old__, replacement not yet installed) and verify the next merge
+    restores it and the replayed batch converges to the no-crash
+    answer."""
+    import os
+    import shutil
+
+    kw = dict(keys=["user_id"], order_cols=["ts", "event_id"],
+              tombstone_col="is_delete", n_buckets=4)
+    b1 = [(k, 10, 100 + k, float(k), False) for k in range(1, 9)]
+    b2 = [(1, 20, 201, 0.0, True), (2, 20, 202, 9.0, False),
+          (9, 20, 209, 9.9, False)]
+
+    # reference run, no crash
+    ref = str(tmp_path / "ref")
+    cdc_upsert_parquet(_chg(spark, b1), ref, **kw)
+    cdc_upsert_parquet(_chg(spark, b2), ref, **kw)
+    want = _snap(spark, ref)
+
+    # crashed run: batch 2 dies with one touched bucket mid-swap —
+    # current dir renamed to __old__, replacement never installed
+    path = str(tmp_path / "snap")
+    cdc_upsert_parquet(_chg(spark, b1), path, **kw)
+    victim = next(d for d in os.listdir(path) if d.startswith("bkt="))
+    os.makedirs(path + "__old__", exist_ok=True)
+    shutil.move(os.path.join(path, victim), os.path.join(path + "__old__", victim))
+    # plus leftover staging from the dead writer
+    os.makedirs(path + "__tmp__", exist_ok=True)
+    with open(os.path.join(path + "__tmp__", "_SUCCESS"), "w"):
+        pass
+
+    cdc_upsert_parquet(_chg(spark, b2), path, **kw)  # replay
+    assert _snap(spark, path) == want
+    assert not os.path.exists(path + "__old__")
+    assert not os.path.exists(path + "__tmp__")
+
+
+def test_cdc_bucketed_completed_swap_backup_is_dropped(spark, tmp_path):
+    """Crash AFTER a bucket's swap completed but before its backup was
+    deleted: recovery must keep the new bucket and drop the stale
+    backup, not resurrect pre-batch rows."""
+    import os
+    import shutil
+
+    kw = dict(keys=["user_id"], order_cols=["ts", "event_id"],
+              tombstone_col="is_delete", n_buckets=4)
+    path = str(tmp_path / "snap")
+    cdc_upsert_parquet(
+        _chg(spark, [(k, 10, 100 + k, float(k), False) for k in range(1, 9)]),
+        path, **kw,
+    )
+    before = _snap(spark, path)
+    # stale backup: a COPY of a live bucket left under __old__
+    victim = next(d for d in os.listdir(path) if d.startswith("bkt="))
+    os.makedirs(path + "__old__", exist_ok=True)
+    shutil.copytree(os.path.join(path, victim),
+                    os.path.join(path + "__old__", victim))
+    cdc_upsert_parquet(_chg(spark, [(1, 20, 300, 7.0, False)]), path, **kw)
+    got = _snap(spark, path)
+    assert got[1] == (7.0, _ts(20))
+    assert {k: v for k, v in got.items() if k != 1} == {
+        k: v for k, v in before.items() if k != 1
+    }
+    assert not os.path.exists(path + "__old__")
