@@ -100,6 +100,7 @@ def compact_parquet(
         _detect_partition_cols,
         _swap_paths,
         _swap_write,
+        read_layout_preserving,
     )
 
     fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, path)
@@ -127,7 +128,20 @@ def compact_parquet(
         return total
 
     total_bytes = walk(jpath, lambda st: st.getLen())
-    df = spark.read.parquet(path)
+    # Layout-preserving read: with type inference on, a rewrite would
+    # rename type-ambiguous partition dirs (dt=01 → dt=1) — see
+    # `read_layout_preserving`.
+    df = (
+        read_layout_preserving(spark, path)
+        if partition_cols
+        else spark.read.parquet(path)
+    )
+    if df.isEmpty():
+        # All files empty: bytes_per_row would be 0 and a partitionBy
+        # write of zero rows emits no data files at all — the swap
+        # would install an unreadable directory (ADVICE r6). A
+        # zero-row table is already maximally compact; leave it.
+        return walk(jpath, lambda st: 1)
 
     if partition_cols:
         # Per-partition-value file budgets from row counts scaled by

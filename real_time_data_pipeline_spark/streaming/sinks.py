@@ -389,7 +389,9 @@ def expire_tombstones(
         return
     if partition_cols is None:
         partition_cols = _detect_partition_cols(fs, jpath)
-    df = spark.read.parquet(path)
+    # Layout-preserving read: the rewrite must reproduce partition
+    # directory names exactly (see `read_layout_preserving`).
+    df = read_layout_preserving(spark, path) if partition_cols else spark.read.parquet(path)
     keep = ~(
         F.coalesce(F.col(tombstone_col), F.lit(False))
         & (F.col(order_col) < F.lit(horizon))
@@ -411,6 +413,31 @@ def expire_tombstones(
         fs, result, path, tmp_path, jpath, jtmp, jold, True,
         partition_by=partition_cols or None,
     )
+
+
+def read_layout_preserving(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with partition-column TYPE INFERENCE off,
+    for rewrites that must reproduce the table's directory layout.
+
+    Inference parses ``dt=01`` as integer 1 and ``flag=true`` as a
+    boolean; a rewrite then emits ``dt=1`` — silently renaming
+    partition directories and retyping their values (ADVICE r6). With
+    inference disabled the partition columns stay strings holding the
+    exact directory text, so ``partitionBy`` reproduces the original
+    names byte-for-byte. Partition values are never stored inside the
+    data files, so data-column types are untouched. The session conf
+    is restored; the frame's schema is forced first because partition
+    discovery runs lazily at first analysis.
+    """
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force partition discovery under the disabled conf
+        return df
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _recover_bucket_swaps(fs, spark: SparkSession, path: str) -> None:

@@ -138,3 +138,81 @@ def test_compact_parquet_refuses_filestreamsink_tables(spark, tmp_path):
     os.makedirs(os.path.join(path, "_spark_metadata"))
     with pytest.raises(ValueError, match="_spark_metadata"):
         compact_parquet(spark, path)
+
+
+def test_compact_parquet_preserves_type_ambiguous_partition_values(spark, tmp_path):
+    """ADVICE r6: a string partition value that PARSES as a number
+    (dt=01) must come back under the identical directory name after
+    compaction — type inference on the rewrite read would silently
+    rename it to dt=1."""
+    import os
+
+    from real_time_data_pipeline_spark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("01", i, float(i)) for i in range(20)]
+        + [("2", i, float(i)) for i in range(20)],
+        "dt string, k int, v double",
+    )
+    df.repartition(4).write.partitionBy("dt").parquet(path)
+    assert sorted(d for d in os.listdir(path) if d.startswith("dt=")) == [
+        "dt=01", "dt=2"
+    ]
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert sorted(d for d in os.listdir(path) if d.startswith("dt=")) == [
+        "dt=01", "dt=2"
+    ]
+    got = spark.read.parquet(path)
+    assert got.count() == 40
+    # exact stored values visible through an inference-free read
+    # (a default read re-parses "01" as 1 — reader-side behavior,
+    # orthogonal to the layout which must stay byte-identical)
+    from real_time_data_pipeline_spark.streaming.sinks import read_layout_preserving
+
+    exact = read_layout_preserving(spark, path)
+    assert {r.dt for r in exact.select("dt").distinct().collect()} == {"01", "2"}
+    # conf restored for the rest of the session
+    assert (
+        spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
+        != "false"
+    )
+
+
+def test_compact_parquet_zero_row_partitioned_table_stays_readable(spark, tmp_path):
+    """ADVICE r6: an existing-but-empty partitioned table (all files
+    zero-row) must not be swapped for a dataless directory parquet
+    cannot read — compaction leaves it as-is."""
+    from real_time_data_pipeline_spark.operators.layout import compact_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([], "dt string, k int, v double")
+    df.write.partitionBy("dt").parquet(path)
+    spark.read.parquet(path)  # readable before
+    compact_parquet(spark, path, partition_cols=["dt"])
+    assert spark.read.parquet(path).count() == 0  # still readable after
+
+
+def test_expire_tombstones_preserves_type_ambiguous_partition_values(spark, tmp_path):
+    """Same inference hazard on the retention rewrite path."""
+    import datetime
+    import os
+
+    from real_time_data_pipeline_spark.streaming.sinks import expire_tombstones
+
+    path = str(tmp_path / "t")
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("07", 1, ts, False), ("07", 2, ts, True), ("8", 3, ts, False)],
+        "dt string, k int, ts timestamp, is_delete boolean",
+    )
+    df.write.partitionBy("dt").parquet(path)
+    expire_tombstones(
+        spark, path, "is_delete", "ts", datetime.datetime(2024, 2, 1)
+    )
+    assert sorted(d for d in os.listdir(path) if d.startswith("dt=")) == [
+        "dt=07", "dt=8"
+    ]
+    got = spark.read.parquet(path)
+    assert got.where("is_delete").count() == 0
+    assert got.count() == 2
