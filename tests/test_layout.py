@@ -186,9 +186,14 @@ def test_compact_parquet_zero_row_partitioned_table_stays_readable(spark, tmp_pa
     from real_time_data_pipeline_spark.operators.layout import compact_parquet
 
     path = str(tmp_path / "t")
+    # a table whose data files hold ZERO rows but a real schema (an
+    # all-rows-expired or fully-filtered rewrite leaves exactly this);
+    # an empty flat write emits one schema-bearing zero-row file
     df = spark.createDataFrame([], "dt string, k int, v double")
-    df.write.partitionBy("dt").parquet(path)
-    spark.read.parquet(path)  # readable before
+    df.coalesce(1).write.parquet(path)
+    assert spark.read.parquet(path).count() == 0  # readable before
+    # pre-fix: bytes_per_row=0 → zero-row partitionBy rewrite → swap
+    # installs a directory with no data files, which read.parquet rejects
     compact_parquet(spark, path, partition_cols=["dt"])
     assert spark.read.parquet(path).count() == 0  # still readable after
 
