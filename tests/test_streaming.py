@@ -898,3 +898,40 @@ def test_progress_capture_listener_records_batches(spark, tmp_path):
         assert got == 30
     finally:
         spark.streams.removeListener(cap)
+
+
+def test_stateful_running_totals_on_rocksdb(spark, replay_dir):
+    """The CUSTOM stateful operator path (applyInPandasWithState) on
+    the RocksDB provider — the first thing that falls over at 100
+    TB/day is in-memory state, and custom state ops are where provider
+    quirks (timeout encoding, iterator semantics) would surface.
+    Same convergence contract as the default-provider twin above."""
+    from real_time_data_pipeline_spark.session import use_rocksdb_state
+    from real_time_data_pipeline_spark.streaming.stateful import running_totals
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    use_rocksdb_state(spark)
+    try:
+        d, schema = replay_dir
+        stream = file_stream(spark, d, schema, max_files_per_trigger=2)
+        totals = running_totals(stream, "user_id", "value")
+        _run_stream_to_memory(totals, "rocks_running_totals", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    pdf = spark.table("rocks_running_totals").toPandas()
+    final = pdf.groupby("key").last()
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for k, row in final.iterrows():
+        assert row["n_events"] == batch.loc[k, "n"]
+        assert abs(row["total_value"] - batch.loc[k, "total"]) < 1e-6
