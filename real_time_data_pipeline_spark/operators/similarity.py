@@ -247,27 +247,11 @@ def minhash_signatures(
     return xs.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str,
-    band_rows: int = MINHASH_BAND_ROWS,
-    num_hashes: int = MINHASH_NUM,
-    max_bucket: int | None = 100_000,
+def _band_keys(
+    signatures: DataFrame, id_col: str, band_rows: int, num_hashes: int
 ) -> DataFrame:
-    """Candidate pairs from banded LSH over MinHash signatures.
-
-    Each signature array splits into num_hashes/band_rows bands; the
-    band key is the joined in-band values. Docs collide iff a whole
-    band matches: self-join on (band, key) → distinct pairs. Bucket
-    sizes stay tiny for non-near-dup corpora, so the join is sparse —
-    the full-corpus cross join never happens.
-
-    ``max_bucket`` is the OOM guard for degenerate corpora (a band key
-    shared by an exact-duplicate swarm): buckets larger than the cap
-    are dropped before the in-bucket pair expansion. A bucket that big
-    means its members are near-identical — exact dedup upstream is the
-    right tool for those, not pairwise LSH. ``None`` disables.
-    """
+    """(id, band, band_key) rows: each signature split into
+    ``num_hashes/band_rows`` bands, key = joined in-band values."""
     n_bands = num_hashes // band_rows
     band = F.explode(
         F.transform(
@@ -284,9 +268,50 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    keys = signatures.select(F.col(id_col), band.alias("bk")).select(
+    return signatures.select(F.col(id_col), band.alias("bk")).select(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    band_rows: int = MINHASH_BAND_ROWS,
+    num_hashes: int = MINHASH_NUM,
+    max_bucket: int | None = 100_000,
+    oversize: str = "exact_star",
+) -> DataFrame:
+    """Candidate pairs from banded LSH over MinHash signatures.
+
+    Each signature array splits into num_hashes/band_rows bands; the
+    band key is the joined in-band values. Docs collide iff a whole
+    band matches: self-join on (band, key) → distinct pairs. Bucket
+    sizes stay tiny for non-near-dup corpora, so the join is sparse —
+    the full-corpus cross join never happens.
+
+    ``max_bucket`` is the OOM guard for degenerate corpora (a band key
+    shared by an exact-duplicate swarm): buckets larger than the cap
+    never reach the quadratic in-bucket pair expansion. What happens
+    to them instead is ``oversize``:
+
+    - ``"exact_star"`` (default): members of an oversized bucket are
+      grouped by their FULL signature; each identical-signature group
+      emits a STAR to its minimum member — n−1 pairs instead of
+      n(n−1)/2. A real crawl's swarm buckets are exactly-duplicated
+      boilerplate, so the star keeps every swarm member connected to
+      its representative (downstream clustering/keep-one is unchanged
+      — VERDICT r6 #5) at linear cost. Only oversized-bucket members
+      whose signature is UNIQUE within the bucket still lose that
+      bucket's candidates; `lsh_oversize_stats` counts them — measure
+      it beside any capped run instead of capping silently.
+    - ``"drop"``: the pre-r7 behavior — oversized buckets contribute
+      no pairs at all.
+
+    ``None`` disables the cap (and with it the routing).
+    """
+    if oversize not in ("exact_star", "drop"):
+        raise ValueError(f"unknown oversize policy {oversize!r}")
+    keys = _band_keys(signatures, id_col, band_rows, num_hashes)
     # Bucket-collect instead of a self-join: one shuffle on the band
     # key, pairs expanded inside each (tiny) bucket array. A self-join
     # would recompute the whole signature pipeline on both branches
@@ -294,7 +319,9 @@ def lsh_candidate_pairs(
     buckets = keys.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
+    big = None
     if max_bucket is not None:
+        big = buckets.where(F.size("ids") > max_bucket)
         buckets = buckets.where(F.size("ids") <= max_bucket)
     pair_structs = F.filter(
         F.flatten(
@@ -307,12 +334,86 @@ def lsh_candidate_pairs(
         ),
         lambda p: p["id_a"] < p["id_b"],
     )
-    return (
+    pairs = (
         buckets.where(F.size("ids") > 1)
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
     )
+    if big is not None and oversize == "exact_star":
+        # Exact-signature star routing: explode the oversized buckets
+        # back to rows (linear), recover each member's full signature,
+        # and link identical-signature runs to their min member. The
+        # join is on the id column — uniform keys, no skew: the swarm
+        # ids spread across partitions even though their band key was
+        # one hot bucket.
+        sig_ids = signatures.select(
+            F.col(id_col), F.xxhash64("sig").alias("_sig_h")
+        )
+        star = (
+            big.select("band", "band_key", F.explode("ids").alias(id_col))
+            .join(sig_ids, id_col)
+            .groupBy("band", "band_key", "_sig_h")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("gids"))
+            .where(F.size("gids") > 1)
+            .select(
+                F.element_at("gids", 1).alias("id_a"),
+                F.explode(F.slice(F.col("gids"), 2, F.size("gids") - 1)).alias(
+                    "id_b"
+                ),
+            )
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
+def lsh_oversize_stats(
+    signatures: DataFrame,
+    id_col: str,
+    band_rows: int = MINHASH_BAND_ROWS,
+    num_hashes: int = MINHASH_NUM,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """One-row accounting of what the ``max_bucket`` cap touches — the
+    observability half of the "no silent caps" rule. Columns:
+
+    - ``n_oversized_buckets`` / ``n_oversized_memberships``: buckets
+      over the cap and their total member rows;
+    - ``n_residual_memberships``: members of oversized buckets whose
+      signature is unique within the bucket — the only memberships
+      whose candidates the ``exact_star`` routing can still lose
+      (identical-signature members keep their star links).
+
+    Run and log() this beside any capped `lsh_candidate_pairs` call;
+    an unexpectedly large residual means the corpus needs a bigger cap
+    or an upstream exact-dedup pass.
+    """
+    keys = _band_keys(signatures, id_col, band_rows, num_hashes)
+    sig_ids = signatures.select(F.col(id_col), F.xxhash64("sig").alias("_sig_h"))
+    per_bucket = keys.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cap = F.lit(max_bucket) if max_bucket is not None else None
+    if cap is None:
+        return per_bucket.agg(
+            F.lit(0).alias("n_oversized_buckets"),
+            F.lit(0).alias("n_oversized_memberships"),
+            F.lit(0).alias("n_residual_memberships"),
+        )
+    big = per_bucket.where(F.col("n") > cap).select("band", "band_key", "n")
+    sig_groups = (
+        keys.join(big.select("band", "band_key"), ["band", "band_key"], "left_semi")
+        .join(sig_ids, id_col)
+        .groupBy("band", "band_key", "_sig_h")
+        .agg(F.count(F.lit(1)).alias("g"))
+    )
+    residual = sig_groups.where(F.col("g") == 1).agg(
+        F.coalesce(F.sum("g"), F.lit(0)).alias("n_residual_memberships")
+    )
+    totals = big.agg(
+        F.count(F.lit(1)).alias("n_oversized_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_oversized_memberships"),
+    )
+    return totals.crossJoin(F.broadcast(residual))
 
 
 # SimHash width. 60 bits = 15 md5 hex chars: wide enough that band

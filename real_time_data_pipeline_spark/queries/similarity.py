@@ -1760,3 +1760,121 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# --- LSH swarm guard: the cap must not change the dedup answer --------
+
+_SWARM_S = 40
+_SWARM_BASE_ID = 10_000_000
+_SWARM_TEXT = (
+    "swarm boilerplate page copied verbatim across mirrors again and again"
+)
+_SWARM_CAP = 10
+
+_SWARM_GUARD_ORACLE = f"""
+    SELECT (SELECT count(*) FROM documents) + {_SWARM_S} AS n_docs,
+           (SELECT count(*) FROM documents) + 1 AS n_clusters_capped,
+           (SELECT count(*) FROM documents) + 1 AS n_clusters_uncapped,
+           TRUE AS survivors_match,
+           CAST({_SWARM_BASE_ID} AS BIGINT) AS swarm_survivor,
+           CAST(0 AS BIGINT) AS n_residual_memberships
+"""
+
+
+@query("dedup_lsh_swarm_guard", oracle=_SWARM_GUARD_ORACLE)
+def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `max_bucket` OOM guard with exact-signature star routing
+    (VERDICT r6 #5) must leave the DEDUP ANSWER identical to the
+    uncapped all-pairs expansion — verified end-to-end on a corpus
+    with a deliberate duplicate swarm.
+
+    Fixture (fully determined, so the oracle can pin every output):
+    one control doc per `documents` row whose synthetic 5-word text
+    embeds its doc_id in every word (pairwise-disjoint shingles — no
+    control can near-dup any other doc at ANY scale factor), plus a
+    40-copy exact-duplicate swarm. With the cap at 10, every swarm
+    band bucket (size 40) is oversized: the routed path emits 39 star
+    pairs where the uncapped path emits 780, and after content-hash
+    verification + connected components both must produce the same
+    clusters — all swarm copies collapsed onto min id, every control
+    a singleton — with ZERO unaccounted residual.
+
+    Scale shape: both candidate generations are banded (the capped
+    one provably never quadratic), verification is two hash joins on
+    uniform doc-id keys, components run on pair sets bounded by the
+    verified near-dup volume.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import (
+        connected_components,
+        lsh_oversize_stats,
+    )
+
+    ctrl = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(p), F.col("doc_id").cast("string"))
+                for p in ("a", "b", "c", "d", "e")
+            ],
+        ).alias("text"),
+    )
+    swarm = spark.range(_SWARM_S).select(
+        (F.lit(_SWARM_BASE_ID) + F.col("id")).alias("doc_id"),
+        F.lit(_SWARM_TEXT).alias("text"),
+    )
+    corpus = ctrl.unionByName(swarm)
+    # signatures feed both candidate paths AND the stats accounting
+    sigs = minhash_signatures(corpus, "doc_id", "text", n=3).localCheckpoint()
+    hashes = corpus.select(
+        "doc_id", F.xxhash64("text").alias("_h")
+    ).localCheckpoint()
+    n_docs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    def survivors(max_bucket):
+        cands = lsh_candidate_pairs(sigs, "doc_id", max_bucket=max_bucket)
+        verified = (
+            cands.join(
+                hashes.select(F.col("doc_id").alias("id_a"), F.col("_h").alias("_ha")),
+                "id_a",
+            )
+            .join(
+                hashes.select(F.col("doc_id").alias("id_b"), F.col("_h").alias("_hb")),
+                "id_b",
+            )
+            .where(F.col("_ha") == F.col("_hb"))
+            .select("id_a", "id_b")
+        )
+        comps = connected_components(verified, "id_a", "id_b")
+        singles = corpus.select("doc_id").join(
+            comps.select(F.col("id_a").alias("doc_id")), "doc_id", "left_anti"
+        )
+        return (
+            comps.select(F.col("cluster_id").alias("sid"))
+            .distinct()
+            .unionByName(singles.select(F.col("doc_id").alias("sid")))
+            .localCheckpoint()  # feeds a count, a diff, and a min
+        )
+
+    surv_cap = survivors(_SWARM_CAP)
+    surv_un = survivors(None)
+    n_cap = surv_cap.agg(F.count(F.lit(1)).alias("n_clusters_capped"))
+    n_un = surv_un.agg(F.count(F.lit(1)).alias("n_clusters_uncapped"))
+    n_diff = (
+        surv_cap.exceptAll(surv_un)
+        .unionAll(surv_un.exceptAll(surv_cap))
+        .agg((F.count(F.lit(1)) == 0).alias("survivors_match"))
+    )
+    swarm_rep = surv_cap.where(F.col("sid") >= _SWARM_BASE_ID).agg(
+        F.min("sid").alias("swarm_survivor")
+    )
+    residual = lsh_oversize_stats(
+        sigs, "doc_id", max_bucket=_SWARM_CAP
+    ).select(F.col("n_residual_memberships").cast("long").alias("n_residual_memberships"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_cap))
+        .crossJoin(F.broadcast(n_un))
+        .crossJoin(F.broadcast(n_diff))
+        .crossJoin(F.broadcast(swarm_rep))
+        .crossJoin(F.broadcast(residual))
+    )

@@ -196,12 +196,33 @@ def test_dedup_guards_bound_degenerate_corpora():
         assert jaccard_pairs(df, "doc_id", "text", n=3, max_df=10).count() == 0
 
         # identical docs -> identical signatures -> ONE band bucket of
-        # size 40 per band; max_bucket=10 drops them all before the
-        # quadratic expansion (exact dedup upstream is the right tool)
+        # size 40 per band; max_bucket=10 keeps them away from the
+        # quadratic expansion, ROUTING them through exact-signature
+        # star linking instead (r7): 39 linear pairs, every member
+        # still connected to the representative — never 780
         sigs = minhash_signatures(df, "doc_id", "text", n=3)
-        assert lsh_candidate_pairs(sigs, "doc_id", max_bucket=10).count() == 0
+        routed = lsh_candidate_pairs(sigs, "doc_id", max_bucket=10)
+        got = {(r.id_a, r.id_b) for r in routed.collect()}
+        assert got == {(0, b) for b in range(1, 40)}  # star to min id
+        # legacy drop policy still available and still yields nothing
+        assert (
+            lsh_candidate_pairs(
+                sigs, "doc_id", max_bucket=10, oversize="drop"
+            ).count()
+            == 0
+        )
         # with the guard off the expansion really is quadratic: 40*39/2
         assert lsh_candidate_pairs(sigs, "doc_id", max_bucket=None).count() == 780
+        # and the cap is ACCOUNTED, not silent: 48 bands × 40 members
+        # oversized, zero residual (all members share one signature)
+        from real_time_data_pipeline_spark.operators.similarity import (
+            lsh_oversize_stats,
+        )
+
+        st = lsh_oversize_stats(sigs, "doc_id", max_bucket=10).first()
+        assert st.n_oversized_buckets == 48
+        assert st.n_oversized_memberships == 48 * 40
+        assert st.n_residual_memberships == 0
 
 
 def test_kmeans_ivf_recall_not_worse_than_stride(sf_dir):
