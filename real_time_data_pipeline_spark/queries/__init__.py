@@ -45,15 +45,25 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # check window ahead of merely-stale greens. Maintained by hand at
 # edit time; cleared once the next round's gate re-confirms them.
 EDITED_THIS_ROUND = {
-    "agg_rfm_segmentation",       # scalable exact_ntile rewrite
-    "join_market_basket_pairs",   # heap top-k rewrite
-    "text_tfidf_top_terms",       # heap top-k rewrite
-    "text_bm25_ranking",          # heap top-k rewrite
-    "window_rank_distribution",   # scalable rank-family rewrite
-    "sequence_packing_plan",      # scalable prefix-sum rewrite
-    "text_zipf_slope",            # scalable vocab-rank rewrite
-    "text_countmin_heavy_hitters",  # heap top-k rewrite
-    "event_session_paths",        # heap top-k rewrite
+    # r7: reliable_materialize swap (VERDICT r6 #2)
+    "graph_pagerank_trade",
+    "graph_recursive_reachability",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    # r7: lsh_candidate_pairs oversize routing (VERDICT r6 #5)
+    "dedup_minhash_lsh_pairs",
+    # r7: ranking helpers gained tracked-persist/release (VERDICT r6 #1
+    # — results provably unchanged, re-confirm externally anyway)
+    "window_rank_distribution",
+    "agg_rfm_segmentation",
+    "window_global_leaderboard",
+    "agg_order_value_deciles",
+    "data_psi_drift",
+    "data_ks_drift",
+    "sequence_packing_plan",
+    "text_zipf_slope",
+    "corpus_length_terciles_by_lang",
+    "multimodal_shard_plan",
 }
 
 
