@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Multi-executor smoke: run registry queries on a REAL standalone
+cluster (separate master/worker/executor JVMs), not local[N].
+
+local[N] hides a class of bugs that only exist once executors are
+separate processes: closure-serialization failures, Python-worker
+import paths on executors, shuffle over real netty transport,
+reliable-checkpoint visibility across JVMs. This script launches a
+2-worker standalone cluster on the current machine with the
+`spark-class` launcher every PySpark install ships, runs a
+representative query slice against it WITH value verification (DuckDB
+oracle — identical to the correctness gate), and tears the cluster
+down. On a real multi-node deployment the same flow applies — see
+docs/cluster-smoke.md for the spark-submit form.
+
+Usage:
+    python scripts/cluster_smoke.py            # sf0.001 slice
+    SPARK_GRAFT_SMOKE_SF_DIR=... SPARK_GRAFT_SMOKE_QUERIES=tpch_q1_pricing_summary,... \
+        python scripts/cluster_smoke.py
+
+Exit code 0 iff every smoke query matched its oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MASTER_PORT = int(os.environ.get("SPARK_GRAFT_SMOKE_MASTER_PORT", "7077"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+# One per family with distinct failure surfaces: scan+agg, 3-way join,
+# exact-ranking (persisted shared exchange), iterative graph (reliable
+# checkpoint ACROSS JVMs), LSH dedup (HOF + bucket collect), ANN
+# (Arrow mapInPandas on executors).
+DEFAULT_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "window_rank_distribution",
+    "graph_pagerank_trade",
+    "dedup_minhash_lsh_pairs",
+    "embed_ann_brute_topk",
+]
+
+
+def _spark_home() -> str:
+    import pyspark
+
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def _wait_port(port: int, timeout: float = 60.0) -> None:
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        with socket.socket() as s:
+            if s.connect_ex(("127.0.0.1", port)) == 0:
+                return
+        time.sleep(0.5)
+    raise TimeoutError(f"port {port} never opened")
+
+
+def _spawn(cls: str, *args: str) -> subprocess.Popen:
+    env = dict(os.environ)
+    env["SPARK_HOME"] = _spark_home()
+    env.setdefault("SPARK_NO_DAEMONIZE", "1")
+    # executors' python workers must resolve the engine package
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [os.path.join(_spark_home(), "bin", "spark-class"), cls, *args],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+
+
+def main() -> int:
+    procs: list[subprocess.Popen] = []
+    master_url = f"spark://127.0.0.1:{MASTER_PORT}"
+    try:
+        procs.append(
+            _spawn(
+                "org.apache.spark.deploy.master.Master",
+                "-h", "127.0.0.1", "-p", str(MASTER_PORT),
+                "--webui-port", "0",
+            )
+        )
+        _wait_port(MASTER_PORT)
+        for _ in range(2):
+            procs.append(
+                _spawn(
+                    "org.apache.spark.deploy.worker.Worker", master_url,
+                    "-c", "4", "-m", "4g", "--webui-port", "0",
+                )
+            )
+        from real_time_data_pipeline_spark.session import get_spark
+
+        ckpt = tempfile.mkdtemp(prefix="rtdp-smoke-ckpt-")
+        spark = get_spark(
+            app_name="rtdp-cluster-smoke",
+            master=master_url,
+            shuffle_partitions=8,
+            extra_conf={
+                "spark.executor.memory": "3g",
+                "spark.cores.max": "8",
+                "spark.executorEnv.PYTHONPATH": REPO,
+            },
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.sparkContext.setCheckpointDir(ckpt)  # shared FS on one box
+        # prove we really are on separate executor JVMs (registration
+        # is async: workers connect, then executors launch and phone home)
+        deadline = time.time() + 90
+        n_exec = 0
+        while time.time() < deadline:
+            n_exec = (
+                len(spark._jsc.sc().statusTracker().getExecutorInfos()) - 1
+            )  # minus driver
+            if n_exec >= 2:
+                break
+            time.sleep(1.0)
+        print(f"executors (excl. driver): {n_exec}", flush=True)
+        if n_exec < 2:
+            print("FAIL: expected >=2 remote executors", flush=True)
+            return 2
+
+        from real_time_data_pipeline_spark.queries import REGISTRY
+        from real_time_data_pipeline_spark.operators.ranking import (
+            release_rank_caches,
+        )
+        from tests.oracle import assert_matches
+
+        names = os.environ.get("SPARK_GRAFT_SMOKE_QUERIES")
+        names = names.split(",") if names else DEFAULT_QUERIES
+        failures = 0
+        for name in names:
+            spec = REGISTRY[name]
+            t0 = time.perf_counter()
+            try:
+                df = spec.fn(spark, SF_DIR)
+                if spec.oracle is not None:
+                    assert_matches(df, spec.oracle, SF_DIR)
+                    status = "oracle-match"
+                else:
+                    assert df.count() >= 0
+                    status = "rows-only"
+                print(
+                    f"  {name}: {status} ({time.perf_counter() - t0:.1f}s)",
+                    flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001 — report all, then fail
+                failures += 1
+                print(f"  {name}: FAIL {str(exc).splitlines()[0][:200]}", flush=True)
+            finally:
+                release_rank_caches()
+        spark.stop()
+        print(("OK" if failures == 0 else f"FAILURES: {failures}"), flush=True)
+        return 1 if failures else 0
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
