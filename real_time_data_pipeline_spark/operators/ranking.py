@@ -57,6 +57,7 @@ __all__ = [
     "grouped_exact_ntile",
     "global_prefix_sum",
     "global_prefix_sums",
+    "global_running_max",
     "release_rank_caches",
 ]
 
@@ -320,6 +321,55 @@ def global_prefix_sum(
     return (
         part.join(F.broadcast(offs), "_gr_pid")
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_gr_off"))
+        .drop("_gr_pid", "_gr_off")
+    )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_by: "list[Column | str]",
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive running MAX of ``value_col`` over a global
+    ordering — watermark-frontier reconstruction, high-water-mark
+    audits — without a single-partition window.
+
+    Same shape as `global_prefix_sum` with the monoid swapped: max is
+    associative, so each partition's running max combines with the
+    greatest value of all PRIOR partitions (a numPartitions-row
+    aggregate joined back as a broadcast).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("_gr_pid", F.spark_partition_id())
+    )
+    part = _persist_tracked(part)  # ONE shared range exchange (see module doc)
+    maxes = part.groupBy("_gr_pid").agg(F.max(value_col).alias("_gr_m"))
+    w_off = Window.orderBy("_gr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = maxes.select(
+        "_gr_pid",
+        F.max("_gr_m").over(w_off).alias("_gr_off"),  # NULL for partition 0
+    )
+    w = (
+        Window.partitionBy("_gr_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(offs), "_gr_pid")
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.max(value_col).over(w),
+                F.coalesce(F.col("_gr_off"), F.max(value_col).over(w)),
+            ),
+        )
         .drop("_gr_pid", "_gr_off")
     )
 

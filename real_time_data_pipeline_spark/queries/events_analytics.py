@@ -1062,3 +1062,231 @@ def q_seasonal_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mu", 6).alias("baseline"),
         (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sd")).alias("flagged"),
     )
+
+
+# --- purged temporal split -------------------------------------------
+
+_TEMPORAL_SPLIT_ORACLE = """
+    WITH ranked AS (
+      SELECT user_id, ts,
+             ntile(10) OVER (ORDER BY ts, event_id) AS dec
+      FROM events
+    ), assigned AS (
+      SELECT user_id, ts,
+             CASE WHEN dec <= 7 THEN 'train'
+                  WHEN dec = 8 THEN 'purged'
+                  ELSE 'test' END AS split
+      FROM ranked
+    ), summary AS (
+      SELECT split, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             min(ts) AS min_ts, max(ts) AS max_ts
+      FROM assigned GROUP BY 1
+    ), overlap AS (
+      SELECT count(*) AS n_shared_users FROM (
+        SELECT user_id FROM assigned WHERE split = 'train'
+        INTERSECT
+        SELECT user_id FROM assigned WHERE split = 'test'
+      )
+    )
+    SELECT s.*, o.n_shared_users FROM summary s CROSS JOIN overlap o
+"""
+
+
+@query("data_temporal_split", oracle=_TEMPORAL_SPLIT_ORACLE)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged TEMPORAL train/test split — the leakage-safe protocol
+    for forecasting-style training data: train on the earliest 70% of
+    the event timeline, hold out the latest 20%, and PURGE the decile
+    between them so windowed features computed at the train boundary
+    cannot peek into test time (the embargo trick from financial ML).
+    Complements `data_hash_split` (entity-iid) and
+    `data_leakage_safe_split` (group-exclusive): here order is time
+    itself, so shared users across splits are EXPECTED and reported
+    (`n_shared_users`) rather than forbidden.
+
+    Scale shape: the timeline decile comes from the scalable
+    `exact_ntile` (range shuffle + pid windows — never a one-task
+    global window over the fact table); summaries are one hash
+    aggregate per grain; the train∩test user overlap is a two-sided
+    distinct + inner join on uniform user ids.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import exact_ntile
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    assigned = exact_ntile(
+        ev, 10, [F.asc("ts"), F.asc("event_id")], "dec"
+    ).select(
+        "user_id",
+        "ts",
+        F.when(F.col("dec") <= 7, "train")
+        .when(F.col("dec") == 8, "purged")
+        .otherwise("test")
+        .alias("split"),
+    )
+    summary = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    tr = assigned.where(F.col("split") == "train").select("user_id").distinct()
+    te = assigned.where(F.col("split") == "test").select("user_id").distinct()
+    overlap = tr.join(te, "user_id").agg(
+        F.count(F.lit(1)).alias("n_shared_users")
+    )
+    return summary.crossJoin(F.broadcast(overlap))
+
+
+# --- funnel conversion latency ---------------------------------------
+
+_TIME_TO_CONVERT_ORACLE = """
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+      GROUP BY 1
+    ), d AS (
+      SELECT p.user_id,
+             CAST(date_diff('second', s.t_signup, p.t_purchase) AS BIGINT)
+               AS sec,
+             row_number() OVER (
+               ORDER BY date_diff('second', s.t_signup, p.t_purchase), p.user_id
+             ) AS rn,
+             count(*) OVER () AS n
+      FROM p JOIN s ON p.user_id = s.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signed_up,
+           (SELECT count(*) FROM d) AS n_converted,
+           (SELECT sec FROM d WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+             AS p50_seconds,
+           (SELECT sec FROM d WHERE rn = CAST(ceil(0.9 * n) AS BIGINT))
+             AS p90_seconds
+"""
+
+
+@query("event_time_to_convert", oracle=_TIME_TO_CONVERT_ORACLE)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion LATENCY quantiles (p50/p90 seconds,
+    rank-pick percentile_disc semantics): `funnel_conversion` counts
+    who converts, this measures how long conversion takes — the
+    product-analytics number behind activation SLAs.
+
+    Scale shape: first-touch reduction per user (hash aggregate),
+    then the quantile of the per-converter duration set via the
+    scalable exact global row_number — the duration set is
+    users-sized, exactly where a naive `percentile()` single-reducer
+    dies — with the p50/p90 rows selected by closed-form rank
+    positions from two 1-row broadcasts.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        ev.join(s, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_signup"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    d = p.join(s, "user_id").select(
+        "user_id",
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_signup")
+        ).alias("sec"),
+    )
+    ranked = global_row_number(
+        d, [F.asc("sec"), F.asc("user_id")], rn_col="rn", total_col="n"
+    )
+    picks = ranked.where(
+        (F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"))
+        | (F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"))
+    )
+    p50 = picks.where(
+        F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long")
+    ).agg(F.min("sec").alias("p50_seconds"))
+    p90 = picks.where(
+        F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long")
+    ).agg(F.min("sec").alias("p90_seconds"))
+    n_signed = s.agg(F.count(F.lit(1)).alias("n_signed_up"))
+    n_conv = d.agg(F.count(F.lit(1)).alias("n_converted"))
+    return (
+        n_signed.crossJoin(F.broadcast(n_conv))
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+    )
+
+
+# --- watermark lateness audit ----------------------------------------
+
+_LATENESS_ORACLE = """
+    WITH fr AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS frontier
+      FROM events
+    ), lat AS (
+      SELECT CAST(date_diff('second', ts, frontier) AS BIGINT) AS late_s
+      FROM fr
+    )
+    SELECT count(*) AS n_events,
+           sum(CASE WHEN late_s = 0 THEN 1 ELSE 0 END) AS n_on_time,
+           sum(CASE WHEN late_s > 0 AND late_s <= 60 THEN 1 ELSE 0 END)
+             AS n_late_1m,
+           sum(CASE WHEN late_s > 60 AND late_s <= 600 THEN 1 ELSE 0 END)
+             AS n_late_10m,
+           sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) AS n_dropped_10m,
+           round(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS drop_frac_10m
+    FROM lat
+"""
+
+
+@query("pipeline_watermark_lateness", oracle=_LATENESS_ORACLE)
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy audit from history: reconstruct the event-time
+    FRONTIER the stream would have seen (running max of event time in
+    arrival order — event_id is the arrival proxy in this synthetic
+    feed), measure each event's lateness against it, and report how
+    much data a given `withWatermark` delay would have dropped — the
+    measurement that should precede every watermark choice instead of
+    guessing "10 minutes".
+
+    Scale shape: the frontier is `global_running_max` (same range
+    shuffle + pid-window + broadcast-offset pattern as the exact-rank
+    family — a naive `max() OVER (ORDER BY arrival)` is a one-task
+    window over the whole fact table); the bucket rollup is a single
+    aggregate pass.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import global_running_max
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", F.unix_timestamp("ts").alias("uts")
+    )
+    fr = global_running_max(
+        ev, [F.asc("event_id")], "uts", out_col="frontier"
+    ).withColumn("late_s", F.col("frontier") - F.col("uts"))
+    return fr.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_s") == 0).cast("long")).alias("n_on_time"),
+        F.sum(
+            ((F.col("late_s") > 0) & (F.col("late_s") <= 60)).cast("long")
+        ).alias("n_late_1m"),
+        F.sum(
+            ((F.col("late_s") > 60) & (F.col("late_s") <= 600)).cast("long")
+        ).alias("n_late_10m"),
+        F.sum((F.col("late_s") > 600).cast("long")).alias("n_dropped_10m"),
+        F.round(
+            F.sum((F.col("late_s") > 600).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("drop_frac_10m"),
+    )

@@ -398,3 +398,23 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DEGREE_DIST_ORACLE = _COPURCHASE_GRAPH_SQL + """
+    SELECT d AS degree, count(*) AS n_nodes
+    FROM deg GROUP BY 1
+"""
+
+
+@query("graph_degree_distribution", oracle=_DEGREE_DIST_ORACLE)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the part co-purchase graph — the first
+    diagnostic run on any production graph (hub detection, skew
+    planning for the wedge joins, power-law sanity check). Reuses the
+    materialized edge/degree build shared with the triangle queries;
+    the histogram itself is one hash aggregate over the degree table
+    (node-count-sized, never edge-sized)."""
+    _, deg, _ = _copurchase_oriented(spark, sf_dir)
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

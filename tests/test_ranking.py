@@ -214,3 +214,29 @@ def test_release_rank_caches_leaves_no_persistent_rdds(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
     # idempotent: a second release finds nothing
     assert release_rank_caches(blocking=True) == 0
+
+
+def test_global_running_max_matches_window_form(spark):
+    from real_time_data_pipeline_spark.operators.ranking import (
+        global_running_max,
+        release_rank_caches,
+    )
+
+    df = spark.range(0, 400).select(
+        (F.col("id") * 29 % 83).alias("k"),
+        ((F.col("id") * 7919) % 101).alias("v"),
+        "id",
+    )
+    got = {
+        (r.id, r.rm)
+        for r in global_running_max(
+            df, [F.asc("k"), F.asc("id")], "v", out_col="rm"
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.id, r.rm)
+        for r in df.withColumn("rm", F.max("v").over(w)).collect()
+    }
+    assert got == want
+    release_rank_caches()
