@@ -338,6 +338,12 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     No self-join — the interval close is a lead(), which is the whole
     point of the pattern at scale.
     """
+    return scd2_intervals(spark, sf_dir)
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 interval build behind `pipeline_scd2_history`, shared
+    with its read-side consumer `join_point_in_time_scd2`."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -416,4 +422,53 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & (F.col("op") == "upsert"))
         .select("user_id", F.col("value").alias("last_value"), F.col("ts").alias("updated_at"))
+    )
+
+
+_PIT_ORACLE = f"""
+    WITH scd AS ({_SCD2_ORACLE}),
+    purchases AS (
+      SELECT user_id, event_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           s.k AS k_at_purchase, s.valid_from
+    FROM purchases p
+    JOIN scd s
+      ON s.user_id = p.user_id
+     AND p.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+"""
+
+
+@query("join_point_in_time_scd2", oracle=_PIT_ORACLE)
+def q_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature lookup: join each purchase event
+    to the SCD2 attribute value VALID AT its event time — the
+    feature-store operation that prevents training-serving skew (a
+    plain dimension join would leak the customer's CURRENT attribute
+    into historical training rows).
+
+    Scale shape: equi-join on user_id (uniform keys, hash join) with
+    the interval predicate applied post-probe; each user's interval
+    list is their change count (tiny), so the per-row interval scan
+    is bounded. The intervals come from the shared `scd2_intervals`
+    build — one user_id shuffle, two windows.
+    """
+    intervals = scd2_intervals(spark, sf_dir)
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts")
+    )
+    return (
+        purchases.join(intervals, "user_id")
+        .where(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select(
+            "user_id", "event_id", "ts",
+            F.col("k").alias("k_at_purchase"), "valid_from",
+        )
     )

@@ -2111,3 +2111,90 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+# --- Lorenz / Pareto revenue concentration ---------------------------
+
+_PARETO_ORACLE = """
+    WITH cr AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT custkey, rev_cents,
+             row_number() OVER (ORDER BY rev_cents DESC, custkey) AS rn,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             count(*) OVER () AS n,
+             sum(rev_cents) OVER () AS tot
+      FROM cr
+    ), gini AS (
+      SELECT round(2.0 * sum((n - rn + 1) * rev_cents)
+                   / (max(n) * max(tot))
+                   - (max(n) + 1.0) / max(n), 6) AS gini
+      FROM ranked
+    )
+    SELECT CAST(((rn - 1) * 10) // n + 1 AS INTEGER) AS decile,
+           count(*) AS n_customers,
+           sum(rev_cents) AS decile_rev_cents,
+           round(max(cum_rev) * 1.0 / max(tot), 6) AS cum_share,
+           (SELECT gini FROM gini) AS gini
+    FROM ranked
+    GROUP BY 1
+"""
+
+
+@query("window_pareto_revenue_share", oracle=_PARETO_ORACLE)
+def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration curve (Lorenz/Pareto) + Gini coefficient:
+    customers ranked by revenue, bucketed into population deciles,
+    with each decile's cumulative revenue share — "the top 10% of
+    customers carry X% of revenue" — and the Gini inequality index as
+    a single scalar.
+
+    Scale shape: ONE range shuffle produces BOTH the global rank and
+    the cumulative revenue (`global_prefix_sums` over [const-1,
+    revenue] — rank is just the prefix sum of ones), the decile is a
+    closed-form expression over (rank, n), and Gini reduces to one
+    aggregate over (rank, revenue) with two 1-row broadcasts. Money
+    stays in integer cents throughout.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import global_prefix_sums
+
+    cr = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+        .withColumn("_one", F.lit(1).cast("long"))
+    )
+    ranked = global_prefix_sums(
+        cr,
+        [F.desc("rev_cents"), F.asc("custkey")],
+        ["_one", "rev_cents"],
+        ["rn", "cum_rev"],
+    )
+    totals = cr.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev_cents").alias("tot")
+    )
+    ranked = ranked.crossJoin(F.broadcast(totals))
+    gini = ranked.agg(
+        F.round(
+            F.lit(2.0)
+            * F.sum((F.col("n") - F.col("rn") + 1) * F.col("rev_cents"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini")
+    )
+    return (
+        ranked.withColumn(
+            "decile", F.expr("CAST((rn - 1) * 10 div n + 1 AS INT)")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_cents").alias("decile_rev_cents"),
+            F.round(F.max("cum_rev") / F.max("tot"), 6).alias("cum_share"),
+        )
+        .crossJoin(F.broadcast(gini))
+    )

@@ -1878,3 +1878,88 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(swarm_rep))
         .crossJoin(F.broadcast(residual))
     )
+
+
+# --- PCA: top principal direction by power iteration ------------------
+
+_PCA_DIM = 64
+_PCA_ITERS = 4
+
+_PCA_ITER_SQL = """
+    , w{k} AS (
+      SELECT c.i AS dim, sum(c.cov * v.val) AS w
+      FROM covf c JOIN v{k0} v ON c.j = v.dim GROUP BY 1
+    ), v{k} AS (
+      SELECT dim, round(w / sqrt((SELECT sum(w * w) FROM w{k})), 6) AS val
+      FROM w{k}
+    )"""
+
+_PCA_ORACLE = (
+    f"""
+    WITH cov0 AS (
+      SELECT i.i, j.j,
+             round(avg(embedding[i.i] * embedding[j.j])
+                   - avg(embedding[i.i]) * avg(embedding[j.j]), 6) + 0 AS cov
+      FROM embeddings,
+           unnest(range(1, {_PCA_DIM + 1})) AS i(i),
+           unnest(range(1, {_PCA_DIM + 1})) AS j(j)
+      WHERE i.i <= j.j
+      GROUP BY 1, 2
+    ), covf AS (
+      SELECT i, j, cov FROM cov0
+      UNION ALL
+      SELECT j, i, cov FROM cov0 WHERE i < j
+    ), v0 AS (
+      SELECT unnest(range(1, {_PCA_DIM + 1})) AS dim, 1.0 AS val
+    )"""
+    + "".join(
+        _PCA_ITER_SQL.format(k=k, k0=k - 1) for k in range(1, _PCA_ITERS + 1)
+    )
+    + f"""
+    SELECT CAST(dim AS BIGINT) AS dim, val AS loading FROM v{_PCA_ITERS}
+    """
+)
+
+
+@query("embed_pca_power_iteration", oracle=_PCA_ORACLE)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION over the distributed covariance matrix — the
+    dimensionality-reduction / anisotropy diagnostic (is the vector
+    space collapsing onto one axis?) computed without any eigensolver
+    dependency.
+
+    Determinism: the iteration runs on the 6dp-ROUNDED covariance
+    (the same values `embed_covariance_matrix` exports) and re-rounds
+    the unit vector to 6dp each step, so float summation order can
+    never drift the two engines apart; the uniform all-ones start
+    fixes the eigenvector sign.
+
+    Scale shape: the corpus-sized work is the one covariance build
+    (Arrow-batched X^T X partials — O(batches·d²) network); each of
+    the 4 iterations is a d²-row join against a d-row broadcast plus
+    a 1-row norm broadcast. PageRank's join-per-iteration pattern,
+    applied to linear algebra.
+    """
+    cov_ut = q_embed_covariance(spark, sf_dir)
+    cov = cov_ut.select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cov"
+    ).unionAll(
+        cov_ut.where(F.col("dim_i") < F.col("dim_j")).select(
+            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cov"
+        )
+    ).localCheckpoint()  # d² rows; reused every iteration
+    v = spark.range(1, _PCA_DIM + 1).select(
+        F.col("id").alias("dim"), F.lit(1.0).alias("val")
+    )
+    for _ in range(_PCA_ITERS):
+        w = (
+            cov.join(F.broadcast(v), cov.j == v.dim)
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("cov") * F.col("val")).alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(norm)).select(
+            "dim", F.round(F.col("w") / F.col("nrm"), 6).alias("val")
+        )
+    return v.select("dim", F.col("val").alias("loading"))
