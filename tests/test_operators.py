@@ -454,3 +454,39 @@ def test_mixture_weights_sum_to_one(spark, sf_dir):
     # epochs > 1 for below-average cells, < 1 for above-average ones
     # (temperature flattens the mixture).
     assert any(r.epochs > 1 for r in rows) and any(r.epochs < 1 for r in rows)
+
+
+def test_lsh_oversize_routing_mixed_swarms_and_residual(spark):
+    """Oversized-bucket routing at the operator level, with handcrafted
+    signatures: two co-bucketed exact-dup swarms must each get their
+    own star (never cross-linked, never quadratic), and a unique-sig
+    member of an oversized bucket must be COUNTED as residual."""
+    from pyspark.sql import Row
+    from real_time_data_pipeline_spark.operators.similarity import (
+        MINHASH_NUM,
+        lsh_candidate_pairs,
+        lsh_oversize_stats,
+    )
+
+    sig_a = [1] * MINHASH_NUM                 # swarm A: ids 0..39
+    sig_b = [1] * (MINHASH_NUM - 2) + [99, 99]  # swarm B: ids 100..114
+    sig_u = [1, 1] + [5] * (MINHASH_NUM - 2)    # unique: id 999 (shares band 0)
+    rows = (
+        [Row(doc_id=i, sig=sig_a) for i in range(40)]
+        + [Row(doc_id=100 + i, sig=sig_b) for i in range(15)]
+        + [Row(doc_id=999, sig=sig_u)]
+    )
+    sigs = spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket=10).collect()
+    }
+    want = {(0, b) for b in range(1, 40)} | {(100, b) for b in range(101, 115)}
+    assert pairs == want  # two stars, no cross-swarm or residual pairs
+
+    st = lsh_oversize_stats(sigs, "doc_id", max_bucket=10).first()
+    # every band bucket holding a swarm is oversized; the unique-sig
+    # doc contributes exactly its shared-band memberships as residual
+    assert st.n_residual_memberships >= 1
+    assert st.n_oversized_buckets >= 48  # A's bands at minimum
