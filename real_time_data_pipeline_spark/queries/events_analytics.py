@@ -1290,3 +1290,161 @@ def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("late_s") > 600).cast("long")) / F.count(F.lit(1)), 6
         ).alias("drop_frac_10m"),
     )
+
+
+# --- A/B test: Welch's t over a deterministic hash split --------------
+
+_WELCH_ORACLE = """
+    WITH assigned AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5('ab' || CAST(user_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS grp,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT grp, count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+      FROM assigned GROUP BY 1
+    ), w AS (
+      SELECT
+        max(CASE WHEN grp = 'A' THEN n END) AS n_a,
+        max(CASE WHEN grp = 'B' THEN n END) AS n_b,
+        max(CASE WHEN grp = 'A' THEN s1 / n END) AS m_a,
+        max(CASE WHEN grp = 'B' THEN s1 / n END) AS m_b,
+        max(CASE WHEN grp = 'A' THEN (s2 - s1 * s1 / n) / (n - 1) END) AS v_a,
+        max(CASE WHEN grp = 'B' THEN (s2 - s1 * s1 / n) / (n - 1) END) AS v_b
+      FROM s
+    )
+    SELECT n_a, n_b, round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS welch_t
+    FROM w
+"""
+
+
+@query("agg_ab_welch_t", oracle=_WELCH_ORACLE)
+def q_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: purchase values split into two arms by
+    the SAME deterministic md5 hash-bucket trick as `data_hash_split`
+    (assignment reproducible across engines and dataset versions, no
+    RNG), compared with Welch's unequal-variance t statistic.
+
+    Scale shape: one partial-aggregating pass computes (n, Σx, Σx²)
+    per arm — means, variances, and the t statistic all derive from
+    those two rows in closed form. No window, no second scan; this is
+    the sufficient-statistics pattern every metrics pipeline should
+    use instead of collecting samples.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    assigned = ev.select(
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ab"), F.col("user_id").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("long") % 2 == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("grp"),
+        "value",
+    )
+    s = assigned.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == "A", F.col("s1") / F.col("n"))).alias("m_a"),
+        F.max(F.when(F.col("grp") == "B", F.col("s1") / F.col("n"))).alias("m_b"),
+        F.max(
+            F.when(
+                F.col("grp") == "A",
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1),
+            )
+        ).alias("v_a"),
+        F.max(
+            F.when(
+                F.col("grp") == "B",
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1),
+            )
+        ).alias("v_b"),
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("m_a") - F.col("m_b"))
+            / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+            6,
+        ).alias("welch_t"),
+    )
+
+
+# --- lag-1 autocorrelation of the hourly event-rate series ------------
+
+_AUTOCORR_ORACLE = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT c AS x, lead(c) OVER (ORDER BY h) AS y FROM hourly
+    ), p AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM lagged WHERE y IS NOT NULL
+    )
+    SELECT (SELECT count(*) FROM hourly) AS n_hours,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS lag1_autocorr
+    FROM p
+"""
+
+
+@query("event_hourly_autocorr", oracle=_AUTOCORR_ORACLE)
+def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-rate series — the
+    seasonality/burstiness scalar behind anomaly-detector tuning (a
+    CUSUM threshold assumes near-zero autocorrelation; this measures
+    it). Integer count sums keep both engines bit-exact until the
+    final division.
+
+    Scale shape: the corpus collapses to an hours-sized series in one
+    hash aggregate; the lag pairing is a window over that tiny series
+    (hours, not events) and the correlation is one sufficient-stats
+    row."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("h")  # hours-sized frame — bounded, audited
+    lagged = hourly.select(
+        F.col("c").alias("x"), F.lead("c").over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    p = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_hours = hourly.agg(F.count(F.lit(1)).alias("n_hours"))
+    return n_hours.crossJoin(F.broadcast(p)).select(
+        "n_hours",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("lag1_autocorr"),
+    )

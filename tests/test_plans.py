@@ -376,6 +376,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "text_countmin_heavy_hitters": "rank over <=10 rows above TakeOrderedAndProject",
     "event_session_paths": "rank over <=15 rows above TakeOrderedAndProject",
     "event_rate_anomaly_cusum": "running sum over hour-grain calendar-bounded frame",
+    "event_hourly_autocorr": "lead over hour-grain calendar-bounded series",
 }
 
 
