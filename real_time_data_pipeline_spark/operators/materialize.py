@@ -26,11 +26,48 @@ Checkpoint files are cleaned when the source RDD is garbage-collected
 iff ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set in
 `session._DEFAULTS`); otherwise they live until the directory is
 cleared.
+
+For frames that are merely REUSED (self-joins, multi-branch reads)
+rather than iterated over, `persist_tracked` is the better tool: it
+keeps lineage intact, so an executor loss RECOMPUTES the partitions
+instead of failing the job (strictly better fault behavior than
+localCheckpoint), shares one computation across all consuming
+branches, and costs no filesystem round-trip. Its registry pairs with
+`release_caches()` exactly like the ranking operators' cache registry
+(operators/ranking.py delegates here).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+# Persisted frames awaiting release — see `release_caches`.
+_LIVE_CACHES: "list[DataFrame]" = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() + register for later `release_caches`. For reused
+    (non-iterated) frames: lineage stays intact, so executor loss
+    recomputes rather than failing — see module doc."""
+    out = df.persist()
+    _LIVE_CACHES.append(out)
+    return out
+
+
+def release_caches(blocking: bool = False) -> int:
+    """Unpersist every tracked cache; returns how many were released.
+    Long-lived sessions call this between requests (bench and the
+    parity suite do, per query). Only call after the consumers of the
+    cached frames have run their final action."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # pragma: no cover — session already stopped
+            pass
+    return n
 
 
 def reliable_materialize(df: DataFrame, eager: bool = True) -> DataFrame:

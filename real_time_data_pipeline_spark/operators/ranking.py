@@ -61,38 +61,27 @@ __all__ = [
     "release_rank_caches",
 ]
 
-# Persisted range-shuffled frames not yet released. Module-level on
-# purpose: the helpers return plain DataFrames (so callers compose
-# them freely), which leaves no per-call handle to hang an unpersist
-# on — the registry IS that handle, shared across calls.
-_LIVE_RANK_CACHES: "list[DataFrame]" = []
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    """persist() + register for later `release_rank_caches`."""
-    part = df.persist()
-    _LIVE_RANK_CACHES.append(part)
-    return part
+# The helpers return plain DataFrames (so callers compose them
+# freely), which leaves no per-call handle to hang an unpersist on —
+# the shared cache registry in operators/materialize.py IS that
+# handle. One release call frees ranking AND graph/LSH reuse caches.
+from real_time_data_pipeline_spark.operators.materialize import (  # noqa: E402
+    persist_tracked as _persist_tracked,
+    release_caches as _release_caches,
+)
 
 
 def release_rank_caches(blocking: bool = False) -> int:
-    """Unpersist every range-shuffled cache the ranking helpers have
-    created since the last release; returns how many were released.
+    """Unpersist every tracked cache (the ranking helpers' shared
+    range shuffles plus any other `persist_tracked` reuse caches);
+    returns how many were released.
 
     Call after the final action on each ranking-derived result (the
     bench harness calls it per query; services should call it per
     request). Never call it while a ranking-derived frame is still
     awaiting its first action — see the module doc's correctness note.
     """
-    n = 0
-    while _LIVE_RANK_CACHES:
-        df = _LIVE_RANK_CACHES.pop()
-        try:
-            df.unpersist(blocking=blocking)
-            n += 1
-        except Exception:  # pragma: no cover — session already stopped
-            pass
-    return n
+    return _release_caches(blocking=blocking)
 
 
 def global_row_number(

@@ -320,6 +320,18 @@ def lsh_candidate_pairs(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
     big = None
+    if max_bucket is not None and oversize == "exact_star":
+        # Both the small-bucket expansion and the oversize routing read
+        # the bucket frame: share ONE computation (Catalyst does not
+        # CSE across branches — unshared, the whole signature+banding
+        # pipeline would execute twice). persist keeps lineage, so the
+        # cache is fault-transparent; released per query via
+        # release_rank_caches / materialize.release_caches.
+        from real_time_data_pipeline_spark.operators.materialize import (
+            persist_tracked,
+        )
+
+        buckets = persist_tracked(buckets)
     if max_bucket is not None:
         big = buckets.where(F.size("ids") > max_bucket)
         buckets = buckets.where(F.size("ids") <= max_bucket)

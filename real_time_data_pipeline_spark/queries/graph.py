@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
+from real_time_data_pipeline_spark.operators.materialize import (
+    persist_tracked,
+    reliable_materialize,
+)
 from real_time_data_pipeline_spark.queries.registry import query
 from real_time_data_pipeline_spark.sources.tables import load_table
 
@@ -77,14 +80,14 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistribution — the canonical iterative algorithm expressed as a
     join-per-iteration DataFrame loop.
 
-    Scale shape: the edge list is built once and materialized via
-    `reliable_materialize` — reliable checkpoint when the session has
-    a checkpoint dir (survives executor loss on a cluster; local
-    blocks otherwise), so the 5-way star join never re-runs and the
-    iteration lineage can't blow up the plan. The rank vector itself
-    is re-truncated every ``_TRUNCATE_EVERY`` iterations so the loop
-    stays plan-bounded if ``N_ITER`` is ever raised. Each iteration is
-    ONE shuffle join of
+    Scale shape: the edge list is built once and `persist_tracked`
+    (lineage kept, so an executor loss RECOMPUTES instead of failing
+    — the r7 durability fix; released per query by the cache
+    registry), so the 5-way star join never re-runs. The rank
+    vector's lineage is re-truncated via `reliable_materialize`
+    (durable checkpoint when a dir is set) every ``_TRUNCATE_EVERY``
+    iterations so the loop stays plan-bounded if ``N_ITER`` is ever
+    raised. Each iteration is ONE shuffle join of
     edges against the rank vector keyed on src, an aggregate keyed on
     dst, and two 1-row broadcast scalars (node count, dangling mass).
     Nothing is ever collected; the same loop runs on a billion-edge
@@ -112,14 +115,14 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = flows.withColumn(
         "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
     ).select("src", "dst", "p")
-    edges = reliable_materialize(edges)
+    edges = persist_tracked(edges)
     nodes = (
         edges.select(F.col("src").alias("name"))
         .union(edges.select("dst"))
         .distinct()
     )
-    nodes = reliable_materialize(nodes)
-    srcs = reliable_materialize(edges.select("src").distinct())
+    nodes = persist_tracked(nodes)
+    srcs = persist_tracked(edges.select("src").distinct())
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "name", (F.lit(1.0) / F.col("n")).alias("r")
@@ -248,9 +251,10 @@ _TRIANGLE_ORACLE = _COPURCHASE_GRAPH_SQL + """
 
 def _copurchase_oriented(spark: SparkSession, sf_dir: str):
     """(edges, deg, oriented) of the co-purchase graph, each
-    materialized (reliable_materialize) for reuse across the
-    downstream self-joins — durable checkpoint on clusters with a
-    checkpoint dir, local blocks on single-JVM runs.
+    `persist_tracked` for reuse across the downstream self-joins:
+    the cache shares one computation across branches while KEEPING
+    lineage, so executor loss recomputes rather than failing (and no
+    checkpoint-file round trip is paid).
     Orientation is low-(degree, id) -> high-(degree, id), the
     Suri-Vassilvitskii trick that bounds wedge fan-out near sqrt(|E|)
     per node even for celebrity hubs."""
@@ -259,7 +263,7 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    li = reliable_materialize(li)
+    li = persist_tracked(li)
     a = li.withColumnsRenamed({"l_partkey": "u"})
     b = li.withColumnsRenamed({"l_partkey": "v"})
     edges = (
@@ -270,14 +274,14 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
         .where(F.col("n_co") >= 2)
         .select("u", "v")
     )
-    edges = reliable_materialize(edges)
+    edges = persist_tracked(edges)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    deg = reliable_materialize(deg)
+    deg = persist_tracked(deg)
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -290,7 +294,7 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
             F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
         )
     )
-    oriented = reliable_materialize(oriented)
+    oriented = persist_tracked(oriented)
     return edges, deg, oriented
 
 
@@ -368,7 +372,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the wedge denominator comes off the degree table. No
     global window, no collect; avg/sum reduce to a 1-row result."""
     _, deg, oriented = _copurchase_oriented(spark, sf_dir)
-    tri = reliable_materialize(_wedge_close_triangles(oriented))
+    tri = persist_tracked(_wedge_close_triangles(oriented))
     node_tri = (
         tri.select(F.col("a").alias("n"))
         .unionAll(tri.select(F.col("b").alias("n")))

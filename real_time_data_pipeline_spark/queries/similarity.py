@@ -1772,9 +1772,12 @@ _SWARM_TEXT = (
 _SWARM_CAP = 10
 
 _SWARM_GUARD_ORACLE = f"""
-    SELECT (SELECT count(*) FROM documents) + {_SWARM_S} AS n_docs,
-           (SELECT count(*) FROM documents) + 1 AS n_clusters_capped,
-           (SELECT count(*) FROM documents) + 1 AS n_clusters_uncapped,
+    SELECT (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) + {_SWARM_S}
+             AS n_docs,
+           (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) + 1
+             AS n_clusters_capped,
+           (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) + 1
+             AS n_clusters_uncapped,
            TRUE AS survivors_match,
            CAST({_SWARM_BASE_ID} AS BIGINT) AS swarm_survivor,
            CAST(0 AS BIGINT) AS n_residual_memberships
@@ -1789,15 +1792,17 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a deliberate duplicate swarm.
 
     Fixture (fully determined, so the oracle can pin every output):
-    one control doc per `documents` row whose synthetic 5-word text
+    one control doc per fifth `documents` row (a fixture needs enough
+    controls to prove non-interference, not a corpus scan) whose
+    synthetic 5-word text
     embeds its doc_id in every word (pairwise-disjoint shingles — no
     control can near-dup any other doc at ANY scale factor), plus a
     40-copy exact-duplicate swarm. With the cap at 10, every swarm
     band bucket (size 40) is oversized: the routed path emits 39 star
     pairs where the uncapped path emits 780, and after content-hash
-    verification + connected components both must produce the same
-    clusters — all swarm copies collapsed onto min id, every control
-    a singleton — with ZERO unaccounted residual.
+    verification + keep-one reduction both must produce the same
+    survivor set — all swarm copies collapsed onto min id, every
+    control a singleton — with ZERO unaccounted residual.
 
     Scale shape: both candidate generations are banded (the capped
     one provably never quadratic), verification is two hash joins on
@@ -1805,11 +1810,12 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified near-dup volume.
     """
     from real_time_data_pipeline_spark.operators.similarity import (
-        connected_components,
         lsh_oversize_stats,
     )
 
-    ctrl = load_table(spark, sf_dir, "documents").select(
+    ctrl = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    ).select(
         "doc_id",
         F.concat_ws(
             " ",
@@ -1832,6 +1838,15 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
 
     def survivors(max_bucket):
+        # Verified pairs link ONLY identical-content docs (hash
+        # equality), and in both the star-routed and all-pairs
+        # topologies the group's min id is linked DIRECTLY to every
+        # other member — so keep-one reduces to an anti-join (drop
+        # every id that ever appears as the larger side of a pair)
+        # with no iterative component propagation needed. The full
+        # transitive operator (`connected_components`) is exercised by
+        # the dedup_cluster_assignment queries; re-running it twice
+        # here would only re-prove that at 3× the cost.
         cands = lsh_candidate_pairs(sigs, "doc_id", max_bucket=max_bucket)
         verified = (
             cands.join(
@@ -1845,14 +1860,11 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("_ha") == F.col("_hb"))
             .select("id_a", "id_b")
         )
-        comps = connected_components(verified, "id_a", "id_b")
-        singles = corpus.select("doc_id").join(
-            comps.select(F.col("id_a").alias("doc_id")), "doc_id", "left_anti"
-        )
+        dropped = verified.select(F.col("id_b").alias("doc_id")).distinct()
         return (
-            comps.select(F.col("cluster_id").alias("sid"))
-            .distinct()
-            .unionByName(singles.select(F.col("doc_id").alias("sid")))
+            corpus.select("doc_id")
+            .join(dropped, "doc_id", "left_anti")
+            .select(F.col("doc_id").alias("sid"))
             .localCheckpoint()  # feeds a count, a diff, and a min
         )
 
