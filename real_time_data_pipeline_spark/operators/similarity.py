@@ -248,10 +248,17 @@ def minhash_signatures(
 
 
 def _band_keys(
-    signatures: DataFrame, id_col: str, band_rows: int, num_hashes: int
+    signatures: DataFrame,
+    id_col: str,
+    band_rows: int,
+    num_hashes: int,
+    with_sig_hash: bool = False,
 ) -> DataFrame:
-    """(id, band, band_key) rows: each signature split into
-    ``num_hashes/band_rows`` bands, key = joined in-band values."""
+    """(id, band, band_key[, _sig_h]) rows: each signature split into
+    ``num_hashes/band_rows`` bands, key = joined in-band values.
+    ``with_sig_hash`` also carries xxhash64 of the FULL signature —
+    computed once per doc before the explode (the generator replicates
+    it), so oversize routing needs no join back to the signatures."""
     n_bands = num_hashes // band_rows
     band = F.explode(
         F.transform(
@@ -268,8 +275,12 @@ def _band_keys(
             ),
         )
     )
-    return signatures.select(F.col(id_col), band.alias("bk")).select(
-        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    extra = [F.xxhash64("sig").alias("_sig_h")] if with_sig_hash else []
+    return signatures.select(F.col(id_col), *extra, band.alias("bk")).select(
+        F.col(id_col),
+        *(["_sig_h"] if with_sig_hash else []),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("band_key"),
     )
 
 
@@ -279,7 +290,7 @@ def lsh_candidate_pairs(
     band_rows: int = MINHASH_BAND_ROWS,
     num_hashes: int = MINHASH_NUM,
     max_bucket: int | None = 100_000,
-    oversize: str = "exact_star",
+    oversize: str = "exact_chain",
 ) -> DataFrame:
     """Candidate pairs from banded LSH over MinHash signatures.
 
@@ -294,88 +305,94 @@ def lsh_candidate_pairs(
     never reach the quadratic in-bucket pair expansion. What happens
     to them instead is ``oversize``:
 
-    - ``"exact_star"`` (default): members of an oversized bucket are
-      grouped by their FULL signature; each identical-signature group
-      emits a STAR to its minimum member — n−1 pairs instead of
-      n(n−1)/2. A real crawl's swarm buckets are exactly-duplicated
-      boilerplate, so the star keeps every swarm member connected to
-      its representative (downstream clustering/keep-one is unchanged
-      — VERDICT r6 #5) at linear cost. Only oversized-bucket members
-      whose signature is UNIQUE within the bucket still lose that
-      bucket's candidates; `lsh_oversize_stats` counts them — measure
-      it beside any capped run instead of capping silently.
+    - ``"exact_chain"`` (default): members of an oversized bucket are
+      grouped by their FULL signature (the bucket collects
+      (sig-hash, id) structs, so identical-signature members sort
+      contiguous); each identical-signature run emits a CHAIN of
+      consecutive links — n−1 pairs instead of n(n−1)/2, computed in
+      the SAME projection as the small-bucket expansion, so the
+      routing adds zero extra passes or shuffles. A real crawl's
+      swarm buckets are exactly-duplicated boilerplate: every link
+      joins two identical-signature docs (downstream verification
+      always passes) and the chain keeps the whole swarm one
+      connected component for clustering/keep-one (VERDICT r6 #5).
+      Only oversized-bucket members whose signature is UNIQUE within
+      the bucket still lose that bucket's candidates;
+      `lsh_oversize_stats` counts them — measure it beside any capped
+      run instead of capping silently.
     - ``"drop"``: the pre-r7 behavior — oversized buckets contribute
       no pairs at all.
 
     ``None`` disables the cap (and with it the routing).
     """
-    if oversize not in ("exact_star", "drop"):
+    if oversize not in ("exact_chain", "drop"):
         raise ValueError(f"unknown oversize policy {oversize!r}")
-    keys = _band_keys(signatures, id_col, band_rows, num_hashes)
+    routing = max_bucket is not None and oversize == "exact_chain"
+    # With routing, each member's full-signature hash rides INTO the
+    # bucket (one extra long per exploded row, hashed once per doc
+    # pre-explode) so oversized buckets can link identical-signature
+    # runs without a second signature pass or join.
+    keys = _band_keys(
+        signatures, id_col, band_rows, num_hashes, with_sig_hash=routing
+    )
+    if routing:
+        member = F.struct(F.col("_sig_h"), F.col(id_col).alias("_mid"))
+    else:
+        member = F.struct(F.lit(0).alias("_sig_h"), F.col(id_col).alias("_mid"))
     # Bucket-collect instead of a self-join: one shuffle on the band
     # key, pairs expanded inside each (tiny) bucket array. A self-join
     # would recompute the whole signature pipeline on both branches
-    # (Catalyst does not CSE across join inputs).
+    # (Catalyst does not CSE across join inputs). sort_array orders by
+    # (sig-hash, id): identical signatures contiguous for the chain,
+    # ids still totally ordered for deterministic pairs.
     buckets = keys.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+        F.sort_array(F.collect_list(member)).alias("ms")
     )
-    big = None
-    if max_bucket is not None and oversize == "exact_star":
-        # Both the small-bucket expansion and the oversize routing read
-        # the bucket frame: share ONE computation (Catalyst does not
-        # CSE across branches — unshared, the whole signature+banding
-        # pipeline would execute twice). persist keeps lineage, so the
-        # cache is fault-transparent; released per query via
-        # release_rank_caches / materialize.release_caches.
-        from real_time_data_pipeline_spark.operators.materialize import (
-            persist_tracked,
-        )
-
-        buckets = persist_tracked(buckets)
-    if max_bucket is not None:
-        big = buckets.where(F.size("ids") > max_bucket)
-        buckets = buckets.where(F.size("ids") <= max_bucket)
-    pair_structs = F.filter(
+    all_pairs = F.filter(
         F.flatten(
             F.transform(
-                F.col("ids"),
+                F.col("ms"),
                 lambda a: F.transform(
-                    F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                    F.col("ms"),
+                    lambda b: F.struct(
+                        a["_mid"].alias("id_a"), b["_mid"].alias("id_b")
+                    ),
                 ),
             )
         ),
         lambda p: p["id_a"] < p["id_b"],
     )
-    pairs = (
-        buckets.where(F.size("ids") > 1)
+    chain = F.transform(
+        F.filter(
+            F.zip_with(
+                F.slice(F.col("ms"), 1, F.size("ms") - 1),
+                F.slice(F.col("ms"), 2, F.size("ms") - 1),
+                lambda x, y: F.struct(
+                    x["_mid"].alias("id_a"),
+                    y["_mid"].alias("id_b"),
+                    (x["_sig_h"] == y["_sig_h"]).alias("_ok"),
+                ),
+            ),
+            lambda p: p["_ok"],
+        ),
+        lambda p: F.struct(p["id_a"].alias("id_a"), p["id_b"].alias("id_b")),
+    )
+    if max_bucket is None:
+        pair_structs = all_pairs
+    elif routing:
+        pair_structs = F.when(
+            F.size("ms") <= max_bucket, all_pairs
+        ).otherwise(chain)
+    else:  # drop
+        pair_structs = F.when(
+            F.size("ms") <= max_bucket, all_pairs
+        ).otherwise(F.array().cast("array<struct<id_a:long,id_b:long>>"))
+    return (
+        buckets.where(F.size("ms") > 1)
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
     )
-    if big is not None and oversize == "exact_star":
-        # Exact-signature star routing: explode the oversized buckets
-        # back to rows (linear), recover each member's full signature,
-        # and link identical-signature runs to their min member. The
-        # join is on the id column — uniform keys, no skew: the swarm
-        # ids spread across partitions even though their band key was
-        # one hot bucket.
-        sig_ids = signatures.select(
-            F.col(id_col), F.xxhash64("sig").alias("_sig_h")
-        )
-        star = (
-            big.select("band", "band_key", F.explode("ids").alias(id_col))
-            .join(sig_ids, id_col)
-            .groupBy("band", "band_key", "_sig_h")
-            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("gids"))
-            .where(F.size("gids") > 1)
-            .select(
-                F.element_at("gids", 1).alias("id_a"),
-                F.explode(F.slice(F.col("gids"), 2, F.size("gids") - 1)).alias(
-                    "id_b"
-                ),
-            )
-        )
-        pairs = pairs.unionByName(star)
-    return pairs.distinct()
 
 
 def lsh_oversize_stats(
@@ -392,8 +409,8 @@ def lsh_oversize_stats(
       over the cap and their total member rows;
     - ``n_residual_memberships``: members of oversized buckets whose
       signature is unique within the bucket — the only memberships
-      whose candidates the ``exact_star`` routing can still lose
-      (identical-signature members keep their star links).
+      whose candidates the ``exact_chain`` routing can still lose
+      (identical-signature members keep their chain links).
 
     Run and log() this beside any capped `lsh_candidate_pairs` call;
     an unexpectedly large residual means the corpus needs a bigger cap

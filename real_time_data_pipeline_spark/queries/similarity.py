@@ -1786,7 +1786,7 @@ _SWARM_GUARD_ORACLE = f"""
 
 @query("dedup_lsh_swarm_guard", oracle=_SWARM_GUARD_ORACLE)
 def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The `max_bucket` OOM guard with exact-signature star routing
+    """The `max_bucket` OOM guard with exact-signature chain routing
     (VERDICT r6 #5) must leave the DEDUP ANSWER identical to the
     uncapped all-pairs expansion — verified end-to-end on a corpus
     with a deliberate duplicate swarm.
@@ -1798,8 +1798,8 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeds its doc_id in every word (pairwise-disjoint shingles — no
     control can near-dup any other doc at ANY scale factor), plus a
     40-copy exact-duplicate swarm. With the cap at 10, every swarm
-    band bucket (size 40) is oversized: the routed path emits 39 star
-    pairs where the uncapped path emits 780, and after content-hash
+    band bucket (size 40) is oversized: the routed path emits 39 chain
+    links where the uncapped path emits 780, and after content-hash
     verification + keep-one reduction both must produce the same
     survivor set — all swarm copies collapsed onto min id, every
     control a singleton — with ZERO unaccounted residual.

@@ -459,7 +459,7 @@ def test_mixture_weights_sum_to_one(spark, sf_dir):
 def test_lsh_oversize_routing_mixed_swarms_and_residual(spark):
     """Oversized-bucket routing at the operator level, with handcrafted
     signatures: two co-bucketed exact-dup swarms must each get their
-    own star (never cross-linked, never quadratic), and a unique-sig
+    own chain (never cross-linked, never quadratic), and a unique-sig
     member of an oversized bucket must be COUNTED as residual."""
     from pyspark.sql import Row
     from real_time_data_pipeline_spark.operators.similarity import (
@@ -482,8 +482,10 @@ def test_lsh_oversize_routing_mixed_swarms_and_residual(spark):
         (r.id_a, r.id_b)
         for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket=10).collect()
     }
-    want = {(0, b) for b in range(1, 40)} | {(100, b) for b in range(101, 115)}
-    assert pairs == want  # two stars, no cross-swarm or residual pairs
+    want = {(i, i + 1) for i in range(39)} | {
+        (100 + i, 101 + i) for i in range(14)
+    }
+    assert pairs == want  # two chains, no cross-swarm or residual pairs
 
     st = lsh_oversize_stats(sigs, "doc_id", max_bucket=10).first()
     # every band bucket holding a swarm is oversized; the unique-sig

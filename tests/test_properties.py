@@ -198,12 +198,12 @@ def test_dedup_guards_bound_degenerate_corpora():
         # identical docs -> identical signatures -> ONE band bucket of
         # size 40 per band; max_bucket=10 keeps them away from the
         # quadratic expansion, ROUTING them through exact-signature
-        # star linking instead (r7): 39 linear pairs, every member
-        # still connected to the representative — never 780
+        # chain linking instead (r7): 39 linear links computed in the
+        # same projection, the whole swarm one component — never 780
         sigs = minhash_signatures(df, "doc_id", "text", n=3)
         routed = lsh_candidate_pairs(sigs, "doc_id", max_bucket=10)
         got = {(r.id_a, r.id_b) for r in routed.collect()}
-        assert got == {(0, b) for b in range(1, 40)}  # star to min id
+        assert got == {(i, i + 1) for i in range(39)}  # consecutive chain
         # legacy drop policy still available and still yields nothing
         assert (
             lsh_candidate_pairs(
