@@ -27,10 +27,6 @@ from real_time_data_pipeline_spark.sources.tables import load_table
 
 DAMPING = 0.85
 N_ITER = 3
-# Re-truncate the rank vector's lineage every k iterations: at
-# N_ITER=3 this never fires, but a parameterized N must not grow the
-# plan (and the DAG scheduler's walk) linearly with iteration count.
-_TRUNCATE_EVERY = 5
 
 _PAGERANK_ITER = """
 , d{k} AS (
@@ -85,9 +81,10 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the r7 durability fix; released per query by the cache
     registry), so the 5-way star join never re-runs. The rank
     vector's lineage is re-truncated via `reliable_materialize`
-    (durable checkpoint when a dir is set) every ``_TRUNCATE_EVERY``
-    iterations so the loop stays plan-bounded if ``N_ITER`` is ever
-    raised. Each iteration is ONE shuffle join of
+    (durable checkpoint when a dir is set) EVERY iteration — each step
+    references the previous vector twice, so an untruncated loop
+    doubles the plan per iteration. Each iteration is ONE shuffle
+    join of
     edges against the rank vector keyed on src, an aggregate keyed on
     dst, and two 1-row broadcast scalars (node count, dangling mass).
     Nothing is ever collected; the same loop runs on a billion-edge
@@ -128,8 +125,6 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for it in range(N_ITER):
-        if it > 0 and it % _TRUNCATE_EVERY == 0:
-            ranks = reliable_materialize(ranks)
         dangling = (
             ranks.join(srcs, ranks.name == srcs.src, "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
@@ -152,6 +147,14 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
+        # Truncate the rank vector's lineage EVERY iteration (the
+        # standard power-iteration cadence): each step references the
+        # previous vector twice (contrib + dangling mass), so an
+        # untruncated loop doubles the plan per iteration — 2^N copies
+        # of the edge-build tree for Catalyst to analyze, which costs
+        # more than the 3 tiny node-count-sized materializations do.
+        # reliable_materialize keeps it durable on clusters.
+        ranks = reliable_materialize(ranks)
     return ranks.select(
         F.col("name").alias("nation"), F.round("r", 6).alias("pagerank")
     )
