@@ -1448,3 +1448,98 @@ def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lag1_autocorr"),
     )
+
+
+# --- peak session concurrency ----------------------------------------
+
+_CONCURRENCY_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sids AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), sess AS (
+      SELECT user_id, sid,
+             min(ts) AS t_start,
+             max(ts) + INTERVAL 30 MINUTE AS t_end
+      FROM sids
+      GROUP BY user_id, sid
+    ), deltas AS (
+      SELECT t_start AS t, 1 AS d, user_id, sid FROM sess
+      UNION ALL
+      SELECT t_end, -1, user_id, sid FROM sess
+    ), running AS (
+      SELECT sum(d) OVER (ORDER BY t, d, user_id, sid
+                          ROWS UNBOUNDED PRECEDING) AS live
+      FROM deltas
+    )
+    SELECT (SELECT count(*) FROM sess) AS n_sessions,
+           CAST(max(live) AS BIGINT) AS max_concurrent
+    FROM running
+"""
+
+
+@query("window_peak_concurrency", oracle=_CONCURRENCY_ORACLE)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (capacity-planning's first number):
+    30-minute-gap sessions per user, each session an interval
+    [first event, last event + gap], peak = max of the running sum of
+    ±1 interval endpoints — the classic interval-stabbing sweep. Ends
+    sort before starts at equal timestamps (d = −1 < +1), so touching
+    intervals don't double-count.
+
+    Scale shape: sessionization is two user-partitioned windows; the
+    sweep's running sum over ALL endpoint events — the step that is a
+    one-task global window written naively — is `global_prefix_sum`
+    (range shuffle + pid windows + broadcast offsets), then one max
+    aggregate. Nothing is collected.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_s",
+        (
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            )
+        ).cast("int"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        marked.withColumn("sid", F.sum("new_s").over(ws))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("t_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t_end"),
+        )
+    )
+    deltas = sess.select(
+        F.col("t_start").alias("t"), F.lit(1).alias("d"), "user_id", "sid"
+    ).unionByName(
+        sess.select(
+            F.col("t_end").alias("t"), F.lit(-1).alias("d"), "user_id", "sid"
+        )
+    )
+    running = global_prefix_sum(
+        deltas,
+        [F.asc("t"), F.asc("d"), F.asc("user_id"), F.asc("sid")],
+        "d",
+        out_col="live",
+    )
+    n_sess = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    peak = running.agg(F.max("live").cast("long").alias("max_concurrent"))
+    return n_sess.crossJoin(F.broadcast(peak))

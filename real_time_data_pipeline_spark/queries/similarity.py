@@ -1975,3 +1975,142 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", F.round(F.col("w") / F.col("nrm"), 6).alias("val")
         )
     return v.select("dim", F.col("val").alias("loading"))
+
+
+_SURVIVORSHIP_ORACLE = """
+    WITH hashed AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ), keep AS (
+      SELECT h, min(doc_id) AS keep_id FROM hashed GROUP BY 1
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           sum(CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END) AS n_survivors,
+           round(sum(CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS survival_rate
+    FROM hashed d JOIN keep k ON d.h = k.h
+    GROUP BY 1
+"""
+
+
+@query("corpus_dedup_survivorship_by_source", oracle=_SURVIVORSHIP_ORACLE)
+def q_dedup_survivorship_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival rate under exact keep-one dedup — the
+    curation report that shows WHICH feeds are being deduplicated
+    away (a mirror site survives at ~0%, a primary at ~100%), read
+    before deciding mixture weights on the deduped corpus.
+
+    Scale shape: one content-hash aggregate (uniform 128-bit keys)
+    joined back on the hash, one per-source rollup. The join probe
+    carries only (doc_id, source, hash) — never text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        hashed.join(keep, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") == F.col("keep_id")).cast("long")).alias(
+                "n_survivors"
+            ),
+            F.round(
+                F.sum((F.col("doc_id") == F.col("keep_id")).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("survival_rate"),
+        )
+    )
+
+
+_NORM_OUTLIER_ORACLE = """
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                          x -> x * x)))
+               * CASE WHEN vec_id % 25 = 0 THEN 3.0 ELSE 1.0 END AS nrm,
+             (vec_id % 25 = 0) AS planted
+      FROM embeddings
+    ), stats AS (
+      SELECT count(*) AS n, sum(nrm) AS s1, sum(nrm * nrm) AS s2 FROM norms
+    ), flags AS (
+      SELECT planted,
+             abs(nrm - (SELECT s1 / n FROM stats))
+               > 2 * sqrt((SELECT greatest(s2 / n - (s1 / n) * (s1 / n), 0)
+                           FROM stats)) AS flagged
+      FROM norms
+    )
+    SELECT (SELECT n FROM stats) AS n_vectors,
+           CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_planted,
+           CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(CASE WHEN flagged AND planted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_positive
+    FROM flags
+"""
+
+
+@query("embed_norm_outliers", oracle=_NORM_OUTLIER_ORACLE)
+def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm outlier DETECTOR, value-proven on planted
+    corruption: every 25th vector is scaled ×3 (the signature of a
+    missed normalization or a truncated write) and the |z| > 2 rule
+    must flag exactly the planted set — detector recall measured as a
+    checked value, not claimed (same discipline as the ANN recall
+    queries). On this corpus the un-corrupted norms are unit (float
+    noise apart), so without planting the statistic would be
+    degenerate — the fixture makes the capability testable at every
+    scale factor.
+
+    Scale shape: the norm is an in-row fold (`F.aggregate`, JVM
+    codegen); mean/std come from one sufficient-stats row broadcast
+    back; the flag pass re-scans only (vec_id, norm) rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    norms = emb.select(
+        "vec_id",
+        (
+            norm
+            * F.when(F.col("vec_id") % 25 == 0, F.lit(3.0)).otherwise(F.lit(1.0))
+        ).alias("nrm"),
+        (F.col("vec_id") % 25 == 0).alias("planted"),
+    )
+    stats = norms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nrm").alias("s1"),
+        F.sum(F.col("nrm") * F.col("nrm")).alias("s2"),
+    )
+    flags = norms.crossJoin(F.broadcast(stats)).select(
+        "planted",
+        "n",
+        (
+            F.abs(F.col("nrm") - F.col("s1") / F.col("n"))
+            > 2
+            * F.sqrt(
+                F.greatest(
+                    F.col("s2") / F.col("n")
+                    - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+                    F.lit(0.0),
+                )
+            )
+        ).alias("flagged"),
+    )
+    return flags.agg(
+        F.max("n").alias("n_vectors"),
+        F.sum(F.col("planted").cast("long")).alias("n_planted"),
+        F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+        F.sum((F.col("flagged") & F.col("planted")).cast("long")).alias(
+            "n_true_positive"
+        ),
+    )
