@@ -101,21 +101,25 @@ def jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6.
     """
-    # Bucket-collect ONCE and materialize (localCheckpoint): Catalyst
+    # Bucket-collect ONCE and share via tracked persist: Catalyst
     # does not reuse exchanges across self-join branches here, so the
     # naive postings self-join recomputes the explode+distinct up to
     # 4× (a-side, b-side, and both count branches). One shuffle on the
     # shingle builds the inverted index; pairs expand inside each
     # bucket; per-doc shingle counts derive from the same buckets, so
     # the document-frequency cap is a free size() filter on the bucket
-    # rows — no extra aggregate, applied BEFORE materialization.
+    # rows — no extra aggregate, applied BEFORE the cache. persist
+    # (not localCheckpoint) keeps lineage: executor loss recomputes
+    # instead of failing, and the cache is released per query.
     sh = shingle_postings(df, id_col, text_col, n)
     buckets = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     )
     if max_df is not None:
         buckets = buckets.where(F.size("ids") <= max_df)
-    buckets = buckets.localCheckpoint()
+    from real_time_data_pipeline_spark.operators.materialize import persist_tracked
+
+    buckets = persist_tracked(buckets)  # lazy shared cache; executor loss recomputes
     counts = (
         buckets.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
@@ -180,7 +184,9 @@ def containment_pairs(
     )
     if max_df is not None:
         buckets = buckets.where(F.size("ids") <= max_df)
-    buckets = buckets.localCheckpoint()  # feeds counts AND pair expansion
+    from real_time_data_pipeline_spark.operators.materialize import persist_tracked
+
+    buckets = persist_tracked(buckets)  # feeds counts AND pair expansion; lazy, loss-recomputable
     counts = (
         buckets.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
