@@ -50,8 +50,17 @@ EDITED_THIS_ROUND = {
     "graph_recursive_reachability",
     "graph_triangle_count",
     "graph_clustering_coefficient",
-    # r7: lsh_candidate_pairs oversize routing (VERDICT r6 #5)
+    # r7: lsh_candidate_pairs oversize chain routing (VERDICT r6 #5)
+    # and the inverted-index bucket persist — every consumer re-checks
     "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",
+    "dedup_cluster_assignment",
+    "dedup_cluster_assignment_star",
+    "dedup_keep_one",
+    "data_leakage_safe_split",
+    "dedup_minhash_estimate",
+    "dedup_incremental_batch",
     # r7: ranking helpers gained tracked-persist/release (VERDICT r6 #1
     # — results provably unchanged, re-confirm externally anyway)
     "window_rank_distribution",
