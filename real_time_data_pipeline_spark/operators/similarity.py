@@ -290,6 +290,45 @@ def _band_keys(
     )
 
 
+def _lsh_all_pairs_expr() -> Column:
+    """All ordered pairs from a bucket's (sig-hash, id) struct array."""
+    return F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda a: F.transform(
+                    F.col("ms"),
+                    lambda b: F.struct(
+                        a["_mid"].alias("id_a"), b["_mid"].alias("id_b")
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+
+
+def _lsh_chain_expr() -> Column:
+    """Consecutive links within each identical-signature run of a
+    bucket's sorted (sig-hash, id) struct array — linear routing for
+    oversized buckets (see `lsh_candidate_pairs`)."""
+    return F.transform(
+        F.filter(
+            F.zip_with(
+                F.slice(F.col("ms"), 1, F.size("ms") - 1),
+                F.slice(F.col("ms"), 2, F.size("ms") - 1),
+                lambda x, y: F.struct(
+                    x["_mid"].alias("id_a"),
+                    y["_mid"].alias("id_b"),
+                    (x["_sig_h"] == y["_sig_h"]).alias("_ok"),
+                ),
+            ),
+            lambda p: p["_ok"],
+        ),
+        lambda p: F.struct(p["id_a"].alias("id_a"), p["id_b"].alias("id_b")),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -354,35 +393,8 @@ def lsh_candidate_pairs(
     buckets = keys.groupBy("band", "band_key").agg(
         F.sort_array(F.collect_list(member)).alias("ms")
     )
-    all_pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda a: F.transform(
-                    F.col("ms"),
-                    lambda b: F.struct(
-                        a["_mid"].alias("id_a"), b["_mid"].alias("id_b")
-                    ),
-                ),
-            )
-        ),
-        lambda p: p["id_a"] < p["id_b"],
-    )
-    chain = F.transform(
-        F.filter(
-            F.zip_with(
-                F.slice(F.col("ms"), 1, F.size("ms") - 1),
-                F.slice(F.col("ms"), 2, F.size("ms") - 1),
-                lambda x, y: F.struct(
-                    x["_mid"].alias("id_a"),
-                    y["_mid"].alias("id_b"),
-                    (x["_sig_h"] == y["_sig_h"]).alias("_ok"),
-                ),
-            ),
-            lambda p: p["_ok"],
-        ),
-        lambda p: F.struct(p["id_a"].alias("id_a"), p["id_b"].alias("id_b")),
-    )
+    all_pairs = _lsh_all_pairs_expr()
+    chain = _lsh_chain_expr()
     if max_bucket is None:
         pair_structs = all_pairs
     elif routing:
@@ -399,6 +411,49 @@ def lsh_candidate_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs_by_cap(
+    signatures: DataFrame,
+    id_col: str,
+    caps: "list[int | None]",
+    band_rows: int = MINHASH_BAND_ROWS,
+    num_hashes: int = MINHASH_NUM,
+) -> "dict[int | None, DataFrame]":
+    """`lsh_candidate_pairs` for SEVERAL ``max_bucket`` caps from ONE
+    banding + bucket build — cap-sensitivity checks (the swarm guard,
+    capacity tuning) would otherwise re-run the whole signature
+    explode + bucket shuffle per cap. The shared bucket frame is a
+    tracked persist (released per query); each cap differs only in
+    its in-bucket expansion projection, exactly as in the
+    single-cap operator (``exact_chain`` routing for oversized
+    buckets; ``None`` = uncapped all-pairs)."""
+    from real_time_data_pipeline_spark.operators.materialize import persist_tracked
+
+    keys = _band_keys(
+        signatures, id_col, band_rows, num_hashes, with_sig_hash=True
+    )
+    member = F.struct(F.col("_sig_h"), F.col(id_col).alias("_mid"))
+    buckets = persist_tracked(
+        keys.groupBy("band", "band_key").agg(
+            F.sort_array(F.collect_list(member)).alias("ms")
+        )
+    )
+    out: "dict[int | None, DataFrame]" = {}
+    for cap in caps:
+        if cap is None:
+            pair_structs = _lsh_all_pairs_expr()
+        else:
+            pair_structs = F.when(
+                F.size("ms") <= cap, _lsh_all_pairs_expr()
+            ).otherwise(_lsh_chain_expr())
+        out[cap] = (
+            buckets.where(F.size("ms") > 1)
+            .select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .distinct()
+        )
+    return out
 
 
 def lsh_oversize_stats(

@@ -1810,6 +1810,7 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified near-dup volume.
     """
     from real_time_data_pipeline_spark.operators.similarity import (
+        lsh_candidate_pairs_by_cap,
         lsh_oversize_stats,
     )
 
@@ -1836,6 +1837,9 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.xxhash64("text").alias("_h")
     ).localCheckpoint()
     n_docs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    cands_by_cap = lsh_candidate_pairs_by_cap(
+        sigs, "doc_id", caps=[_SWARM_CAP, None]
+    )
 
     def survivors(max_bucket):
         # Verified pairs link ONLY identical-content docs (hash
@@ -1846,8 +1850,10 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with no iterative component propagation needed. The full
         # transitive operator (`connected_components`) is exercised by
         # the dedup_cluster_assignment queries; re-running it twice
-        # here would only re-prove that at 3× the cost.
-        cands = lsh_candidate_pairs(sigs, "doc_id", max_bucket=max_bucket)
+        # here would only re-prove that at 3× the cost. Both caps'
+        # candidate sets come from ONE shared banding+bucket build
+        # (`lsh_candidate_pairs_by_cap`).
+        cands = cands_by_cap[max_bucket]
         verified = (
             cands.join(
                 hashes.select(F.col("doc_id").alias("id_a"), F.col("_h").alias("_ha")),
