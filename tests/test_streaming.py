@@ -951,3 +951,134 @@ def test_stateful_running_totals_on_rocksdb(spark, replay_dir):
     for k, row in final.iterrows():
         assert row["n_events"] == batch.loc[k, "n"]
         assert abs(row["total_value"] - batch.loc[k, "total"]) < 1e-6
+
+
+def test_transform_with_state_timer_sessionizer(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas with EVENT-TIME TIMERS: the
+    sessionizer emits each session exactly once, ON timer expiry
+    (watermark passing last event + gap), matching the batch
+    session_window twin.
+
+    ENVIRONMENT GATE (same pattern as the Delta MERGE closure): the
+    transformWithState state protocol needs `google.protobuf`, which
+    is absent here and uninstallable. The operator's PLAN is always
+    analysis-checked below (schemas, API wiring, watermark placement
+    — the part that catches contract mistakes); when the gate reports
+    the runtime absent, the test asserts that report is truthful and
+    stops; with protobuf present it runs the full stream/batch parity.
+    """
+    import os
+
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.windows import session_windowed_agg
+    from real_time_data_pipeline_spark.session import use_rocksdb_state
+    from real_time_data_pipeline_spark.streaming.transform_state import (
+        timer_sessionizer,
+        transform_with_state_available,
+    )
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "ts", "value")
+        .orderBy("ts")
+        .toPandas()
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    ordered = ev.sort_values("ts").reset_index(drop=True)
+    k = len(ordered) // 4 + 1
+    # ts-ordered chunks so the watermark never drops a late row
+    for i in range(4):
+        ordered.iloc[i * k : (i + 1) * k].to_parquet(
+            os.path.join(d, f"b{i}.parquet"), index=False
+        )
+    # sentinel far-future event: advances the watermark past every real
+    # session's (last + gap) so all timers fire before the stream ends
+    sentinel = pd.DataFrame(
+        {
+            "user_id": [-1],
+            "ts": [ordered["ts"].max() + pd.Timedelta(days=10)],
+            "value": [0.0],
+        }
+    )
+    sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
+    sentinel.to_parquet(os.path.join(d, "b9_sentinel.parquet"), index=False)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    sessions = timer_sessionizer(
+        stream, gap_seconds=30 * 60, watermark_delay="1 minute"
+    )
+    # plan-level contract always checked: streaming frame, declared
+    # output schema, watermark present upstream of the stateful op
+    assert sessions.isStreaming
+    assert [f.name for f in sessions.schema.fields] == [
+        "user_id", "session_start", "session_end", "n_events", "total_value",
+    ]
+    # the watermark annotation (-T<delay>ms on the event-time column)
+    # must sit upstream of the stateful op
+    assert "-T60000ms" in sessions._jdf.queryExecution().analyzed().toString()
+
+    if not transform_with_state_available():
+        # documented environment closure — the gate must be truthful
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError):
+            from google.protobuf import descriptor  # noqa: F401
+        return
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    use_rocksdb_state(spark)
+    try:
+        _run_stream_to_memory(sessions, "twstate_sessions", "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    got = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value, 6), r.session_end)
+        for r in spark.table("twstate_sessions").where("user_id >= 0").collect()
+    }
+    batch = session_windowed_agg(
+        load_table(spark, "/root/testdata/sf0.001", "events"),
+        event_time="ts",
+        gap="30 minutes",
+        keys=["user_id"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 6),
+        },
+    ).collect()
+    import datetime
+
+    want = {
+        (
+            r.user_id,
+            r.window_start,
+            r.n_events,
+            round(r.total_value, 6),
+            r.window_end - datetime.timedelta(minutes=30),
+        )
+        for r in batch
+    }
+    assert got == want
+    assert len(got) > 0
