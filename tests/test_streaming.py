@@ -1082,3 +1082,97 @@ def test_transform_with_state_timer_sessionizer(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_timer_sessionizer_processor_logic_isolated():
+    """The gated transformWithState path's PROCESSOR LOGIC, executed:
+    drive _TimerSessionizer against a fake handle/state (the
+    StatefulProcessor contract is plain Python) — batches accumulate
+    into one open session with exactly one live timer at last+gap,
+    and timer expiry emits the session once and clears state."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.streaming.transform_state import (
+        _TimerSessionizer,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, t):
+            self.v = tuple(t)
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+            self.timers = set()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+        def listTimers(self):
+            # generator, like the real socket-backed listing — the
+            # processor must materialize before deleting
+            yield from sorted(self.timers)
+
+        def deleteTimer(self, t):
+            self.timers.discard(t)
+
+        def registerTimer(self, t):
+            self.timers.add(t)
+
+    gap_s = 1800
+    proc = _TimerSessionizer(gap_s, "ts", "value")
+    h = FakeHandle()
+    proc.init(h)
+
+    def batch(ts_list, values):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(ts_list).astype("datetime64[us]"),
+             "value": values}
+        )
+
+    out1 = list(
+        proc.handleInputRows(
+            (7,),
+            iter([batch(["2024-01-01 10:00:00", "2024-01-01 10:10:00"], [1.0, 2.0])]),
+            None,
+        )
+    )
+    assert out1 == []  # append-clean: nothing emitted on input
+    assert h.state.exists()
+    start_us, last_us, n, total = h.state.get()
+    assert n == 2 and total == 3.0
+    # one live timer at last event + gap (ms)
+    assert h.timers == {(last_us + gap_s * 1_000_000) // 1000}
+
+    # second batch extends the session and SUPERSEDES the timer
+    list(
+        proc.handleInputRows(
+            (7,), iter([batch(["2024-01-01 10:20:00"], [4.0])]), None
+        )
+    )
+    _, last2_us, n2, total2 = h.state.get()
+    assert (n2, total2) == (3, 7.0)
+    assert h.timers == {(last2_us + gap_s * 1_000_000) // 1000}
+
+    # expiry: exactly one session row, state cleared
+    rows = list(proc.handleExpiredTimer((7,), None, None))
+    assert len(rows) == 1
+    r = rows[0].iloc[0]
+    assert r["user_id"] == 7 and r["n_events"] == 3 and r["total_value"] == 7.0
+    assert str(r["session_start"]) == "2024-01-01 10:00:00"
+    assert str(r["session_end"]) == "2024-01-01 10:20:00"
+    assert not h.state.exists()
+    # a second expiry (stale timer) emits nothing
+    assert list(proc.handleExpiredTimer((7,), None, None)) == []
