@@ -2120,3 +2120,59 @@ def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true_positive"
         ),
     )
+
+
+_CLUSTER_SIZE_DIST_ORACLE = (
+    "WITH assign AS (SELECT * FROM ("
+    + _CLUSTERS_ORACLE
+    + """
+    ) q), clus AS (
+      SELECT cluster_id, count(*) AS sz FROM assign GROUP BY 1
+    ), singles AS (
+      SELECT count(*) AS n1 FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM assign a WHERE a.id_a = d.doc_id)
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters
+    FROM clus GROUP BY 1
+    UNION ALL
+    SELECT 1, n1 FROM singles WHERE n1 > 0
+"""
+)
+
+
+@query("dedup_cluster_size_distribution", oracle=_CLUSTER_SIZE_DIST_ORACLE)
+def q_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE histogram (singletons included) — the
+    shape curators read before picking a dedup policy: a long tail of
+    pairs means light touch, a few giant families mean boilerplate
+    swarms that deserve source-level fixes. Sizes ≥ 2 come from the
+    same near-dup components as `dedup_cluster_assignment`; size 1 is
+    the anti-join remainder of the corpus.
+
+    Scale shape: components' output is node-rows (near-dup docs — a
+    sliver of any real corpus); the histogram is two hash aggregates
+    and one anti-join on uniform doc ids. Nothing data-sized is
+    windowed or collected."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    )
+    assign = connected_components(pairs, "id_a", "id_b")
+    sized = (
+        assign.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    singles = (
+        docs.join(assign.select(F.col("id_a").alias("doc_id")), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .where(F.col("n_clusters") > 0)
+        .select(F.lit(1).cast("long").alias("cluster_size"), "n_clusters")
+    )
+    return sized.unionByName(singles)
