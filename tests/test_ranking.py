@@ -240,3 +240,35 @@ def test_global_running_max_matches_window_form(spark):
     }
     assert got == want
     release_rank_caches()
+
+
+def test_release_covers_graph_and_dedup_reuse_caches(spark, sf_dir):
+    """The shared cache registry must free EVERY persist_tracked site
+    — ranking range-shuffles, graph reuse frames, inverted-index
+    buckets, multi-cap LSH buckets — not just the ranking family
+    (VERDICT r6 #1's 'no leaked persistent RDDs after a full run')."""
+    from real_time_data_pipeline_spark.operators.ranking import release_rank_caches
+    from real_time_data_pipeline_spark.operators.similarity import (
+        jaccard_pairs,
+        lsh_candidate_pairs_by_cap,
+        minhash_signatures,
+    )
+    from real_time_data_pipeline_spark.queries.registry import REGISTRY
+
+    release_rank_caches(blocking=True)
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    REGISTRY["graph_triangle_count"].fn(spark, sf_dir).count()
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(30)]
+        + [(100 + i, "same text swarm here again and again ok") for i in range(12)],
+        "doc_id long, text string",
+    )
+    jaccard_pairs(docs, "doc_id", "text").count()
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    for df in lsh_candidate_pairs_by_cap(sigs, "doc_id", caps=[5, None]).values():
+        df.count()
+
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
+    assert release_rank_caches(blocking=True) >= 3
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
