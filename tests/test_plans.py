@@ -443,3 +443,38 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_r7_queries_pushdown_and_pruning(spark, sf_dir):
+    """The r7 additions keep the scan discipline: predicates reach the
+    parquet scan and ReadSchema carries only the used columns."""
+    # PIT join: the purchase filter is pushed; events scan reads only
+    # the join/interval columns, never props/value
+    df = REGISTRY["join_point_in_time_scd2"].fn(spark, sf_dir)
+    assert any("event_type" in f for f in pushed_filters(df))
+    assert all("value" not in c or "props" not in c for c in read_schema_columns(df))
+    # temporal split scans only (user_id, ts, event_id)
+    df = REGISTRY["data_temporal_split"].fn(spark, sf_dir)
+    for cols in read_schema_columns(df):
+        assert "props" not in cols and "value" not in cols
+    # Pareto: orders scan prunes to (o_custkey, o_totalprice)
+    df = REGISTRY["window_pareto_revenue_share"].fn(spark, sf_dir)
+    for cols in read_schema_columns(df):
+        assert "o_comment" not in cols and "o_orderdate" not in cols
+
+
+def test_r7_one_row_broadcasts_not_shuffles(spark, sf_dir):
+    """Sufficient-stats composition queries assemble their single-row
+    frames via broadcast, never a shuffled join."""
+    for name in ("agg_ab_welch_t", "event_hourly_autocorr", "embed_norm_outliers"):
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_peak_concurrency_sweep_uses_pid_windows(spark, sf_dir):
+    """The concurrency sweep's running sum must ride the range-shuffle
+    + pid-window form — no unpartitioned data-sized window (the
+    registry-wide audit also covers this; asserted here directly
+    because the sweep is the query's entire point)."""
+    plan = _plan(REGISTRY["window_peak_concurrency"].fn(spark, sf_dir))
+    assert "_gr_pid" in plan
