@@ -39,6 +39,8 @@ branches, and costs no filesystem round-trip. Its registry pairs with
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import DataFrame
 
 # Persisted frames awaiting release — see `release_caches`.
@@ -68,6 +70,29 @@ def release_caches(blocking: bool = False) -> int:
         except Exception:  # pragma: no cover — session already stopped
             pass
     return n
+
+
+@_contextmanager
+def cache_scope():
+    """Release-on-exit scope for `persist_tracked` caches created
+    INSIDE the block — for library code that runs repeatedly in a
+    long-lived process (a foreachBatch body, a service handler) and
+    must not leak one cache per invocation, while leaving any caches
+    the CALLER had registered before the scope untouched (a global
+    release here could unpersist a caller's not-yet-materialized
+    ranking frame — the correctness hazard in ranking.py's module
+    doc). Everything created inside the scope must be fully
+    materialized before the block exits."""
+    mark = len(_LIVE_CACHES)
+    try:
+        yield
+    finally:
+        while len(_LIVE_CACHES) > mark:
+            df = _LIVE_CACHES.pop()
+            try:
+                df.unpersist(blocking=False)
+            except Exception:  # pragma: no cover — session already stopped
+                pass
 
 
 def reliable_materialize(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -402,9 +402,12 @@ def lsh_candidate_pairs(
             F.size("ms") <= max_bucket, all_pairs
         ).otherwise(chain)
     else:  # drop
+        # empty array typed FROM the pair expression itself, so the
+        # branches agree for any id column type (a hardcoded long cast
+        # would fail analysis for string ids — code-review r7 finding)
         pair_structs = F.when(
             F.size("ms") <= max_bucket, all_pairs
-        ).otherwise(F.array().cast("array<struct<id_a:long,id_b:long>>"))
+        ).otherwise(F.filter(all_pairs, lambda p: F.lit(False)))
     return (
         buckets.where(F.size("ms") > 1)
         .select(F.explode(pair_structs).alias("p"))
@@ -477,8 +480,11 @@ def lsh_oversize_stats(
     an unexpectedly large residual means the corpus needs a bigger cap
     or an upstream exact-dedup pass.
     """
-    keys = _band_keys(signatures, id_col, band_rows, num_hashes)
-    sig_ids = signatures.select(F.col(id_col), F.xxhash64("sig").alias("_sig_h"))
+    # sig hash carried through the banding projection — no second
+    # signature pass or join back (code-review r7 finding)
+    keys = _band_keys(
+        signatures, id_col, band_rows, num_hashes, with_sig_hash=True
+    )
     per_bucket = keys.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -492,7 +498,6 @@ def lsh_oversize_stats(
     big = per_bucket.where(F.col("n") > cap).select("band", "band_key", "n")
     sig_groups = (
         keys.join(big.select("band", "band_key"), ["band", "band_key"], "left_semi")
-        .join(sig_ids, id_col)
         .groupBy("band", "band_key", "_sig_h")
         .agg(F.count(F.lit(1)).alias("g"))
     )

@@ -1454,7 +1454,7 @@ def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONCURRENCY_ORACLE = """
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1463,7 +1463,7 @@ _CONCURRENCY_ORACLE = """
       FROM events
     ), sids AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     ), sess AS (
@@ -1516,7 +1516,10 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("int"),
     )
-    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tie-break: equal-ts rows must take deterministic session
+    # ids, or the boundary row can swap sides run-to-run (module
+    # determinism contract; code-review r7 finding)
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = (
@@ -1527,6 +1530,11 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t_end"),
         )
     )
+    # sess feeds the two delta branches AND the session count — share
+    # one computation of the double-window sessionization
+    from real_time_data_pipeline_spark.operators.materialize import persist_tracked
+
+    sess = persist_tracked(sess)
     deltas = sess.select(
         F.col("t_start").alias("t"), F.lit(1).alias("d"), "user_id", "sid"
     ).unionByName(

@@ -2161,12 +2161,14 @@ def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from real_time_data_pipeline_spark.operators.ranking import global_prefix_sums
 
-    cr = (
+    from real_time_data_pipeline_spark.operators.materialize import persist_tracked
+
+    cr = persist_tracked(
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
         .withColumn("_one", F.lit(1).cast("long"))
-    )
+    )  # feeds the prefix-sum build AND the totals aggregate
     ranked = global_prefix_sums(
         cr,
         [F.desc("rev_cents"), F.asc("custkey")],

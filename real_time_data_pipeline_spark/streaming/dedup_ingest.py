@@ -129,7 +129,33 @@ def ingest_batch(
     LSH-candidate + exact-Jaccard probe against ``<store>/bands`` +
     ``<store>/docs``. All three probes read only the bucket
     partitions the batch's own keys map to.
+
+    Cache hygiene: the body runs inside `cache_scope`, so the tracked
+    persists its operators create (jaccard_pairs' bucket frame) are
+    released when the batch completes — a foreachBatch driver calling
+    this once per micro-batch must not accumulate one cached RDD per
+    batch for the stream's lifetime. Safe because every intermediate
+    is fully materialized (localCheckpoint/write/count) before return.
     """
+    from real_time_data_pipeline_spark.operators.materialize import cache_scope
+
+    with cache_scope():
+        return _ingest_batch_impl(
+            batch, id_col, text_col, corpus_path, store_path, n, threshold,
+            n_buckets,
+        )
+
+
+def _ingest_batch_impl(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_path: str,
+    store_path: str,
+    n: int,
+    threshold: float,
+    n_buckets: int,
+) -> int:
     spark = batch.sparkSession
     hashes_path = store_path.rstrip("/") + "/hashes"
     bands_path = store_path.rstrip("/") + "/bands"

@@ -428,6 +428,14 @@ def read_layout_preserving(spark: SparkSession, path: str) -> DataFrame:
     data files, so data-column types are untouched. The session conf
     is restored; the frame's schema is forced first because partition
     discovery runs lazily at first analysis.
+
+    CONCURRENCY: the toggle is a SESSION-level conf — any unrelated
+    read analyzed in the same session during the set→restore window
+    would resolve ITS partition columns as strings too. This is one
+    more reason maintenance rewrites (compact/expire) must run
+    serialized in their own scheduler slot, never concurrently with
+    serving work on the same SparkSession — the discipline their
+    docstrings already require for the swap commit.
     """
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     prev = spark.conf.get(key, "true")

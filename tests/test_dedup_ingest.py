@@ -236,3 +236,23 @@ def test_ingest_agrees_with_batch_twin_logic(spark, tmp_path):
 
     assert streamed == {1, 2, 3} | twin_accepted
     assert twin_accepted == {13}
+
+
+def test_ingest_batches_leave_no_persistent_rdds(spark, tmp_path):
+    """Each ingest_batch call runs in a cache_scope: a long-lived
+    foreachBatch stream must not accumulate one TRACKED persisted
+    bucket frame per micro-batch (code-review r7 finding). The
+    assertion is on the cache registry — localCheckpoint residue is
+    GC-reclaimed by the ContextCleaner and is not a deterministic
+    count."""
+    from real_time_data_pipeline_spark.operators import materialize
+    from real_time_data_pipeline_spark.operators.ranking import release_rank_caches
+
+    release_rank_caches(blocking=True)
+    corpus, store = str(tmp_path / "c"), str(tmp_path / "s")
+    for i in range(3):
+        ingest_batch(
+            _docs(spark, [(10 * i + j, f"{BASE} batch{i} doc{j}") for j in range(3)]),
+            "doc_id", "text", corpus, store,
+        )
+        assert materialize._LIVE_CACHES == [], f"cache leaked after batch {i}"

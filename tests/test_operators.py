@@ -492,3 +492,31 @@ def test_lsh_oversize_routing_mixed_swarms_and_residual(spark):
     # doc contributes exactly its shared-band memberships as residual
     assert st.n_residual_memberships >= 1
     assert st.n_oversized_buckets >= 48  # A's bands at minimum
+
+
+def test_lsh_candidate_pairs_string_ids_all_policies(spark):
+    """The pair expansion (and BOTH oversize policies' branches) must
+    analyze for non-long id columns — the drop policy's empty array
+    once hardcoded long ids (code-review r7 finding)."""
+    from pyspark.sql import Row
+    from real_time_data_pipeline_spark.operators.similarity import (
+        MINHASH_NUM,
+        lsh_candidate_pairs,
+    )
+
+    sig = [1] * MINHASH_NUM
+    sigs = spark.createDataFrame(
+        [Row(doc_id=f"d{i:02d}", sig=sig) for i in range(12)],
+        "doc_id string, sig array<bigint>",
+    )
+    full = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert full == {(f"d{a:02d}", f"d{b:02d}") for a in range(12) for b in range(a + 1, 12)}
+    chain = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket=5).collect()
+    }
+    assert chain == {(f"d{i:02d}", f"d{i+1:02d}") for i in range(11)}
+    assert (
+        lsh_candidate_pairs(sigs, "doc_id", max_bucket=5, oversize="drop").count()
+        == 0
+    )
