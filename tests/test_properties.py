@@ -339,3 +339,57 @@ def test_cdc_snapshot_invariant_under_batching(tmp_path_factory, changes, assign
         }
 
     assert snap(one_shot) == snap(split)
+
+
+@given(
+    contents=st.lists(st.integers(0, 4), min_size=2, max_size=24),
+    cap=st.sampled_from([2, 3, 5, 8]),
+)
+@settings(max_examples=8, deadline=None)
+def test_lsh_chain_routing_preserves_exact_dup_connectivity(contents, cap):
+    """The promised invariant of oversized-bucket chain routing, under
+    ADVERSARIAL band collisions: for ANY cap, every exact-duplicate
+    group (identical signature) stays ONE connected component in the
+    candidate graph. Signatures use a 3-value alphabet so different
+    contents collide in whole bands constantly — the hostile case
+    where dropping oversized buckets without routing would shatter
+    dup groups."""
+    import hashlib
+
+    from pyspark.sql import Row
+    from real_time_data_pipeline_spark.operators.similarity import (
+        MINHASH_NUM,
+        lsh_candidate_pairs,
+    )
+
+    def sig_for(content):
+        return [
+            int(hashlib.md5(f"{content}:{i}".encode()).hexdigest(), 16) % 3
+            for i in range(MINHASH_NUM)
+        ]
+
+    rows = [Row(doc_id=i, sig=sig_for(c)) for i, c in enumerate(contents)]
+    sigs = _spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket=cap).collect()
+    ]
+
+    parent = list(range(len(contents)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    by_content = {}
+    for i, c in enumerate(contents):
+        by_content.setdefault(c, []).append(i)
+    for c, members in by_content.items():
+        roots = {find(m) for m in members}
+        assert len(roots) == 1, (
+            f"content {c} shattered into {len(roots)} components at cap={cap}"
+        )
