@@ -45,30 +45,16 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # check window ahead of merely-stale greens. Maintained by hand at
 # edit time; cleared once the next round's gate re-confirms them.
 EDITED_THIS_ROUND = {
-    # r7: reliable_materialize swap (VERDICT r6 #2)
-    "graph_pagerank_trade",
-    "graph_recursive_reachability",
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    # r7: lsh_candidate_pairs oversize chain routing (VERDICT r6 #5)
-    # and the inverted-index bucket persist — every consumer re-checks
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_containment_pairs",
-    "dedup_cluster_assignment",
-    "dedup_cluster_assignment_star",
-    "dedup_keep_one",
-    "data_leakage_safe_split",
-    "dedup_minhash_estimate",
-    "dedup_incremental_batch",
-    # NOT listed: the ranking-backed queries (window_rank_distribution,
-    # agg_rfm_segmentation, …). Task 1 changed only the helpers' cache
-    # BOOKKEEPING — the persist call and every plan stay byte-identical,
-    # and release happens strictly after materialization — so their r6
-    # green rows remain valid. Listing them would crowd the 50-slot
-    # window and push the r1–r3 stale greens (task 6's actual target)
-    # out for another round; the local pytest parity suite re-verifies
-    # all of them every run regardless.
+    # r8: oracle CAST(... AS BIGINT) fixes for the three r7 reds
+    # (VERDICT r7 #1) — also tier -1 via latest_not_green, listed for
+    # the record
+    "corpus_dedup_survivorship_by_source",
+    "pipeline_watermark_lateness",
+    "window_pareto_revenue_share",
+    # r8: stale-green rotation (VERDICT r7 #3) — last externally
+    # checked r2; force into the r8 window
+    "join_anti_customers_without_orders",
+    "join_outer_order_counts",
 }
 
 

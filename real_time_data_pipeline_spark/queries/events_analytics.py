@@ -1240,12 +1240,14 @@ _LATENESS_ORACLE = """
       FROM fr
     )
     SELECT count(*) AS n_events,
-           sum(CASE WHEN late_s = 0 THEN 1 ELSE 0 END) AS n_on_time,
-           sum(CASE WHEN late_s > 0 AND late_s <= 60 THEN 1 ELSE 0 END)
-             AS n_late_1m,
-           sum(CASE WHEN late_s > 60 AND late_s <= 600 THEN 1 ELSE 0 END)
-             AS n_late_10m,
-           sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) AS n_dropped_10m,
+           CAST(sum(CASE WHEN late_s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_on_time,
+           CAST(sum(CASE WHEN late_s > 0 AND late_s <= 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_1m,
+           CAST(sum(CASE WHEN late_s > 60 AND late_s <= 600 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_10m,
+           CAST(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_10m,
            round(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS drop_frac_10m
     FROM lat

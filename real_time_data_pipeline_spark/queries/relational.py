@@ -2136,7 +2136,7 @@ _PARETO_ORACLE = """
     )
     SELECT CAST(((rn - 1) * 10) // n + 1 AS INTEGER) AS decile,
            count(*) AS n_customers,
-           sum(rev_cents) AS decile_rev_cents,
+           CAST(sum(rev_cents) AS BIGINT) AS decile_rev_cents,
            round(max(cum_rev) * 1.0 / max(tot), 6) AS cum_share,
            (SELECT gini FROM gini) AS gini
     FROM ranked

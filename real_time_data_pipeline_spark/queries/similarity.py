@@ -1991,7 +1991,8 @@ _SURVIVORSHIP_ORACLE = """
     )
     SELECT d.source,
            count(*) AS n_docs,
-           sum(CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END) AS n_survivors,
+           CAST(sum(CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors,
            round(sum(CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS survival_rate
     FROM hashed d JOIN keep k ON d.h = k.h

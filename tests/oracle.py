@@ -67,6 +67,21 @@ def assert_matches(spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 1e
     assert len(got) == len(want), f"row count mismatch: spark={len(got)} oracle={len(want)}"
     for col in got.columns:
         g, w = got[col], want[col]
+        # Dtype-kind gate (r8): the external driver hashes stringified
+        # values, so an int64 column on one side vs float64 on the other
+        # ("25" vs "25.0") is a hash mismatch even when values are equal.
+        # The classic cause is a DuckDB oracle emitting a bare sum(...):
+        # sum(INTEGER/BIGINT) returns HUGEINT, which pandas lands as
+        # float64 — wrap the oracle column in CAST(... AS BIGINT). The
+        # tolerant float branch below would otherwise mask exactly this.
+        g_int, w_int = g.dtype.kind in "iu", w.dtype.kind in "iu"
+        g_flt, w_flt = g.dtype.kind == "f", w.dtype.kind == "f"
+        assert not (g_int and w_flt) and not (g_flt and w_int), (
+            f"{col}: dtype-kind drift spark={g.dtype} oracle={w.dtype} — "
+            "the external gate stringifies values, so int-vs-float fails "
+            "its hash even when numerically equal (cast the oracle sum "
+            "to BIGINT, or the Spark column to double)"
+        )
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             for i, (a, b) in enumerate(zip(g, w)):
                 an, bn = pd.isna(a), pd.isna(b)

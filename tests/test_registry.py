@@ -31,3 +31,38 @@ def test_every_query_exposed_with_oracle_keys_subset():
     # every oracle key names a real query; non-SQL-expressible ops may
     # legitimately omit an oracle (driver records a rows-only check)
     assert set(o) <= set(q)
+
+
+def test_no_oracle_emits_hugeint_output_columns():
+    """One-shot audit for the r7 red-query bug class (VERDICT r7 #2).
+
+    DuckDB's sum(INTEGER/BIGINT) returns HUGEINT, which pandas fetches
+    as float64 — so an oracle whose SELECT list exposes a bare integer
+    sum hashes "25.0" where Spark hashes "25" at the external gate.
+    Bind every oracle (lazily — no execution) against the sf0.001
+    views and assert no output column resolves to HUGEINT/UHUGEINT;
+    the fix at each offending site is CAST(... AS BIGINT).
+    """
+    import os
+
+    import duckdb
+
+    from tests.oracle import TABLES
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    offending = []
+    for name, sql in oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ) in ("HUGEINT", "UHUGEINT"):
+                offending.append(f"{name}.{col}")
+    assert not offending, (
+        "oracle output columns typed HUGEINT (pandas lands these as "
+        f"float64 → external hash mismatch; wrap in CAST(... AS BIGINT)): "
+        f"{offending}"
+    )
