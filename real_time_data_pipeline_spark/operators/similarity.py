@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
 from real_time_data_pipeline_spark.operators.text import hash32, word_shingles
 
 # MinHash parameters (shared with any SQL oracle that reproduces them).
@@ -740,12 +741,13 @@ def connected_components(
     `connected_components_star` additionally SHRINKS the edge set as
     it contracts; the fixpoint-loop shape is the same.
 
-    ``checkpoint_dir`` selects durability: None → ``localCheckpoint``
-    (executor-local blocks — fastest, right for a single-node or
-    short local run, but an executor loss kills the lineage-truncated
-    data). On a cluster pass an HDFS/object-store path: iterations
-    then use reliable ``checkpoint()`` files that survive executor
-    loss.
+    ``checkpoint_dir`` selects durability: None → ``reliable_materialize``
+    (the session-level checkpoint dir if one is set, else
+    executor-local blocks — fastest, right for a single-node or short
+    local run, but an executor loss kills the lineage-truncated data).
+    On a cluster pass an HDFS/object-store path (or set the session
+    checkpoint dir): iterations then use reliable ``checkpoint()``
+    files that survive executor loss.
 
     Output: (<id_a> → node, cluster_id = min node id in component).
     """
@@ -753,7 +755,7 @@ def connected_components(
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint()
+        return df.checkpoint(eager=True) if checkpoint_dir else reliable_materialize(df)
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = _ckpt(
@@ -838,7 +840,7 @@ def connected_components_star(
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint()
+        return df.checkpoint(eager=True) if checkpoint_dir else reliable_materialize(df)
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -950,7 +952,7 @@ def kmeans_centroids(
     Per iteration: one broadcast-assign over the corpus (map-side
     max_by — the corpus never shuffles) + one (cent, dim)-keyed
     partial aggregate of quantized longs. Empty clusters drop (k may
-    shrink); `localCheckpoint` truncates the iteration lineage.
+    shrink); `reliable_materialize` truncates the iteration lineage.
     Component sums stay exact below 2^53 per (cluster, dim) — at
     |cluster|·quant beyond that, lower ``quant``.
 
@@ -966,7 +968,8 @@ def kmeans_centroids(
         )
     ).withColumn(
         "qv", F.transform(F.col("cv"), lambda x: F.floor(x * quant + F.lit(0.5)).cast("long"))
-    ).localCheckpoint()
+    )
+    rows = reliable_materialize(rows)
     cents = stride_centroids(corpus, id_col, vec_col, stride)
     for it in range(iters):
         c = cents.withColumn("nc", norm(F.col("cvec")))
@@ -999,7 +1002,7 @@ def kmeans_centroids(
         # centroid frame is materialized — `ivf_topk` references it
         # twice (index build + probe) and must not re-run training.
         if it == iters - 1:
-            cents = cents.localCheckpoint()
+            cents = reliable_materialize(cents)
     return cents
 
 
@@ -1065,7 +1068,7 @@ def semdedup_prune(
     """
     # Referenced twice (both sides of the in-cluster self-join) —
     # materialize so training + assignment run once.
-    assign = assign_to_centroids(corpus, id_col, vec_col, centroids).localCheckpoint()
+    assign = reliable_materialize(assign_to_centroids(corpus, id_col, vec_col, centroids))
     a = assign.select(
         "cent_id", F.col("nid").alias("id_a"), F.col("cv").alias("va"), F.col("nv").alias("na")
     )
@@ -1416,7 +1419,7 @@ def cross_jaccard_pairs(
     )
     if max_df is not None:
         buckets = buckets.where(F.size("ids_a") + F.size("ids_b") <= max_df)
-    buckets = buckets.localCheckpoint()
+    buckets = reliable_materialize(buckets)
     ca = (
         buckets.select(F.explode("ids_a").alias("id_a"))
         .groupBy("id_a")

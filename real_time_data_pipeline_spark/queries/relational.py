@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
 from real_time_data_pipeline_spark.operators.joins import (
     anti_join,
     asof_join,
@@ -1410,7 +1411,7 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint()  # one distinct serves both self-join sides
+        .transform(reliable_materialize)  # one distinct serves both self-join sides
     )
     a = li.withColumnsRenamed({"l_partkey": "part_a"})
     b = li.withColumnsRenamed({"l_partkey": "part_b"})

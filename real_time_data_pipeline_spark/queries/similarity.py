@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
 from real_time_data_pipeline_spark.operators.similarity import (
     ann_brute_topk,
     containment_pairs,
@@ -166,7 +167,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # they feed BOTH the pair-role explode and the broadcast candidate
     # id set below, and Catalyst does not reuse the signature pipeline
     # across a shuffle branch and a broadcast branch.
-    cands = lsh_candidate_pairs(sigs, "doc_id").localCheckpoint()
+    cands = lsh_candidate_pairs(sigs, "doc_id").transform(reliable_materialize)
 
     # Verify candidates with exact Jaccard. Shingle sets are computed
     # ONCE, and ONLY for candidate docs: the candidate id set (tiny —
@@ -1128,7 +1129,7 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=None
     )
-    sigs = minhash_signatures(docs, "doc_id", "text", n=3).localCheckpoint()
+    sigs = minhash_signatures(docs, "doc_id", "text", n=3).transform(reliable_materialize)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
     j = pairs.join(sa, "id_a").join(sb, "id_b")
@@ -1263,7 +1264,7 @@ def q_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.withColumn("__h", F.md5("text"))
         .join(old_hashes, "__h", "left_anti")
         .drop("__h")
-        .localCheckpoint()
+        .transform(reliable_materialize)
     )
     dup_arrivals = (
         cross_jaccard_pairs(
@@ -1355,11 +1356,11 @@ def q_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
     cents = kmeans_centroids(emb, "vec_id", "embedding", stride=29, iters=2)
-    assign = assign_to_centroids(emb, "vec_id", "embedding", cents).localCheckpoint()
+    assign = assign_to_centroids(emb, "vec_id", "embedding", cents).transform(reliable_materialize)
     brute = (
         ann_brute_topk(queries_df, emb, "vec_id", "embedding", k=5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()
+        .transform(reliable_materialize)
     )
     out = None
     for np_ in (1, 2, 4):
@@ -1561,7 +1562,7 @@ def q_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= SUBSTR_MAX_DF
     )
-    capped = grams.join(keep.select("g"), "g").localCheckpoint()
+    capped = grams.join(keep.select("g"), "g").transform(reliable_materialize)
     a = capped.withColumnRenamed("doc_id", "id_a")
     b = capped.withColumnRenamed("doc_id", "id_b")
     return (
@@ -1832,10 +1833,10 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = ctrl.unionByName(swarm)
     # signatures feed both candidate paths AND the stats accounting
-    sigs = minhash_signatures(corpus, "doc_id", "text", n=3).localCheckpoint()
+    sigs = minhash_signatures(corpus, "doc_id", "text", n=3).transform(reliable_materialize)
     hashes = corpus.select(
         "doc_id", F.xxhash64("text").alias("_h")
-    ).localCheckpoint()
+    ).transform(reliable_materialize)
     n_docs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
     cands_by_cap = lsh_candidate_pairs_by_cap(
         sigs, "doc_id", caps=[_SWARM_CAP, None]
@@ -1843,11 +1844,15 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def survivors(max_bucket):
         # Verified pairs link ONLY identical-content docs (hash
-        # equality), and in both the star-routed and all-pairs
-        # topologies the group's min id is linked DIRECTLY to every
-        # other member — so keep-one reduces to an anti-join (drop
-        # every id that ever appears as the larger side of a pair)
-        # with no iterative component propagation needed. The full
+        # equality). Keep-one reduces to an anti-join (drop every id
+        # that ever appears as the larger side of a pair) with no
+        # iterative component propagation needed — NOT because the min
+        # id is linked directly to every member (chain-routed buckets
+        # produce a path, not a star), but because every pair is
+        # oriented id_a < id_b, so each non-min member of a group
+        # appears at least once as a larger side while the min id
+        # never does. The r7 adversarial-collision property test
+        # (tests/test_properties.py) pins exactly this invariant. The full
         # transitive operator (`connected_components`) is exercised by
         # the dedup_cluster_assignment queries; re-running it twice
         # here would only re-prove that at 3× the cost. Both caps'
@@ -1871,7 +1876,7 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus.select("doc_id")
             .join(dropped, "doc_id", "left_anti")
             .select(F.col("doc_id").alias("sid"))
-            .localCheckpoint()  # feeds a count, a diff, and a min
+            .transform(reliable_materialize)  # feeds a count, a diff, and a min
         )
 
     surv_cap = survivors(_SWARM_CAP)
@@ -1966,7 +1971,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov_ut.where(F.col("dim_i") < F.col("dim_j")).select(
             F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cov"
         )
-    ).localCheckpoint()  # d² rows; reused every iteration
+    ).transform(reliable_materialize)  # d² rows; reused every iteration
     v = spark.range(1, _PCA_DIM + 1).select(
         F.col("id").alias("dim"), F.lit(1.0).alias("val")
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
 from real_time_data_pipeline_spark.operators.text import (
     LANG_STOPWORDS,
     hash60,
@@ -764,7 +765,7 @@ def q_dup_sentence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length(F.trim(F.col("s"))) >= SENT_MIN_CHARS)
         .select("doc_id", F.md5(F.lower(F.trim(F.col("s")))).alias("h"))
         .distinct()
-        .localCheckpoint()  # feeds both the df count and the join back
+        .transform(reliable_materialize)  # feeds both the df count and the join back
     )
     dfreq = sents.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     per = sents.join(dfreq, "h").select("doc_id", "df")
@@ -954,7 +955,7 @@ def q_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__lang") == "en")
         )
         .select("doc_id", "text", "n_chars", "n_tokens")
-        .localCheckpoint()
+        .transform(reliable_materialize)
     )
     bench = (
         _fan_out(docs.where((F.col("doc_id") < 20) & (F.length(F.trim("text")) > 0)))
@@ -1153,7 +1154,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(words("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()  # feeds the LM build AND the scoring join
+        .transform(reliable_materialize)  # feeds the LM build AND the scoring join
     )
     freq = wc.groupBy("word").agg(F.sum("c").cast("long").alias("f"))
     tot = freq.agg(F.sum("f").cast("long").alias("t"))
@@ -1206,7 +1207,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams = shingle_postings(docs, "doc_id", "text", 3).withColumnRenamed(
         "shingle", "g"
-    ).localCheckpoint()  # feeds the owner build AND the join back
+    ).transform(reliable_materialize)  # feeds the owner build AND the join back
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
     novel = F.sum(F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0))
     return (
@@ -1266,7 +1267,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode(words("text")).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()  # feeds df-agg, n-src agg, and the score join
+        .transform(reliable_materialize)  # feeds df-agg, n-src agg, and the score join
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     nsrc = tf.agg(F.count_distinct("source").alias("n"))
@@ -1360,7 +1361,7 @@ def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("word").isin(*BM25_QUERY_TERMS))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()  # feeds both df-agg and the score join
+        .transform(reliable_materialize)  # feeds both df-agg and the score join
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -1638,7 +1639,7 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         _fan_out(docs.where(F.length(F.trim("text")) > 0), "doc_id")
         .select(F.explode(words("text")).alias("word"))
-        .localCheckpoint()  # feeds exact counts AND all sketch rows
+        .transform(reliable_materialize)  # feeds exact counts AND all sketch rows
     )
 
     def bucket(word_col, salt: str):
@@ -1751,7 +1752,7 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fan_out(docs.where(F.length(F.trim("text")) > 0), "doc_id")
         .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
         .distinct()
-        .localCheckpoint()  # feeds bench set, candidate set, exact join
+        .transform(reliable_materialize)  # feeds bench set, candidate set, exact join
     )
     bench = grams.where(F.col("doc_id") < 20).select("g").distinct()
     cand = grams.where(F.col("doc_id") >= 20).select("g").distinct()

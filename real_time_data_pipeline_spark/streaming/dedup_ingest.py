@@ -56,6 +56,7 @@ from real_time_data_pipeline_spark.operators.similarity import (
     jaccard_pairs,
     minhash_signatures,
 )
+from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
 from real_time_data_pipeline_spark.operators.text import word_shingles
 from real_time_data_pipeline_spark.streaming.sinks import table_exists, upsert_parquet
 
@@ -135,7 +136,8 @@ def ingest_batch(
     released when the batch completes — a foreachBatch driver calling
     this once per micro-batch must not accumulate one cached RDD per
     batch for the stream's lifetime. Safe because every intermediate
-    is fully materialized (localCheckpoint/write/count) before return.
+    is fully materialized (reliable_materialize/write/count) before
+    return.
     """
     from real_time_data_pipeline_spark.operators.materialize import cache_scope
 
@@ -171,7 +173,7 @@ def _ingest_batch_impl(
     batch = batch.withColumn("__rn", w_exact).where(F.col("__rn") == 1).drop("__rn")
     pairs = jaccard_pairs(batch, id_col, text_col, n=n, threshold=threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    batch = batch.join(losers, id_col, "left_anti").localCheckpoint()
+    batch = reliable_materialize(batch.join(losers, id_col, "left_anti"))
 
     # --- candidate state rows for the batch ---------------------------
     sigs = minhash_signatures(batch, id_col, text_col, n=n)
@@ -182,8 +184,8 @@ def _ingest_batch_impl(
             F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
         )
         .join(sigs, id_col)
-        .localCheckpoint()
     )
+    new_entries = reliable_materialize(new_entries)
 
     # --- exact layer: bucket-pruned hash probe ------------------------
     survivors = new_entries
@@ -208,7 +210,8 @@ def _ingest_batch_impl(
             bucket_of(F.col("bk.band"), F.col("bk.key"), n_buckets=n_buckets).alias(
                 BUCKET_COL
             ),
-        ).localCheckpoint()
+        )
+        cand_new = reliable_materialize(cand_new)
         stored_bands = read_buckets(spark, bands_path, _touched_buckets(cand_new))
         # The micro-batch side is small -> broadcast it; the store side
         # is already partition-pruned to the colliding buckets.
@@ -218,8 +221,8 @@ def _ingest_batch_impl(
             .where(F.col("__old_id") != F.col(id_col))  # retries self-collide
             .select(id_col, "__old_id")
             .distinct()
-            .localCheckpoint()
         )
+        collisions = reliable_materialize(collisions)
         old_ids = collisions.select(
             F.col("__old_id"),
             bucket_of("__old_id", n_buckets=n_buckets).alias(BUCKET_COL),
@@ -238,7 +241,7 @@ def _ingest_batch_impl(
         near = probe.where((inter / union) >= threshold).select(id_col).distinct()
         survivors = survivors.join(near, id_col, "left_anti")
 
-    survivors = survivors.localCheckpoint()
+    survivors = reliable_materialize(survivors)
     n_new = survivors.count()
     if n_new:
         # Idempotent, partition-scoped writes in commit order (see

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
+
 
 def with_trigger(writer, trigger: str | None):
     """Apply a trigger policy (reference W5 exposes none — SURVEY §2.6).
@@ -158,10 +160,11 @@ def upsert_parquet(
         old = spark.read.parquet(path).where(in_batch) if exists else None
         result = _merge_last_writer_wins(old, batch_df, keys, order_col)
         # Dynamic overwrite replaces exactly the touched partitions;
-        # materialize first because the plan reads the same path it
+        # materialize first (eagerly, and durably when a checkpoint
+        # dir is set) because the plan reads the same path it
         # rewrites.
         (
-            result.localCheckpoint(eager=True)
+            reliable_materialize(result)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_cols)
