@@ -39,20 +39,38 @@ branches, and costs no filesystem round-trip. Its registry pairs with
 
 from __future__ import annotations
 
+import threading as _threading
 from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame
 
-# Persisted frames awaiting release — see `release_caches`.
+# Persisted frames awaiting release — see `release_caches`. Guarded by
+# _LOCK: concurrent foreachBatch bodies / multi-query threads register
+# and release caches from different threads (ADVICE r8).
 _LIVE_CACHES: "list[DataFrame]" = []
+_LOCK = _threading.RLock()
+# Per-thread stack of active `cache_scope` collectors: a scope tracks
+# the exact frames ITS thread created, so releasing a scope can never
+# unpersist another thread's not-yet-materialized frame (the
+# de-canonicalization hazard ranking.py documents).
+_SCOPES = _threading.local()
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
-    """persist() + register for later `release_caches`. For reused
+    """persist() + register for later release. For reused
     (non-iterated) frames: lineage stays intact, so executor loss
-    recomputes rather than failing — see module doc."""
+    recomputes rather than failing — see module doc.
+
+    Registration target: the innermost `cache_scope` active on THIS
+    thread if any (released when that scope exits), else the global
+    registry (released by `release_caches`)."""
     out = df.persist()
-    _LIVE_CACHES.append(out)
+    stack = getattr(_SCOPES, "stack", None)
+    if stack:
+        stack[-1].append(out)
+    else:
+        with _LOCK:
+            _LIVE_CACHES.append(out)
     return out
 
 
@@ -61,9 +79,10 @@ def release_caches(blocking: bool = False) -> int:
     Long-lived sessions call this between requests (bench and the
     parity suite do, per query). Only call after the consumers of the
     cached frames have run their final action."""
+    with _LOCK:
+        drained, _LIVE_CACHES[:] = _LIVE_CACHES[:], []
     n = 0
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
+    for df in drained:
         try:
             df.unpersist(blocking=blocking)
             n += 1
@@ -82,13 +101,23 @@ def cache_scope():
     release here could unpersist a caller's not-yet-materialized
     ranking frame — the correctness hazard in ranking.py's module
     doc). Everything created inside the scope must be fully
-    materialized before the block exits."""
-    mark = len(_LIVE_CACHES)
+    materialized before the block exits.
+
+    The scope records the EXACT frames registered on its own thread
+    (a thread-local stack, nested scopes nest), not a length
+    watermark into the global list — concurrent foreachBatch bodies
+    on other threads can therefore never have their caches popped by
+    this scope's exit (ADVICE r8)."""
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = _SCOPES.stack = []
+    mine: "list[DataFrame]" = []
+    stack.append(mine)
     try:
         yield
     finally:
-        while len(_LIVE_CACHES) > mark:
-            df = _LIVE_CACHES.pop()
+        stack.pop()
+        for df in reversed(mine):
             try:
                 df.unpersist(blocking=False)
             except Exception:  # pragma: no cover — session already stopped

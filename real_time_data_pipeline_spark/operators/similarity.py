@@ -362,9 +362,14 @@ def lsh_candidate_pairs(
       joins two identical-signature docs (downstream verification
       always passes) and the chain keeps the whole swarm one
       connected component for clustering/keep-one (VERDICT r6 #5).
-      Only oversized-bucket members whose signature is UNIQUE within
-      the bucket still lose that bucket's candidates;
-      `lsh_oversize_stats` counts them — measure it beside any capped
+      What routing CANNOT preserve is any CROSS-signature pair inside
+      an oversized bucket: chains never span sig groups, so when an
+      oversized bucket holds more than one signature group (two
+      co-bucketed near-identical swarms, or a swarm plus a straggler)
+      every member of that bucket loses its cross-group candidates —
+      only single-sig-group buckets are lossless.
+      `lsh_oversize_stats` counts exactly those at-risk memberships
+      as ``n_residual_memberships`` — measure it beside any capped
       run instead of capping silently.
     - ``"drop"``: the pre-r7 behavior — oversized buckets contribute
       no pairs at all.
@@ -472,10 +477,14 @@ def lsh_oversize_stats(
 
     - ``n_oversized_buckets`` / ``n_oversized_memberships``: buckets
       over the cap and their total member rows;
-    - ``n_residual_memberships``: members of oversized buckets whose
-      signature is unique within the bucket — the only memberships
-      whose candidates the ``exact_chain`` routing can still lose
-      (identical-signature members keep their chain links).
+    - ``n_residual_memberships``: members of oversized buckets that
+      hold MORE THAN ONE signature group. Chain routing links only
+      within a sig group, so every member of a multi-group oversized
+      bucket loses that bucket's cross-group candidates (ADVICE r7:
+      two co-bucketed near-identical swarms lose every cross-swarm
+      pair — counting only unique-sig members understated that).
+      Members of single-group oversized buckets stay fully chained
+      and are NOT residual.
 
     Run and log() this beside any capped `lsh_candidate_pairs` call;
     an unexpectedly large residual means the corpus needs a bigger cap
@@ -502,8 +511,11 @@ def lsh_oversize_stats(
         .groupBy("band", "band_key", "_sig_h")
         .agg(F.count(F.lit(1)).alias("g"))
     )
-    residual = sig_groups.where(F.col("g") == 1).agg(
-        F.coalesce(F.sum("g"), F.lit(0)).alias("n_residual_memberships")
+    bucket_groups = sig_groups.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n_groups"), F.sum("g").alias("n_members")
+    )
+    residual = bucket_groups.where(F.col("n_groups") > 1).agg(
+        F.coalesce(F.sum("n_members"), F.lit(0)).alias("n_residual_memberships")
     )
     totals = big.agg(
         F.count(F.lit(1)).alias("n_oversized_buckets"),

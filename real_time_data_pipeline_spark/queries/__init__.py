@@ -55,6 +55,9 @@ EDITED_THIS_ROUND = {
     # checked r2; force into the r8 window
     "join_anti_customers_without_orders",
     "join_outer_order_counts",
+    # r8: lsh_oversize_stats residual re-defined to count every
+    # member of a multi-sig-group oversized bucket (ADVICE r7 medium)
+    "dedup_lsh_swarm_guard",
 }
 
 

@@ -328,7 +328,17 @@ def cdc_upsert_parquet(
         # eager pre-materialization is gone. Same single-writer /
         # reader-retries discipline as the flat swap: a concurrent
         # reader can see a bucket vanish for the instant between its
-        # two renames.
+        # two renames. BUT atomicity here is PER BUCKET, not per
+        # table (ADVICE r8): a reader listing between bucket renames
+        # — or after a mid-loop crash, until the next batch replays —
+        # observes a MIX of pre- and post-batch buckets, unlike the
+        # flat path's single table-level swap. Readers needing
+        # cross-key snapshot consistency (a report joining rows whose
+        # keys hash to different buckets) must either read through
+        # `current_snapshot` retried until quiescent, or the writer
+        # must route multi-bucket batches through the whole-table
+        # swap (`bucket_col=None`), trading rewrite cost for
+        # one-rename atomicity.
         fs.delete(jtmp, True)
         result.write.mode("overwrite").partitionBy(bucket_col).parquet(tmp_path)
         if not exists:
@@ -419,36 +429,63 @@ def expire_tombstones(
 
 
 def read_layout_preserving(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` with partition-column TYPE INFERENCE off,
-    for rewrites that must reproduce the table's directory layout.
+    """``spark.read.parquet`` that keeps partition columns as the EXACT
+    directory text, for rewrites that must reproduce the table's
+    directory layout.
 
-    Inference parses ``dt=01`` as integer 1 and ``flag=true`` as a
-    boolean; a rewrite then emits ``dt=1`` — silently renaming
-    partition directories and retyping their values (ADVICE r6). With
-    inference disabled the partition columns stay strings holding the
-    exact directory text, so ``partitionBy`` reproduces the original
-    names byte-for-byte. Partition values are never stored inside the
-    data files, so data-column types are untouched. The session conf
-    is restored; the frame's schema is forced first because partition
-    discovery runs lazily at first analysis.
+    Default partition inference parses ``dt=01`` as integer 1 and
+    ``flag=true`` as a boolean; a rewrite then emits ``dt=1`` —
+    silently renaming partition directories and retyping their values
+    (ADVICE r6). This read instead passes a USER-SPECIFIED schema —
+    the data columns from one leaf file's footer plus every partition
+    column typed string — so Spark skips value inference entirely and
+    the partition columns hold the raw directory text (``"01"``),
+    letting ``partitionBy`` reproduce the original names
+    byte-for-byte. Partition values are never stored inside the data
+    files, so data-column types are untouched.
 
-    CONCURRENCY: the toggle is a SESSION-level conf — any unrelated
-    read analyzed in the same session during the set→restore window
-    would resolve ITS partition columns as strings too. This is one
-    more reason maintenance rewrites (compact/expire) must run
-    serialized in their own scheduler slot, never concurrently with
-    serving work on the same SparkSession — the discipline their
-    docstrings already require for the swap commit.
+    The schema is scoped to THIS DataFrameReader call — no session
+    conf is toggled, so concurrently analyzed reads in the same
+    SparkSession are unaffected (ADVICE r8; the previous
+    implementation flipped partitionColumnTypeInference at session
+    scope and relied on caller serialization).
+
+    Partition column names and their directory order come from one
+    leaf data file's relative path (hive-style ``col=value``
+    segments — the only layout the engine's writers produce).
     """
-    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force partition discovery under the disabled conf
-        return df
-    finally:
-        spark.conf.set(key, prev)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fs, jroot = _hadoop_fs(spark, path)
+
+    def _find_leaf(jdir):
+        # lexicographically stable walk; partition dirs before files
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if name.startswith("_") or name.endswith("__old__"):
+                    continue
+                leaf = _find_leaf(st.getPath())
+                if leaf is not None:
+                    return leaf
+            elif not name.startswith(("_", ".")):
+                return st.getPath()
+        return None
+
+    jleaf = _find_leaf(jroot)
+    if jleaf is None:
+        # empty/absent table: nothing to preserve, plain read
+        return spark.read.parquet(path)
+    rel = str(jleaf)[len(str(jroot)) :].strip("/")
+    part_cols = [seg.split("=", 1)[0] for seg in rel.split("/")[:-1] if "=" in seg]
+    if not part_cols:
+        return spark.read.parquet(path)
+    data_schema = spark.read.parquet(str(jleaf)).schema
+    full = StructType(
+        list(data_schema.fields)
+        + [StructField(c, StringType(), True) for c in part_cols]
+    )
+    return spark.read.schema(full).parquet(path)
 
 
 def _recover_bucket_swaps(fs, spark: SparkSession, path: str) -> None:

@@ -104,6 +104,11 @@ class _TimerSessionizer(StatefulProcessor):
             lo, hi = int(ts_us.min()), int(ts_us.max())
             start_us = lo if start_us is None else min(start_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
+        if last_us is None:
+            # a key can arrive with only EMPTY pandas batches and no
+            # prior state (ADVICE r8): nothing to record, and touching
+            # state/timers here would register a timer off None
+            return iter(())
         self._sess.update((start_us, last_us, n, total))
         # one live timer per key: the session closes gap after the
         # LATEST event, so earlier registrations are superseded.

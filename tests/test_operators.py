@@ -488,10 +488,17 @@ def test_lsh_oversize_routing_mixed_swarms_and_residual(spark):
     assert pairs == want  # two chains, no cross-swarm or residual pairs
 
     st = lsh_oversize_stats(sigs, "doc_id", max_bucket=10).first()
-    # every band bucket holding a swarm is oversized; the unique-sig
-    # doc contributes exactly its shared-band memberships as residual
-    assert st.n_residual_memberships >= 1
-    assert st.n_oversized_buckets >= 48  # A's bands at minimum
+    # With 48 bands of 2 hashes: A and B share every band but the
+    # last, the unique doc joins only band 0. Oversized buckets:
+    # bands 0-46 hold the merged A∪B bucket (band 0 also the unique
+    # doc), band 47 holds A (40) and B (15) separately. Residual (r8
+    # semantics) = every member of a MULTI-sig-group oversized bucket
+    # (they all lose cross-group candidates — ADVICE r7): band 0 has
+    # 56, bands 1-46 have 55 each; band 47's single-group buckets are
+    # fully chained and contribute 0.
+    assert st.n_residual_memberships == 56 + 46 * 55
+    assert st.n_oversized_buckets == 47 + 2
+    assert st.n_oversized_memberships == 56 + 46 * 55 + 40 + 15
 
 
 def test_lsh_candidate_pairs_string_ids_all_policies(spark):
@@ -520,3 +527,55 @@ def test_lsh_candidate_pairs_string_ids_all_policies(spark):
         lsh_candidate_pairs(sigs, "doc_id", max_bucket=5, oversize="drop").count()
         == 0
     )
+
+
+def test_cache_scope_thread_isolation(spark):
+    """Concurrent cache_scope blocks (two foreachBatch bodies, a
+    second query thread) must each release exactly the frames THEIR
+    thread created: one scope's exit can never unpersist another
+    thread's still-live cache, and unscoped persist_tracked frames
+    stay registered for release_caches (ADVICE r8 — the old length
+    watermark popped across threads)."""
+    import threading
+
+    from real_time_data_pipeline_spark.operators import materialize
+    from real_time_data_pipeline_spark.operators.materialize import (
+        cache_scope,
+        persist_tracked,
+        release_caches,
+    )
+
+    release_caches(blocking=True)
+    outer = persist_tracked(spark.range(10))  # caller-owned, unscoped
+    outer.count()
+
+    entered = threading.Barrier(2)
+    release_b = threading.Event()
+    slow_df = {}
+
+    def slow():
+        with cache_scope():
+            slow_df["df"] = persist_tracked(spark.range(20))
+            slow_df["df"].count()
+            entered.wait()
+            release_b.wait(timeout=30)
+        slow_df["after"] = slow_df["df"].storageLevel.useMemory
+
+    def fast():
+        entered.wait()
+        with cache_scope():
+            df = persist_tracked(spark.range(30))
+            df.count()
+        # fast scope exited while slow scope still holds its frame:
+        # slow's cache must still be persisted
+        slow_df["seen_by_fast"] = slow_df["df"].storageLevel.useMemory
+        release_b.set()
+
+    t1, t2 = threading.Thread(target=slow), threading.Thread(target=fast)
+    t1.start(); t2.start(); t1.join(timeout=60); t2.join(timeout=60)
+
+    assert slow_df["seen_by_fast"], "fast scope exit unpersisted slow's cache"
+    assert not slow_df["after"], "slow scope exit failed to release its own"
+    # the unscoped caller frame survived both scopes
+    assert outer.storageLevel.useMemory
+    assert release_caches(blocking=True) == 1

@@ -1176,3 +1176,12 @@ def test_timer_sessionizer_processor_logic_isolated():
     assert not h.state.exists()
     # a second expiry (stale timer) emits nothing
     assert list(proc.handleExpiredTimer((7,), None, None)) == []
+
+    # a key delivered with only EMPTY pandas batches and no prior
+    # state must be a no-op — no crash (the old code added None +
+    # gap), no state row, no timer (ADVICE r8)
+    empty = pd.DataFrame({"ts": pd.to_datetime([]).astype("datetime64[us]"),
+                          "value": []})
+    timers_before = set(h.timers)  # key 7's expired-timer residue
+    assert list(proc.handleInputRows((8,), iter([empty]), None)) == []
+    assert not h.state.exists() and h.timers == timers_before
