@@ -22,6 +22,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Drift canaries (VERDICT r7 #5): ten TPC-H queries whose PLANS have
+# been frozen since r5 — never edited, spanning scan-agg, multi-join,
+# outer-join, semi/anti-join, and top-k shapes. Their median-of-3
+# timings land in a stable top-level "canaries" field so
+# round-over-round normalization (this box drifts ±15% between
+# rounds) is COMPUTED from identical work, not estimated from
+# whichever queries happen to appear in both rounds' bench tails.
+# Keep this list frozen: an edited canary stops being a canary.
+CANARIES = (
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_dormant_customers",
+)
+
 
 def main() -> None:
     from real_time_data_pipeline_spark.session import get_spark
@@ -59,6 +80,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    canaries: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         try:
             df = spec.fn(spark, SF_DIR)
@@ -66,6 +88,15 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            if name in CANARIES:
+                runs = [timings[name]]
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    spec.fn(spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                canaries[name] = sorted(runs)[1]  # median of 3
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = str(exc).split("\n", 1)[0][:300]
         finally:
@@ -83,6 +114,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "families": families,
+        "canaries": canaries,
+        "canary_total": round(sum(canaries.values()), 3),
         "n_queries": len(timings),
         "sf": SF_DIR,
     }

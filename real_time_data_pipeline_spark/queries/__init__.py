@@ -58,6 +58,15 @@ EDITED_THIS_ROUND = {
     # r8: lsh_oversize_stats residual re-defined to count every
     # member of a multi-sig-group oversized bucket (ADVICE r7 medium)
     "dedup_lsh_swarm_guard",
+    # r8: embed family shared artifacts (VERDICT r7 #6) — training /
+    # ground-truth / covariance now memoized per (session, sf_dir)
+    "embed_ann_ivf_kmeans_topk",
+    "embed_ann_kmeans_recall",
+    "embed_semdedup_prune",
+    "embed_ann_probe_sweep",
+    "embed_ann_recall",
+    "embed_covariance_matrix",
+    "embed_pca_power_iteration",
 }
 
 

@@ -268,6 +268,50 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, "vec_id", "embedding", "label", threshold=0.3)
 
 
+# --- session-scoped shared artifacts (VERDICT r7 #6) ------------------
+# The embed family re-derives three expensive artifacts in several
+# queries: the k-means-trained centroids (4 queries), the brute-force
+# ground-truth top-5 (3 recall consumers), and the covariance upper
+# triangle (2 queries). In production these are INDEX BUILDS —
+# trained once, served by every downstream query — so the engine
+# memoizes the materialized frame per (SparkContext, sf_dir). Every
+# memoized artifact is deterministic (quantized-integer k-means,
+# 6dp-rounded covariance, total-ordered top-k), so sharing cannot
+# change any oracle-checked value. Frames are reliably materialized
+# (checkpoint files / local blocks), NOT tracked persists: the
+# cache-leak registry stays empty and release_caches is unaffected.
+_SHARED_ARTIFACTS: "dict[tuple, DataFrame]" = {}
+
+
+def _shared_artifact(spark, sf_dir, what, build):
+    key = (spark.sparkContext.applicationId, sf_dir, what)
+    df = _SHARED_ARTIFACTS.get(key)
+    if df is None:
+        df = reliable_materialize(build())
+        _SHARED_ARTIFACTS[key] = df
+    return df
+
+
+def _kmeans_cents_shared(spark, sf_dir, emb):
+    from real_time_data_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    return _shared_artifact(
+        spark, sf_dir, "kmeans_s29_i2",
+        lambda: kmeans_centroids(emb, "vec_id", "embedding", stride=29, iters=2),
+    )
+
+
+def _brute_top5_shared(spark, sf_dir, emb):
+    return _shared_artifact(
+        spark, sf_dir, "brute_top5_q10",
+        lambda: ann_brute_topk(
+            emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=5
+        ).select("query_id", "neighbor_id"),
+    )
+
+
 @query(
     "embed_ann_brute_topk",
     oracle="""
@@ -651,13 +695,10 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays seeding, both iterations, index build, probing, and
     ranking — the TRAINING itself is value-checked, not just the
     search."""
-    from real_time_data_pipeline_spark.operators.similarity import (
-        ivf_topk,
-        kmeans_centroids,
-    )
+    from real_time_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, "vec_id", "embedding", stride=29, iters=2)
+    cents = _kmeans_cents_shared(spark, sf_dir, emb)
     return ivf_topk(
         emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding",
         k=5, nprobe=3, centroids=cents,
@@ -706,17 +747,12 @@ def q_ann_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the measured payoff of training (compare with `embed_ann_recall`
     on the stride baseline). Deterministic end to end, so the recall
     ratios themselves are value-checked."""
-    from real_time_data_pipeline_spark.operators.similarity import (
-        ivf_topk,
-        kmeans_centroids,
-    )
+    from real_time_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    brute = ann_brute_topk(queries_df, emb, "vec_id", "embedding", k=5).select(
-        "query_id", "neighbor_id"
-    )
-    cents = kmeans_centroids(emb, "vec_id", "embedding", stride=29, iters=2)
+    brute = _brute_top5_shared(spark, sf_dir, emb)
+    cents = _kmeans_cents_shared(spark, sf_dir, emb)
     ivf = ivf_topk(queries_df, emb, "vec_id", "embedding", k=5, nprobe=3,
                    centroids=cents).select(
         F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
@@ -759,12 +795,11 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, and the prune decision are all deterministic, so the
     oracle value-checks the surviving set end to end."""
     from real_time_data_pipeline_spark.operators.similarity import (
-        kmeans_centroids,
         semdedup_prune,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, "vec_id", "embedding", stride=29, iters=2)
+    cents = _kmeans_cents_shared(spark, sf_dir, emb)
     return semdedup_prune(
         emb, "vec_id", "embedding", cents, threshold=SEMDEDUP_THRESHOLD
     )
@@ -910,9 +945,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    brute = ann_brute_topk(queries_df, emb, "vec_id", "embedding", k=5).select(
-        "query_id", "neighbor_id"
-    )
+    brute = _brute_top5_shared(spark, sf_dir, emb)
     ivf = ivf_topk(queries_df, emb, "vec_id", "embedding", k=5,
                    centroid_stride=29, nprobe=3).select(
         F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
@@ -1350,18 +1383,13 @@ def q_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_pipeline_spark.operators.similarity import (
         assign_to_centroids,
         ivf_topk,
-        kmeans_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
-    cents = kmeans_centroids(emb, "vec_id", "embedding", stride=29, iters=2)
+    cents = _kmeans_cents_shared(spark, sf_dir, emb)
     assign = assign_to_centroids(emb, "vec_id", "embedding", cents).transform(reliable_materialize)
-    brute = (
-        ann_brute_topk(queries_df, emb, "vec_id", "embedding", k=5)
-        .select("query_id", "neighbor_id")
-        .transform(reliable_materialize)
-    )
+    brute = _brute_top5_shared(spark, sf_dir, emb)
     out = None
     for np_ in (1, 2, 4):
         ivf = ivf_topk(
@@ -1736,31 +1764,39 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         covariance_partials,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    d = 64
-    parts = covariance_partials(emb, "embedding", d)
-    sums = parts.groupBy("i", "j").agg(
-        F.sum("sxy").alias("sxy"), F.sum("n").alias("nn")
-    )
-    means = (
-        emb.select(F.posexplode("embedding").alias("pos", "x"))
-        .groupBy((F.col("pos") + 1).alias("dim"))
-        .agg(F.avg("x").alias("mean_v"))
-    )
-    mi = means.select(F.col("dim").alias("i"), F.col("mean_v").alias("m_i"))
-    mj = means.select(F.col("dim").alias("j"), F.col("mean_v").alias("m_j"))
-    return (
-        sums.join(F.broadcast(mi), "i")
-        .join(F.broadcast(mj), "j")
-        .select(
-            F.col("i").alias("dim_i"),
-            F.col("j").alias("dim_j"),
-            (
-                F.round(F.col("sxy") / F.col("nn") - F.col("m_i") * F.col("m_j"), 6)
-                + F.lit(0.0)
-            ).alias("cov"),
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        d = 64
+        parts = covariance_partials(emb, "embedding", d)
+        sums = parts.groupBy("i", "j").agg(
+            F.sum("sxy").alias("sxy"), F.sum("n").alias("nn")
         )
-    )
+        means = (
+            emb.select(F.posexplode("embedding").alias("pos", "x"))
+            .groupBy((F.col("pos") + 1).alias("dim"))
+            .agg(F.avg("x").alias("mean_v"))
+        )
+        mi = means.select(F.col("dim").alias("i"), F.col("mean_v").alias("m_i"))
+        mj = means.select(F.col("dim").alias("j"), F.col("mean_v").alias("m_j"))
+        return (
+            sums.join(F.broadcast(mi), "i")
+            .join(F.broadcast(mj), "j")
+            .select(
+                F.col("i").alias("dim_i"),
+                F.col("j").alias("dim_j"),
+                (
+                    F.round(
+                        F.col("sxy") / F.col("nn") - F.col("m_i") * F.col("m_j"), 6
+                    )
+                    + F.lit(0.0)
+                ).alias("cov"),
+            )
+        )
+
+    # One corpus-sized X^T X pass per (session, sf_dir): PCA's power
+    # iteration consumes the SAME 6dp-rounded upper triangle, so the
+    # build is a shared artifact (VERDICT r7 #6).
+    return _shared_artifact(spark, sf_dir, "cov_ut_d64", build)
 
 
 # --- LSH swarm guard: the cap must not change the dedup answer --------

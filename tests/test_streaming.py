@@ -1085,11 +1085,16 @@ def test_transform_with_state_timer_sessionizer(spark, tmp_path):
 
 
 def test_timer_sessionizer_processor_logic_isolated():
-    """The gated transformWithState path's PROCESSOR LOGIC, executed:
-    drive _TimerSessionizer against a fake handle/state (the
+    """GATED TWIN of test_transform_with_state_timer_sessionizer (see
+    README "Reference parity map" closure): the engine-side
+    transformWithState execution is probe-gated on google.protobuf,
+    so this test executes the PROCESSOR LOGIC itself every run by
+    driving _TimerSessionizer against a fake handle/state (the
     StatefulProcessor contract is plain Python) — batches accumulate
     into one open session with exactly one live timer at last+gap,
-    and timer expiry emits the session once and clears state."""
+    timer expiry emits the session once and clears state, and an
+    empty-batch key is a no-op. When protobuf appears, the e2e twin
+    runs the same logic through the real state server."""
     import pandas as pd
 
     from real_time_data_pipeline_spark.streaming.transform_state import (
