@@ -312,6 +312,22 @@ def _brute_top5_shared(spark, sf_dir, emb):
     )
 
 
+def _kmeans_assign_shared(spark, sf_dir, emb):
+    """Corpus -> nearest-trained-centroid assignment (the IVF inverted
+    lists): one broadcast-assign pass shared by every consumer of the
+    trained index (ivf/recall/probe-sweep) — at scale this IS the
+    index build, done once per corpus, not per search."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    cents = _kmeans_cents_shared(spark, sf_dir, emb)
+    return _shared_artifact(
+        spark, sf_dir, "kmeans_assign_s29_i2",
+        lambda: assign_to_centroids(emb, "vec_id", "embedding", cents),
+    )
+
+
 @query(
     "embed_ann_brute_topk",
     oracle="""
@@ -702,6 +718,7 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding",
         k=5, nprobe=3, centroids=cents,
+        assignment=_kmeans_assign_shared(spark, sf_dir, emb),
     )
 
 
@@ -754,7 +771,8 @@ def q_ann_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = _brute_top5_shared(spark, sf_dir, emb)
     cents = _kmeans_cents_shared(spark, sf_dir, emb)
     ivf = ivf_topk(queries_df, emb, "vec_id", "embedding", k=5, nprobe=3,
-                   centroids=cents).select(
+                   centroids=cents,
+                   assignment=_kmeans_assign_shared(spark, sf_dir, emb)).select(
         F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
     )
     joined = brute.join(
@@ -1378,17 +1396,15 @@ def q_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the number an operator reads to pick the probe budget at 100 TB
     (more probed lists = more candidates scanned = higher recall).
     Training and the corpus assignment are materialized ONCE and
-    shared by all sweep points; each extra nprobe costs only a wider
-    probe of the same inverted lists."""
-    from real_time_data_pipeline_spark.operators.similarity import (
-        assign_to_centroids,
-        ivf_topk,
-    )
+    shared by all sweep points (and, via the session-scoped artifact
+    memo, with every other consumer of the trained index); each extra
+    nprobe costs only a wider probe of the same inverted lists."""
+    from real_time_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 10)
     cents = _kmeans_cents_shared(spark, sf_dir, emb)
-    assign = assign_to_centroids(emb, "vec_id", "embedding", cents).transform(reliable_materialize)
+    assign = _kmeans_assign_shared(spark, sf_dir, emb)
     brute = _brute_top5_shared(spark, sf_dir, emb)
     out = None
     for np_ in (1, 2, 4):
