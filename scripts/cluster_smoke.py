@@ -79,6 +79,82 @@ def _spawn(cls: str, *args: str) -> subprocess.Popen:
     )
 
 
+STREAM_GOLD_ORACLE = """
+    SELECT
+      time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+      time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS window_end,
+      event_type,
+      round(avg(value), 6) AS avg_value,
+      count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+def _streaming_smoke(spark) -> str:
+    """Watermarked windowed aggregation over a FILE-SOURCE STREAM with
+    a parquet sink, on the real cluster (VERDICT r7 #9): the
+    HDFSBackedStateStore (window-agg state), watermark advancement,
+    and streaming parquet commit log all execute across separate
+    executor JVMs, then the SINK CONTENTS are oracle-checked against
+    DuckDB over the same events — identical rigor to the batch slice.
+
+    Append mode only emits watermark-CLOSED windows, so the replay
+    ends with a far-future sentinel file: its batch advances the
+    watermark past every real window (the engine's no-data batch then
+    flushes them), while the sentinel's own window can never close
+    and is filtered by its marker event_type.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.pipeline import (
+        default_gold_aggs,
+        gold_transform,
+        silver_transform,
+    )
+    from real_time_data_pipeline_spark.streaming.sinks import parquet_append_sink
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+    from tests.oracle import assert_matches
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-stream-")
+    replay, out, ck = f"{work}/replay", f"{work}/gold", f"{work}/ck"
+    os.makedirs(replay)
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts")
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    chunk = (len(pdf) + 3) // 4
+    for i in range(4):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            part.to_parquet(os.path.join(replay, f"b{i}.parquet"), index=False)
+        time.sleep(0.05)  # distinct mtimes keep file-source order stable
+    sent = pdf.iloc[:1].copy()
+    # keep datetime64[us]: the Timedelta arithmetic promotes to [ns],
+    # and a NANOS parquet column would break the fixed-schema stream
+    sent["ts"] = (pdf["ts"].max() + pd.Timedelta(days=365)).as_unit("us")
+    sent["event_type"] = "___sentinel"
+    sent.to_parquet(os.path.join(replay, "b9_sentinel.parquet"), index=False)
+
+    stream = file_stream(spark, replay, ev.schema, max_files_per_trigger=1)
+    gold = gold_transform(
+        silver_transform(stream, "ts"),
+        "ts", "15 minutes", ["event_type"],
+        {
+            "avg_value": F.round(F.avg("value"), 6),
+            "n_events": F.count(F.lit(1)),
+        },
+        watermark_delay="30 minutes",
+    )
+    q = parquet_append_sink(gold, out, ck, "smoke_stream_gold")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out).where(F.col("event_type") != "___sentinel")
+    assert_matches(got, STREAM_GOLD_ORACLE, SF_DIR)
+    return "oracle-match"
+
+
 def main() -> int:
     procs: list[subprocess.Popen] = []
     master_url = f"spark://127.0.0.1:{MASTER_PORT}"
@@ -158,6 +234,20 @@ def main() -> int:
                 print(f"  {name}: FAIL {str(exc).splitlines()[0][:200]}", flush=True)
             finally:
                 release_rank_caches()
+        t0 = time.perf_counter()
+        try:
+            status = _streaming_smoke(spark)
+            print(
+                f"  streaming_gold_15m: {status} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — report, then fail
+            failures += 1
+            print(
+                f"  streaming_gold_15m: FAIL {str(exc).splitlines()[0][:200]}",
+                flush=True,
+            )
         spark.stop()
         print(("OK" if failures == 0 else f"FAILURES: {failures}"), flush=True)
         return 1 if failures else 0
