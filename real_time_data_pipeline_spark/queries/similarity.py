@@ -2234,3 +2234,172 @@ def q_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(1).cast("long").alias("cluster_size"), "n_clusters")
     )
     return sized.unionByName(singles)
+
+
+# --- r8: Matryoshka truncation quality --------------------------------
+
+_MATRYOSHKA_ORACLE = """
+    WITH per AS (
+      SELECT d, vec_id,
+             round(
+               sqrt(list_sum(list_transform(embedding[1:d]::DOUBLE[],
+                                            x -> x * x)))
+               / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                              x -> x * x))), 6) AS retained
+      FROM embeddings, unnest([8, 16, 32]) AS t(d)
+    )
+    SELECT CAST(d AS INT) AS trunc_dim,
+           round(avg(retained), 6) AS avg_retained,
+           min(retained) AS min_retained,
+           CAST(sum(CASE WHEN retained >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_090
+    FROM per
+    GROUP BY 1
+"""
+
+
+@query("embed_matryoshka_truncation", oracle=_MATRYOSHKA_ORACLE)
+def q_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much cosine similarity a PREFIX TRUNCATION of the embedding
+    keeps: for Matryoshka-style dimension reduction (serve the first
+    d dims, shard the rest), cosine(full, zero-padded prefix) reduces
+    algebraically to ‖prefix‖/‖full‖, so the retained-similarity
+    distribution per candidate d = {8, 16, 32} is readable from norms
+    alone — the report that picks the serving dimension before
+    re-indexing an ANN store at a fraction of the vector bytes.
+
+    Scale shape: per-row codegen folds (one slice + two norms per
+    candidate d, no UDF), then a 3-group hash aggregate. The corpus
+    is scanned once; nothing shuffles but 3 groups of partial
+    aggregates.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    full = norm(F.col("v"))
+    per = emb.select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("trunc_dim"),
+        F.col("v"),
+    ).select(
+        "trunc_dim",
+        F.round(norm(F.slice(F.col("v"), 1, F.col("trunc_dim"))) / full, 6).alias(
+            "retained"
+        ),
+    )
+    return per.groupBy(F.col("trunc_dim").cast("int").alias("trunc_dim")).agg(
+        F.round(F.avg("retained"), 6).alias("avg_retained"),
+        F.min("retained").alias("min_retained"),
+        F.sum((F.col("retained") >= 0.9).cast("long")).alias("n_above_090"),
+    )
+
+
+# --- r8: IVF inverted-list imbalance ----------------------------------
+
+_IVF_IMBALANCE_ORACLE = (
+    _kmeans_oracle()
+    + """
+    , fassign AS (
+      SELECT nid, cent_id FROM (
+        SELECT q.nid, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.nid
+                 ORDER BY list_cosine_similarity(q.v, c.cvec) DESC, c.cent_id
+               ) AS rk
+        FROM qrows q, cents2 c
+      ) WHERE rk = 1
+    ), sizes AS (
+      SELECT cent_id, count(*) AS n FROM fassign GROUP BY 1
+    )
+    SELECT count(*) AS n_lists,
+           min(n) AS min_size,
+           max(n) AS max_size,
+           round(avg(n), 6) AS avg_size,
+           round(max(n) * 1.0 / avg(n), 6) AS imbalance,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons
+    FROM sizes
+"""
+)
+
+
+@query("embed_ivf_list_imbalance", oracle=_IVF_IMBALANCE_ORACLE)
+def q_ivf_list_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health report of the trained IVF index's inverted lists: size
+    spread and imbalance factor (max/avg). A skewed index serves
+    nprobe-bounded searches at the speed of its FATTEST list — this
+    is the number an operator checks before shipping the index, and
+    the trigger for re-training with more centroids or splitting hot
+    lists. Rides the session-shared trained assignment, so after any
+    other trained-index query it costs one 350-group aggregate.
+
+    Scale shape: list sizes are a hash aggregate on cent_id
+    (~√n groups); the report is a second 1-row aggregate. No joins.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _kmeans_assign_shared(spark, sf_dir, emb)
+    sizes = assign.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.min("n").alias("min_size"),
+        F.max("n").alias("max_size"),
+        F.round(F.avg("n"), 6).alias("avg_size"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("imbalance"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_singletons"),
+    )
+
+
+# --- r8: SimHash Hamming-distance histogram ---------------------------
+
+_HAMMING_HIST_ORACLE = (
+    _SIMHASH_SQL
+    + """
+    , bands AS (
+      SELECT s.doc_id, s.simhash, j.j,
+             (s.simhash >> CAST(j.j * 15 AS INTEGER)) & 32767 AS k
+      FROM sigs s, (SELECT unnest(range(4)) AS j) j
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
+    ), hd AS (
+      SELECT CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming FROM cand
+    ), t AS (SELECT count(*) AS total FROM hd)
+    SELECT hamming, count(*) AS n_pairs,
+           round(count(*) * 1.0 / (SELECT total FROM t), 6) AS frac
+    FROM hd GROUP BY hamming
+    """
+)
+
+
+@query("dedup_simhash_hamming_histogram", oracle=_HAMMING_HIST_ORACLE)
+def q_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the SimHash candidate mass actually sits: the Hamming-
+    distance distribution over ALL band-collision pairs (no cutoff) —
+    the tuning curve read before choosing `max_hamming`. A cliff at
+    small distances = real near-dup structure; a flat tail = band
+    width too narrow for the corpus (buckets collide at random).
+
+    Scale shape: same banded bucket join as `dedup_simhash_band_pairs`
+    (corpus-size-independent candidate generation), one xor+bit_count
+    per candidate, then a ≤61-group hash aggregate; the normalizing
+    total arrives as a 1-row broadcast, never a global window.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import (
+        SIMHASH_BITS,
+        simhash_band_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_band_pairs(
+        simhash_signature(docs, "doc_id", "text"), max_hamming=SIMHASH_BITS
+    )
+    hist = pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+    total = hist.agg(F.sum("n_pairs").alias("total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "hamming",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.col("total"), 6).alias("frac"),
+    )

@@ -1888,3 +1888,224 @@ def q_multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --- r8: staged curation funnel ---------------------------------------
+
+_FUNNEL_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS w
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, text,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+               / greatest(len(w), 1) AS avg_token_len,
+             round(({_sql_hits("en")}) / greatest(len(w), 1.0), 6)
+               AS stopword_ratio,
+    """ + ",\n".join(
+    f"         CAST({_sql_hits(lg)} AS BIGINT) AS hits_{lg}"
+    for lg in LANG_STOPWORDS
+) + f"""
+      FROM base
+    ), flags AS (
+      SELECT doc_id, text,
+             n_tokens >= 20 AS f1,
+             n_tokens >= 20 AND avg_token_len BETWEEN 2 AND 10 AS f2,
+             n_tokens >= 20 AND avg_token_len BETWEEN 2 AND 10
+               AND stopword_ratio >= 0.02 AS f3,
+             n_tokens >= 20 AND avg_token_len BETWEEN 2 AND 10
+               AND stopword_ratio >= 0.02
+               AND greatest({", ".join("hits_" + lg for lg in LANG_STOPWORDS)}) > 0
+               AND hits_en = greatest(
+                     {", ".join("hits_" + lg for lg in LANG_STOPWORDS)})
+               AS f4
+      FROM feats
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(count(DISTINCT CASE WHEN f4 THEN md5(text) END) AS BIGINT)
+               AS n5
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'min_length' AS gate, n0 AS n_in, n1 AS n_out,
+             round(n1 * 1.0 / greatest(n0, 1), 6) AS retained FROM c
+      UNION ALL SELECT 2, 'token_shape', n1, n2,
+             round(n2 * 1.0 / greatest(n1, 1), 6) FROM c
+      UNION ALL SELECT 3, 'stopword_density', n2, n3,
+             round(n3 * 1.0 / greatest(n2, 1), 6) FROM c
+      UNION ALL SELECT 4, 'lang_en', n3, n4,
+             round(n4 * 1.0 / greatest(n3, 1), 6) FROM c
+      UNION ALL SELECT 5, 'exact_dedup', n4, n5,
+             round(n5 * 1.0 / greatest(n4, 1), 6) FROM c
+    )
+"""
+
+
+@query("corpus_filter_funnel", oracle=_FUNNEL_ORACLE)
+def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor accounting for the curation pipeline: the
+    quality gates of `corpus_quality_filter` plus an exact-dedup
+    stage, reported as a funnel (stage, n_in, n_out, retained) — the
+    report a data owner reads to see WHICH gate is eating the corpus
+    before re-tuning thresholds. Stage expressions are the SAME
+    column expressions the filter query uses, so the funnel's stage-4
+    output count always equals the filter's survivor count.
+
+    Scale shape: ONE codegen scan computes every stage flag
+    cumulatively (a row's stage-k flag implies its stage-(k-1) flag),
+    a single hash aggregate folds them into six conditional counts
+    (exact-dedup survivors = distinct content hash among final-gate
+    rows — keep-one keeps exactly one per group), and the 5-row
+    funnel is driver-side literal assembly from that one aggregate
+    row. No joins, no windows, no second pass at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    f1 = feats["n_tokens"] >= 20
+    f2 = f1 & feats["avg_token_len"].between(2, 10)
+    f3 = f2 & (feats["stopword_ratio"] >= 0.02)
+    f4 = f3 & (lang_id("text") == "en")
+    c = docs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(f1.cast("long")).alias("n1"),
+        F.sum(f2.cast("long")).alias("n2"),
+        F.sum(f3.cast("long")).alias("n3"),
+        F.sum(f4.cast("long")).alias("n4"),
+        F.count_distinct(F.when(f4, F.md5("text"))).alias("n5"),
+    )
+    gates = ["min_length", "token_shape", "stopword_density", "lang_en", "exact_dedup"]
+    return c.selectExpr(
+        "inline(array("
+        + ", ".join(
+            f"struct({i + 1} AS stage, '{g}' AS gate, n{i} AS n_in, "
+            f"n{i + 1} AS n_out, "
+            f"round(n{i + 1} * 1.0 / greatest(n{i}, 1), 6) AS retained)"
+            for i, g in enumerate(gates)
+        )
+        + "))"
+    )
+
+
+# --- r8: cross-split duplicate leakage --------------------------------
+
+_LEAKAGE_ORACLE = f"""
+    WITH lab AS (
+      SELECT md5(text) AS h,
+             CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+                  WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), g AS (
+      SELECT h,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_tr,
+             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_va,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_te
+      FROM lab GROUP BY h
+    )
+    SELECT CAST(sum(CASE WHEN c_tr + c_va + c_te > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_groups,
+           CAST(sum(c_tr * c_va) AS BIGINT) AS pairs_train_val,
+           CAST(sum(c_tr * c_te) AS BIGINT) AS pairs_train_test,
+           CAST(sum(c_va * c_te) AS BIGINT) AS pairs_val_test,
+           CAST(sum((c_tr * (c_tr - 1) + c_va * (c_va - 1)
+                     + c_te * (c_te - 1)) // 2) AS BIGINT) AS pairs_intra
+    FROM g
+"""
+
+
+@query("data_cross_split_leakage", oracle=_LEAKAGE_ORACLE)
+def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much eval contamination a NAIVE per-document hash split
+    causes: exact-duplicate pairs whose members land in different
+    splits (a test doc whose twin is in train is a leaked answer).
+    The diagnostic read before adopting `data_leakage_safe_split`,
+    which closes exactly this hole by splitting on the content group.
+
+    Scale shape: one content-hash aggregate folds each duplicate
+    group into three per-split counts; every pair count is then pure
+    arithmetic on group sizes (c_tr·c_va cross pairs, n·(n−1)/2
+    intra) summed in a second 1-row aggregate — duplicate PAIRS are
+    never materialized, so a million-copy swarm costs one row, not
+    10^12 pairs.
+    """
+    from real_time_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    g = (
+        docs.select(F.md5("text").alias("h"), "split")
+        .groupBy("h")
+        .agg(
+            F.sum((F.col("split") == "train").cast("long")).alias("c_tr"),
+            F.sum((F.col("split") == "val").cast("long")).alias("c_va"),
+            F.sum((F.col("split") == "test").cast("long")).alias("c_te"),
+        )
+    )
+    size = F.col("c_tr") + F.col("c_va") + F.col("c_te")
+    intra = (
+        F.col("c_tr") * (F.col("c_tr") - 1)
+        + F.col("c_va") * (F.col("c_va") - 1)
+        + F.col("c_te") * (F.col("c_te") - 1)
+    )
+    return g.agg(
+        F.sum((size > 1).cast("long")).alias("n_dup_groups"),
+        F.sum(F.col("c_tr") * F.col("c_va")).alias("pairs_train_val"),
+        F.sum(F.col("c_tr") * F.col("c_te")).alias("pairs_train_test"),
+        F.sum(F.col("c_va") * F.col("c_te")).alias("pairs_val_test"),
+        F.sum(F.floor(intra / 2)).alias("pairs_intra"),
+    )
+
+
+# --- r8: deterministic k-fold assignment ------------------------------
+
+_KFOLD_BUCKET = sql_hash_bucket("doc_id", "kfold", 5)
+
+_KFOLD_ORACLE = f"""
+    SELECT CAST({_KFOLD_BUCKET} AS INT) AS fold,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(avg(n_chars), 6) AS avg_chars,
+           min(doc_id) AS min_id
+    FROM documents
+    GROUP BY 1
+"""
+
+
+@query("data_kfold_folds", oracle=_KFOLD_ORACLE)
+def q_kfold_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with per-fold
+    balance stats (size, language share, char mass) — the check that
+    hash-based folds are exchangeable before training k models. Same
+    md5 bucket arithmetic as `data_hash_split` (fold membership never
+    moves when the corpus grows), different salt so folds are
+    independent of the train/val/test cut.
+
+    Scale shape: the fold id is a per-row md5 expression inside one
+    codegen scan; the report is a single 5-group hash aggregate. No
+    shuffle wider than 5 groups ever exists.
+    """
+    from real_time_data_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fold", hash_bucket("doc_id", "kfold", 5).cast("int"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
