@@ -1553,3 +1553,54 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sess = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
     peak = running.agg(F.max("live").cast("long").alias("max_concurrent"))
     return n_sess.crossJoin(F.broadcast(peak))
+
+
+# --- r8: inter-arrival time profile -----------------------------------
+
+_INTERARRIVAL_ORACLE = """
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id),
+                    ts) AS BIGINT) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           count(gap_s) AS n_gaps,
+           round(avg(gap_s), 6) AS avg_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           round(stddev(gap_s), 6) AS sd_gap_s
+    FROM gaps
+    GROUP BY event_type
+"""
+
+
+@query("event_interarrival_stats", oracle=_INTERARRIVAL_ORACLE)
+def q_event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per event type — the input to
+    rate-limit sizing, anomaly thresholds, and synthetic-load
+    modeling (a Poisson stream has sd ≈ mean; a heavy sd/mean ratio
+    means bursts). Gaps are measured WITHIN each (user, type) series:
+    cross-user gaps are meaningless and, at scale, a per-type-only
+    ordering would funnel each type's whole history into one task.
+
+    Scale shape: the lag window partitions by (user_id, event_type) —
+    millions of small groups, one shuffle — then a per-type hash
+    aggregate of integer second-gaps (exact sums; the stddev's
+    n·Σx²−(Σx)² runs on exact integers below 2^53).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.round(F.stddev_samp("gap_s"), 6).alias("sd_gap_s"),
+    )

@@ -425,3 +425,140 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+# --- r8: k-core peeling ------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+_KCORE_ROUND_SQL = """
+, deg{r} AS (
+  SELECT a AS node, count(*) AS d FROM e{r} GROUP BY 1
+), keep{r} AS (
+  SELECT node FROM deg{r} WHERE d >= {k}
+), e{r1} AS (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN keep{r} ka ON e.a = ka.node
+  JOIN keep{r} kb ON e.b = kb.node
+)"""
+
+_KCORE_ORACLE = (
+    """
+    WITH flows AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS w_cents
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY 1, 2
+    ), med AS (
+      SELECT median(w_cents) AS m FROM flows
+    ), strong AS (
+      SELECT src, dst FROM flows WHERE w_cents > (SELECT m FROM med)
+    ), e0 AS (
+      SELECT a, b FROM (
+        SELECT src AS a, dst AS b FROM strong
+        UNION SELECT dst, src FROM strong
+      )
+    )
+    """
+    + "".join(
+        _KCORE_ROUND_SQL.format(r=r, r1=r + 1, k=_KCORE_K)
+        for r in range(_KCORE_ROUNDS)
+    )
+    + "".join(
+        f"""
+    , s{r} AS (
+      SELECT {r} AS round,
+             CAST((SELECT count(DISTINCT a) FROM e{r}) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(*) FROM e{r}) // 2 AS BIGINT) AS n_edges
+    )"""
+        for r in range(_KCORE_ROUNDS + 1)
+    )
+    + """
+    SELECT * FROM ("""
+    + " UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(_KCORE_ROUNDS + 1))
+    + ")"
+)
+
+
+@query("graph_kcore_peeling", oracle=_KCORE_ORACLE)
+def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling on the strong-trade
+    graph (nation pairs above the median traded cents): each round
+    drops every node with degree < 3 and the edges touching it; what
+    survives 3 rounds approximates the 3-core — the densely
+    interconnected trading bloc, the same peel used to find spam/
+    botnet cores in link graphs. Output is the shrink trajectory
+    (round, n_nodes, n_edges) — a fixpoint is visible as two equal
+    consecutive rows.
+
+    Scale shape: each round is one degree aggregate plus two semi
+    joins of the edge list against the (far smaller) survivor set —
+    the PageRank join-per-iteration pattern with a SHRINKING frame;
+    `reliable_materialize` truncates lineage between rounds. Edge
+    weights are exact integer cents so the median threshold can never
+    flip on float summation order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents).alias("w_cents"))
+    )
+    med = flows.agg(
+        F.expr("percentile(w_cents, 0.5)").alias("m")
+    )
+    strong = flows.join(F.broadcast(med), F.col("w_cents") > F.col("m")).select(
+        "src", "dst"
+    )
+    edges = reliable_materialize(
+        strong.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(strong.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    out = None
+    for r in range(_KCORE_ROUNDS + 1):
+        stats = edges.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.count_distinct("a").alias("n_nodes"),
+            F.floor(F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        )
+        out = stats if out is None else out.unionAll(stats)
+        if r < _KCORE_ROUNDS:
+            keep = (
+                edges.groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("d"))
+                .where(F.col("d") >= _KCORE_K)
+                .select("node")
+            )
+            edges = reliable_materialize(
+                edges.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+                .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+                .select("a", "b")
+            )
+    return out

@@ -1984,9 +1984,13 @@ def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.selectExpr(
         "inline(array("
         + ", ".join(
+            # CAST ... AS DOUBLE, not "* 1.0": a 1.0 literal is
+            # DECIMAL in Spark SQL, and a decimal output column
+            # stringifies as "1.000000" where the oracle's float64
+            # hashes "1.0" — rows match, external value-hash doesn't
             f"struct({i + 1} AS stage, '{g}' AS gate, n{i} AS n_in, "
             f"n{i + 1} AS n_out, "
-            f"round(n{i + 1} * 1.0 / greatest(n{i}, 1), 6) AS retained)"
+            f"round(n{i + 1} / CAST(greatest(n{i}, 1) AS DOUBLE), 6) AS retained)"
             for i, g in enumerate(gates)
         )
         + "))"
@@ -2107,5 +2111,130 @@ def q_kfold_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
             F.min("doc_id").alias("min_id"),
+        )
+    )
+
+
+# --- r8: payload-level storage dedup report ---------------------------
+
+_PAYLOAD_DEDUP_ORACLE = """
+    WITH g AS (
+      SELECT md5(text) AS h,
+             count(*) AS n,
+             CAST(min(octet_length(encode(text))) AS BIGINT) AS b
+      FROM documents GROUP BY 1
+    )
+    SELECT count(*) AS n_unique_payloads,
+           CAST(sum(n) AS BIGINT) AS n_payloads,
+           round(1.0 - count(*) * 1.0 / sum(n), 6) AS dup_ratio,
+           CAST(sum(n * b) AS BIGINT) AS bytes_total,
+           CAST(sum(b) AS BIGINT) AS bytes_after_dedup,
+           CAST(sum((n - 1) * b) AS BIGINT) AS bytes_saved
+    FROM g
+"""
+
+
+@query("multimodal_payload_dedup", oracle=_PAYLOAD_DEDUP_ORACLE)
+def q_multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed storage accounting over the opaque BINARY
+    payload column (the multimodal pattern: dedup by payload hash
+    before feature extraction — decoding the same image twice is the
+    classic waste in a crawl-scale media pipeline). Reports unique
+    payload count, duplicate ratio, and the exact bytes a
+    hash-addressed store saves.
+
+    Scale shape: one hash aggregate on the 128-bit content hash
+    (uniform keys — no skew) carrying (count, payload bytes); the
+    report is a second 1-row aggregate of pure arithmetic. Payload
+    BYTES never shuffle — only hashes and lengths do.
+    """
+    from real_time_data_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    g = (
+        media.select(
+            F.md5("payload").alias("h"), F.length("payload").cast("long").alias("nb")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("nb").alias("b"))
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_unique_payloads"),
+        F.sum("n").alias("n_payloads"),
+        F.round(1.0 - F.count(F.lit(1)) / F.sum("n"), 6).alias("dup_ratio"),
+        F.sum(F.col("n") * F.col("b")).alias("bytes_total"),
+        F.sum("b").alias("bytes_after_dedup"),
+        F.sum((F.col("n") - 1) * F.col("b")).alias("bytes_saved"),
+    )
+
+
+# --- r8: vocabulary coverage curve ------------------------------------
+
+_VOCAB_KS = (100, 500, 2000)
+
+_VOCAB_COVERAGE_ORACLE = f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), counts AS (
+      SELECT word, count(*) AS n FROM tok GROUP BY 1
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk FROM counts
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM counts
+    )
+    SELECT k, (SELECT n_types FROM tot) AS n_types,
+           (SELECT total_tokens FROM tot) AS total_tokens,
+           round(CAST(sum(CASE WHEN rk <= k THEN n ELSE 0 END) AS BIGINT)
+                 * 1.0 / (SELECT total_tokens FROM tot), 6) AS coverage
+    FROM ranked, (SELECT unnest([{", ".join(str(k) for k in _VOCAB_KS)}]) AS k)
+    GROUP BY k
+"""
+
+
+@query("text_vocab_coverage_curve", oracle=_VOCAB_COVERAGE_ORACLE)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of the top-k vocabulary for k =
+    {100, 500, 2000} — the curve a tokenizer owner reads to size the
+    vocab (the Zipf mass above the OOV line). Deterministic rank:
+    count desc, word asc.
+
+    Scale shape: one word-count hash aggregate (vocab-sized, not
+    corpus-sized), then `global_row_number`'s range shuffle ranks the
+    vocabulary WITHOUT a single-partition window; coverage per k is a
+    conditional sum against a 1-row broadcast total. The corpus text
+    is scanned exactly once.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import global_row_number
+    from real_time_data_pipeline_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = global_row_number(counts, [F.desc("n"), F.asc("word")], rn_col="rk")
+    tot = counts.agg(
+        F.sum("n").alias("total_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("k")
+    per_k = ranked.select("n", "rk").crossJoin(
+        ranked.sparkSession.range(1).select(ks)
+    )
+    return (
+        per_k.groupBy("k")
+        .agg(F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0)).alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_types",
+            "total_tokens",
+            F.round(F.col("c") / F.col("total_tokens"), 6).alias("coverage"),
         )
     )

@@ -82,6 +82,20 @@ def assert_matches(spark_df, oracle_sql: str, sf_dir: str, float_tol: float = 1e
             "its hash even when numerically equal (cast the oracle sum "
             "to BIGINT, or the Spark column to double)"
         )
+        # Same trap via DECIMAL: a Spark `x * 1.0` parses the literal
+        # as DECIMAL, lands in pandas as object-dtype Decimal, and
+        # stringifies "1.000000" against the oracle's float64 "1.0".
+        import decimal
+
+        for side, series in (("spark", g), ("oracle", w)):
+            if series.dtype.kind == "O":
+                sample = next((v for v in series if v is not None), None)
+                assert not isinstance(sample, decimal.Decimal), (
+                    f"{col}: {side} side is DECIMAL (object dtype) — its "
+                    "string form ('1.000000') can never hash-match a "
+                    "float64 ('1.0'); CAST the division to DOUBLE instead "
+                    "of multiplying by a 1.0 literal"
+                )
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             for i, (a, b) in enumerate(zip(g, w)):
                 an, bn = pd.isna(a), pd.isna(b)
