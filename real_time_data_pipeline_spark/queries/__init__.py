@@ -67,6 +67,16 @@ EDITED_THIS_ROUND = {
     "embed_ann_recall",
     "embed_covariance_matrix",
     "embed_pca_power_iteration",
+    # r8: dedup family shared artifacts (jaccard edge list, components,
+    # minhash signatures) — same memo pattern as the embed family
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_cluster_assignment",
+    "dedup_cluster_assignment_star",
+    "dedup_keep_one",
+    "data_leakage_safe_split",
+    "dedup_minhash_estimate",
+    "dedup_cluster_size_distribution",
 }
 
 
