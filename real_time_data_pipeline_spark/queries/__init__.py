@@ -77,6 +77,8 @@ EDITED_THIS_ROUND = {
     "data_leakage_safe_split",
     "dedup_minhash_estimate",
     "dedup_cluster_size_distribution",
+    "corpus_training_ready",
+    "corpus_cross_source_dup",
 }
 
 

@@ -914,21 +914,15 @@ def q_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     a raw crawl into a training corpus; every stage is the same
     operator the stage-level queries check individually."""
     from real_time_data_pipeline_spark.operators.sampling import hash_bucket
-    from real_time_data_pipeline_spark.operators.similarity import (
-        _fan_out,
-        connected_components,
-        jaccard_pairs,
-    )
+    from real_time_data_pipeline_spark.operators.similarity import _fan_out
     from real_time_data_pipeline_spark.queries.similarity import (
-        JACCARD_MAX_DF,
-        JACCARD_THRESHOLD,
+        _dedup_clusters_shared,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
-    )
-    clusters = connected_components(pairs, "id_a", "id_b")
+    # session-shared dedup graph components — identical pair set and
+    # algorithm as dedup_cluster_assignment (built once per snapshot)
+    clusters = _dedup_clusters_shared(spark, sf_dir)
     surv = (
         docs.join(clusters, docs["doc_id"] == clusters["id_a"], "left")
         .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
@@ -1545,16 +1539,12 @@ def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the corpus — back to the documents table on doc_id,
     and the final matrix is at most |sources|² rows.
     """
-    from real_time_data_pipeline_spark.operators.similarity import jaccard_pairs
     from real_time_data_pipeline_spark.queries.similarity import (
-        JACCARD_MAX_DF,
-        JACCARD_THRESHOLD,
+        _jaccard_pairs_shared,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
-    )
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
     src = docs.select("doc_id", "source")
     labeled = (
         pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "sa"}), "id_a")
