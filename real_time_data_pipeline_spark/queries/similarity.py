@@ -2421,3 +2421,191 @@ def q_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(F.col("n_pairs") / F.col("total"), 6).alias("frac"),
     )
+
+
+# --- r8: embedding-distribution drift (linear MMD) --------------------
+
+_MMD_ORACLE = """
+    WITH halves AS (
+      SELECT vec_id % 2 AS grp, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ), means AS (
+      SELECT dim,
+             avg(CASE WHEN grp = 0 THEN x END) AS m0,
+             avg(CASE WHEN grp = 1 THEN x END) AS m1
+      FROM halves GROUP BY dim
+    ), gaps AS (
+      SELECT dim, round(m0 - m1, 6) AS gap FROM means
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+            WHERE vec_id % 2 = 0) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+            WHERE vec_id % 2 = 1) AS n_b,
+           round(sum(gap * gap), 6) AS mmd2,
+           round(max(abs(gap)), 6) AS max_dim_gap,
+           CAST(min(dim) FILTER (WHERE abs(gap) = (SELECT max(abs(gap))
+                                                   FROM gaps)) AS INT)
+             AS worst_dim
+    FROM gaps
+"""
+
+
+@query("embed_mmd_drift", oracle=_MMD_ORACLE)
+def q_embed_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus halves via
+    linear-kernel MMD²  (= ‖mean_a − mean_b‖²) plus the worst-drifted
+    dimension — the vector-space counterpart of the scalar PSI/KS
+    drift queries: run it between yesterday's and today's embedding
+    batches before trusting a shared ANN index across them.
+
+    Determinism: per-dimension mean gaps are rounded to 6dp BEFORE
+    squaring/summing, so float partial-aggregation order can never
+    move the reported MMD.
+
+    Scale shape: one posexplode + (dim, grp)-keyed aggregate (d·2
+    groups), then 64-row arithmetic. The corpus streams through once;
+    only d-sized frames shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    means = (
+        emb.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.avg(F.when(F.col("grp") == 0, F.col("x"))).alias("m0"),
+            F.avg(F.when(F.col("grp") == 1, F.col("x"))).alias("m1"),
+        )
+        .select("dim", F.round(F.col("m0") - F.col("m1"), 6).alias("gap"))
+    )
+    counts = load_table(spark, sf_dir, "embeddings").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias("n_b"),
+    )
+    mx = means.agg(F.max(F.abs("gap")).alias("mx"))
+    stats = means.crossJoin(F.broadcast(mx)).agg(
+        F.round(F.sum(F.col("gap") * F.col("gap")), 6).alias("mmd2"),
+        F.round(F.max(F.abs("gap")), 6).alias("max_dim_gap"),
+        F.min(F.when(F.abs("gap") == F.col("mx"), F.col("dim")))
+        .cast("int")
+        .alias("worst_dim"),
+    )
+    return counts.crossJoin(F.broadcast(stats))
+
+
+# --- r8: trained-cluster label purity ---------------------------------
+
+_PURITY_ORACLE = (
+    _kmeans_oracle()
+    + """
+    , fassign AS (
+      SELECT nid, cent_id FROM (
+        SELECT q.nid, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY q.nid
+                 ORDER BY list_cosine_similarity(q.v, c.cvec) DESC, c.cent_id
+               ) AS rk
+        FROM qrows q, cents2 c
+      ) WHERE rk = 1
+    ), lab AS (
+      SELECT f.cent_id, e.label FROM fassign f
+      JOIN embeddings e ON f.nid = e.vec_id
+    ), per AS (
+      SELECT cent_id, label, count(*) AS n FROM lab GROUP BY 1, 2
+    ), best AS (
+      -- composite tie-break encoded as one BIGINT (labels are 0-9,
+      -- far below the 1e6 stride): max n wins, then SMALLER label
+      SELECT cent_id, max_by(n, n * 1000000 - label) AS best_n,
+             sum(n) AS tot
+      FROM per GROUP BY cent_id
+    )
+    SELECT count(*) AS n_lists,
+           CAST(sum(tot) AS BIGINT) AS n_vectors,
+           CAST(sum(best_n) AS BIGINT) AS n_majority,
+           round(sum(best_n) * 1.0 / sum(tot), 6) AS purity
+    FROM best
+"""
+)
+
+
+@query("embed_centroid_label_purity", oracle=_PURITY_ORACLE)
+def q_centroid_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the trained k-means clusters: the fraction of
+    vectors that agree with their cluster's majority label — the
+    standard external-validity check that the geometric clusters line
+    up with the semantic labels (purity near 1/n_labels means the
+    index's lists are semantically arbitrary; near 1.0 means a
+    per-list quota also balances classes). Ties break to the smaller
+    label on both engines.
+
+    Scale shape: rides the session-shared corpus assignment, joins
+    the tiny (vec_id, label) projection, then two bounded aggregates
+    ((cent, label) pairs, then cents). No vector math at all.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _kmeans_assign_shared(spark, sf_dir, emb)
+    lab = assign.select("nid", "cent_id").join(
+        emb.select(F.col("vec_id").alias("nid"), "label"), "nid"
+    )
+    per = lab.groupBy("cent_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    best = per.groupBy("cent_id").agg(
+        # same encoded composite key as the oracle: n wins, then
+        # smaller label
+        F.max_by("n", F.col("n") * 1000000 - F.col("label")).alias("best_n"),
+        F.sum("n").alias("tot"),
+    )
+    return best.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("tot").alias("n_vectors"),
+        F.sum("best_n").alias("n_majority"),
+        F.round(F.sum("best_n") / F.sum("tot"), 6).alias("purity"),
+    )
+
+
+# --- r8: doc-length vs embedding-norm correlation ---------------------
+
+_LEN_NORM_CORR_ORACLE = """
+    WITH j AS (
+      SELECT d.lang, d.n_chars,
+             sqrt(list_sum(list_transform(e.embedding::DOUBLE[],
+                                          x -> x * x))) AS nrm
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT lang, count(*) AS n,
+           round(corr(n_chars, nrm), 6) AS len_norm_corr,
+           round(avg(nrm), 6) AS avg_norm
+    FROM j GROUP BY lang
+"""
+
+
+@query("text_embedding_length_corr", oracle=_LEN_NORM_CORR_ORACLE)
+def q_text_embedding_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between document length and embedding norm,
+    per language — the standard sanity probe that an embedding model
+    is not just encoding length (a strong positive correlation means
+    cosine similarity will cluster long docs together regardless of
+    content; healthy models sit near zero after normalization).
+
+    Scale shape: a doc_id↔vec_id equi-join shipping only (lang,
+    n_chars) against per-row norm folds, then a per-lang aggregate of
+    the five correlation moments — one shuffle on uniform ids, one on
+    ~5 language groups.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import norm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang", "n_chars"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", norm(F.col("embedding").cast("array<double>")).alias("nrm")
+    )
+    return (
+        docs.join(emb, "vec_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("n_chars", "nrm"), 6).alias("len_norm_corr"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
