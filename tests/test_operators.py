@@ -579,3 +579,35 @@ def test_cache_scope_thread_isolation(spark):
     # the unscoped caller frame survived both scopes
     assert outer.storageLevel.useMemory
     assert release_caches(blocking=True) == 1
+
+
+def test_shared_artifact_memo_builds_once_and_keys_by_sf(spark, sf_dir):
+    """The session-scoped artifact memo (queries/similarity.py) must
+    invoke a builder exactly once per (session, sf_dir, name), return
+    the SAME materialized frame to every consumer, and never register
+    anything in the tracked-cache registry (release_caches must not
+    be able to unpersist a shared index)."""
+    from real_time_data_pipeline_spark.operators import materialize
+    from real_time_data_pipeline_spark.queries.similarity import (
+        _SHARED_ARTIFACTS,
+        _shared_artifact,
+    )
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5)
+
+    before = len(materialize._LIVE_CACHES)
+    a = _shared_artifact(spark, sf_dir, "__memo_test", build)
+    b = _shared_artifact(spark, sf_dir, "__memo_test", build)
+    assert calls["n"] == 1 and a is b
+    assert a.count() == 5
+    # a different sf_dir is a different corpus -> fresh build
+    c = _shared_artifact(spark, sf_dir + "/other", "__memo_test", build)
+    assert calls["n"] == 2 and c is not a
+    # nothing entered the tracked-cache registry
+    assert len(materialize._LIVE_CACHES) == before
+    for k in [k for k in _SHARED_ARTIFACTS if k[2] == "__memo_test"]:
+        del _SHARED_ARTIFACTS[k]
