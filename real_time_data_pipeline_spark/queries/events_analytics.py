@@ -1604,3 +1604,52 @@ def q_event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").alias("max_gap_s"),
         F.round(F.stddev_samp("gap_s"), 6).alias("sd_gap_s"),
     )
+
+
+# --- r8: activity islands (gaps-and-islands) --------------------------
+
+_ISLANDS_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), runs AS (
+      SELECT user_id,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    ), islands AS (
+      SELECT user_id, grp, count(*) AS len FROM runs GROUP BY 1, 2
+    )
+    SELECT CAST(len AS BIGINT) AS island_len,
+           count(*) AS n_islands,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM islands
+    GROUP BY len
+"""
+
+
+@query("event_activity_islands", oracle=_ISLANDS_ORACLE)
+def q_event_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over daily activity: the distribution of
+    consecutive-active-day streak lengths (and how many users reach
+    each) — the engagement-streak report behind retention features
+    and streak-based incentives. Classic rn-difference trick: within
+    a user, `date − row_number` is constant exactly across a
+    consecutive run.
+
+    Scale shape: a per-user distinct-date aggregate, a window
+    partitioned by user_id (millions of small groups, never global),
+    then two bounded hash aggregates. Streak arithmetic is integer
+    dates — no float anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    islands = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return islands.groupBy(F.col("len").alias("island_len")).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

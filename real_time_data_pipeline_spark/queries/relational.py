@@ -2201,3 +2201,71 @@ def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(gini))
     )
+
+
+# --- r8: as-of join with staleness tolerance --------------------------
+
+_ASOF_TOL_ORACLE = """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts, value AS click_value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ), j AS (
+      SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_value
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN date_diff('second', click_ts, ts) <= 600
+                THEN click_ts END AS click_ts_asof,
+           CASE WHEN date_diff('second', click_ts, ts) <= 600
+                THEN click_value END AS click_value_asof,
+           coalesce(date_diff('second', click_ts, ts) <= 600, FALSE) AS fresh
+    FROM j
+"""
+
+
+@query("join_asof_click_within_10m", oracle=_ASOF_TOL_ORACLE)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE: each purchase attaches
+    its latest preceding click only if that click is at most 10
+    minutes old — the feature-store TTL semantic (a feature value
+    past its freshness horizon must read as absent, not as a stale
+    match). Same union-and-backfill scale shape as the unbounded
+    as-of; the tolerance is a post-join column guard, so no extra
+    shuffle.
+    """
+    from real_time_data_pipeline_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    j = asof_join(
+        purchases, clicks, by=["user_id"], left_on="ts", right_on="click_ts",
+        right_cols=["click_ts", "click_value"],
+    )
+    age = F.col("ts").cast("long") - F.col("click_ts_asof").cast("long")
+    fresh = age <= 600
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.when(fresh, F.col("click_ts_asof")).alias("click_ts_asof"),
+        F.when(fresh, F.col("click_value_asof")).alias("click_value_asof"),
+        F.coalesce(fresh, F.lit(False)).alias("fresh"),
+    )
