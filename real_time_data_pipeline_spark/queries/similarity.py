@@ -279,14 +279,23 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (checkpoint files / local blocks), NOT tracked persists: the
 # cache-leak registry stays empty and release_caches is unaffected.
 _SHARED_ARTIFACTS: "dict[tuple, DataFrame]" = {}
+_SHARED_LOCK = __import__("threading").RLock()
 
 
 def _shared_artifact(spark, sf_dir, what, build):
     key = (spark.sparkContext.applicationId, sf_dir, what)
+    # Double-checked under a lock: concurrent query threads must not
+    # each pay for (and race to register) the same index build. The
+    # build itself runs inside the lock — the artifacts are
+    # deliberately few and one-time, and a duplicate k-means training
+    # racing in parallel would waste far more than the serialization.
     df = _SHARED_ARTIFACTS.get(key)
     if df is None:
-        df = reliable_materialize(build())
-        _SHARED_ARTIFACTS[key] = df
+        with _SHARED_LOCK:
+            df = _SHARED_ARTIFACTS.get(key)
+            if df is None:
+                df = reliable_materialize(build())
+                _SHARED_ARTIFACTS[key] = df
     return df
 
 
