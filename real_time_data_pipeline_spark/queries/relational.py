@@ -2269,3 +2269,73 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("click_value_asof")).alias("click_value_asof"),
         F.coalesce(fresh, F.lit(False)).alias("fresh"),
     )
+
+
+# --- r8: revenue concentration (HHI) ----------------------------------
+
+_HHI_ORACLE = """
+    WITH rev AS (
+      SELECT n.n_name AS nation, o.o_custkey,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT nation, CAST(sum(cents) AS BIGINT) AS t,
+             count(*) AS n_customers
+      FROM rev GROUP BY 1
+    )
+    SELECT r.nation, t.n_customers,
+           round(sum((r.cents * 1.0 / t.t) * (r.cents * 1.0 / t.t)), 6)
+             AS hhi,
+           round(1.0 / t.n_customers, 6) AS hhi_floor
+    FROM rev r JOIN tot t ON r.nation = t.nation
+    GROUP BY r.nation, t.n_customers, t.t
+"""
+
+
+@query("agg_revenue_concentration_hhi", oracle=_HHI_ORACLE)
+def q_revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue concentration per nation: the sum
+    of squared customer revenue shares, against its 1/n floor — the
+    antitrust-style single-number complement to the Lorenz/Gini curve
+    (`window_pareto_revenue_share`): HHI near the floor = revenue
+    spread evenly, near 1 = one customer IS the market.
+
+    Scale shape: one (nation, customer) integer-cent aggregate, one
+    per-nation total joined back (shares are exact cents over exact
+    cents), one per-nation rollup. No windows, no sorts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation", "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n_customers")
+    )
+    share = F.col("cents") / F.col("t")
+    return (
+        rev.join(tot, "nation")
+        .groupBy("nation", "n_customers")
+        .agg(
+            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.round(1.0 / F.first("n_customers"), 6).alias("hhi_floor"),
+        )
+        .select("nation", "n_customers", "hhi", "hhi_floor")
+    )

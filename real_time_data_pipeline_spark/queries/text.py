@@ -2228,3 +2228,80 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c") / F.col("total_tokens"), 6).alias("coverage"),
         )
     )
+
+
+# --- r8: bigram conditional entropy -----------------------------------
+
+_BIGRAM_ENTROPY_ORACLE = """
+    WITH wlists AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), bi AS (
+      SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+      FROM wlists WHERE len(w) >= 2
+    ), bc AS (
+      SELECT p[1] AS w1, p[2] AS w2, count(*) AS c
+      FROM bi GROUP BY 1, 2
+    ), uc AS (
+      SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM bc GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n FROM bc
+    )
+    SELECT (SELECT n FROM tot) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           round(sum((b.c * 1.0 / (SELECT n FROM tot))
+                     * log2(u.c1 * 1.0 / b.c)), 6) AS cond_entropy_bits
+    FROM bc b JOIN uc u ON b.w1 = u.w1
+"""
+
+
+@query("text_bigram_entropy", oracle=_BIGRAM_ENTROPY_ORACLE)
+def q_text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy H(w₂|w₁) of the corpus — the
+    sequence-level counterpart of `text_word_entropy`: how predictable
+    the next word is given the current one. A collapsing value under
+    dedup iterations means the corpus is degenerating into templates;
+    it is also the information-theoretic floor for a bigram LM's
+    cross-entropy on this corpus.
+
+    Scale shape: bigrams come from one in-row `arrays_zip` of two
+    slices (codegen, no self-join), then two hash aggregates (bigram
+    counts, then left-context marginals) and one join between them —
+    all vocabulary-sized, not corpus-sized.
+    """
+    from real_time_data_pipeline_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    bi = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select(w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("c1"))
+    tot = bc.agg(F.sum("c").alias("n"))
+    return (
+        bc.join(uc, "w1")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.round(
+                F.sum(
+                    (F.col("c") / F.col("n"))
+                    * F.log2(F.col("c1") / F.col("c"))
+                ),
+                6,
+            ).alias("cond_entropy_bits"),
+        )
+    )
