@@ -2618,3 +2618,143 @@ def q_text_embedding_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nrm"), 6).alias("avg_norm"),
         )
     )
+
+
+# --- r8: near-dup pairs crossing the naive split ----------------------
+
+_NEARDUP_LEAKAGE_ORACLE = (
+    _SHINGLE_CTES
+    + _CAPPED_SH
+    + f"""
+    , counts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT p.id_a, p.id_b,
+             round(p.inter * 1.0 / (ca.n + cb.n - p.inter), 6) AS jaccard
+      FROM pairs p
+        JOIN counts ca ON p.id_a = ca.doc_id
+        JOIN counts cb ON p.id_b = cb.doc_id
+      WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
+    ), lab AS (
+      SELECT id_a, id_b, jaccard,
+             CASE WHEN {{ba}} < 80 THEN 'train'
+                  WHEN {{ba}} < 90 THEN 'val' ELSE 'test' END AS sa,
+             CASE WHEN {{bb}} < 80 THEN 'train'
+                  WHEN {{bb}} < 90 THEN 'val' ELSE 'test' END AS sb
+      FROM jac
+    )
+    SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+           count(*) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard
+    FROM lab GROUP BY 1, 2
+"""
+)
+
+
+def _neardup_leakage_oracle() -> str:
+    from real_time_data_pipeline_spark.operators.sampling import sql_hash_bucket
+
+    return _NEARDUP_LEAKAGE_ORACLE.format(
+        ba=sql_hash_bucket("id_a", "split", 100),
+        bb=sql_hash_bucket("id_b", "split", 100),
+    )
+
+
+@query("data_near_dup_split_leakage", oracle=_neardup_leakage_oracle())
+def q_near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate pairs straddling a naive per-document hash
+    split, bucketed by split pair with their similarity mass — the
+    companion to `data_cross_split_leakage` (exact dups): a test doc
+    whose 0.9-Jaccard twin sits in train leaks almost as much as an
+    exact copy, and this is the report that quantifies it before
+    adopting the cluster-keyed split.
+
+    Scale shape: rides the session-shared Jaccard edge list; split
+    labels are per-row md5 arithmetic on the pair ids (no join to the
+    corpus needed), then a ≤6-group aggregate.
+    """
+    from real_time_data_pipeline_spark.operators.sampling import hash_bucket
+
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
+
+    def split_of(col):
+        b = hash_bucket(F.col(col), "split", 100)
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    lab = pairs.select(
+        "jaccard", split_of("id_a").alias("sa"), split_of("id_b").alias("sb")
+    )
+    return (
+        lab.groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+# --- r8: dedup threshold sensitivity ----------------------------------
+
+_THRESHOLD_SENSITIVITY_ORACLE = (
+    _SHINGLE_CTES
+    + _CAPPED_SH
+    + f"""
+    , counts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT p.id_a, p.id_b,
+             round(p.inter * 1.0 / (ca.n + cb.n - p.inter), 6) AS jaccard
+      FROM pairs p
+        JOIN counts ca ON p.id_a = ca.doc_id
+        JOIN counts cb ON p.id_b = cb.doc_id
+      WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
+    )
+    SELECT t AS threshold,
+           CAST(sum(CASE WHEN jaccard >= t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN jaccard >= t THEN id_b END) AS BIGINT)
+             AS n_docs_dropped
+    FROM jac, (SELECT unnest([0.5, 0.7, 0.9]) AS t)
+    GROUP BY t
+"""
+)
+
+
+@query("dedup_threshold_sensitivity", oracle=_THRESHOLD_SENSITIVITY_ORACLE)
+def q_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How the dedup decision scales with the Jaccard threshold: pair
+    count and larger-side-dropped doc count at 0.5 / 0.7 / 0.9, all
+    read off the ONE shared edge list (pairs carry their exact
+    similarity, so a threshold sweep is a conditional aggregate, not
+    three pipeline runs) — the tuning table a curator reads before
+    committing to a cutoff.
+    """
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
+    ts = pairs.sparkSession.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.7), F.lit(0.9))).alias("threshold")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(ts))
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("jaccard") >= F.col("threshold")).cast("long")).alias(
+                "n_pairs"
+            ),
+            F.count_distinct(
+                F.when(F.col("jaccard") >= F.col("threshold"), F.col("id_b"))
+            ).alias("n_docs_dropped"),
+        )
+    )
