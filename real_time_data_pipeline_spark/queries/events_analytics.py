@@ -1653,3 +1653,51 @@ def q_event_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+# --- r8: SLI error-rate windows + burn rate ---------------------------
+
+_SLI_ORACLE = """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             count(*) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT window_start, n_events, n_errors,
+           round(n_errors * 1.0 / n_events, 6) AS error_rate,
+           round((n_errors * 1.0 / n_events) / 0.01, 6) AS burn_rate,
+           n_errors * 1.0 / n_events > 0.01 AS breaching
+    FROM w
+"""
+
+
+@query("event_sli_error_budget", oracle=_SLI_ORACLE)
+def q_event_sli_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly SLI report against a 1% error-rate objective: per-window
+    error rate, burn rate (rate/objective — how many multiples of the
+    error budget each hour consumes), and the breach flag an alerting
+    rule keys on. The batch twin of what the streaming gold pipeline
+    would emit from the same windowed aggregate.
+
+    Scale shape: one tumbling-window conditional-count aggregate
+    (window keys are uniform in time), then per-row arithmetic on
+    exact integer counts. No joins, no windows-over-windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_errors")
+    )
+    rate = F.col("n_errors") / F.col("n_events")
+    return w.select(
+        "window_start", "n_events", "n_errors",
+        F.round(rate, 6).alias("error_rate"),
+        F.round(rate / 0.01, 6).alias("burn_rate"),
+        (rate > 0.01).alias("breaching"),
+    )

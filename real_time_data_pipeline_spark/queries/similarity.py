@@ -2758,3 +2758,68 @@ def q_dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("n_docs_dropped"),
         )
     )
+
+
+# --- r8: duplication-discounted token mass per source -----------------
+
+_EFFECTIVE_TOKENS_ORACLE = (
+    _CLUSTERS_ORACLE.replace(
+        "SELECT node AS id_a, min(r) AS cluster_id FROM reach GROUP BY node",
+        """clusters AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ), csize AS (
+      SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY 1
+    ), toks AS (
+      SELECT d.source,
+             CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(d.text), '\\s+')) END
+                  AS BIGINT) AS n_tok,
+             coalesce(s.sz, 1) AS sz
+      FROM documents d
+      LEFT JOIN clusters c ON d.doc_id = c.node
+      LEFT JOIN csize s ON c.cluster_id = s.cluster_id
+    )
+    SELECT source,
+           CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+           round(sum(n_tok * 1.0 / sz), 6) AS effective_tokens,
+           round(sum(n_tok * 1.0 / sz) / greatest(sum(n_tok), 1), 6)
+             AS effective_frac
+    FROM toks GROUP BY source""",
+    ).replace("    )\n    clusters AS", "    ), clusters AS")
+)
+
+
+@query("corpus_effective_tokens_by_source", oracle=_EFFECTIVE_TOKENS_ORACLE)
+def q_effective_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-DISCOUNTED token mass per source: each document's
+    tokens count as 1/cluster_size of themselves (a doc copied across
+    four near-dup variants contributes a quarter of its tokens) — the
+    number that should drive mixture weights instead of raw token
+    counts, because a mirror-heavy source's raw mass overstates its
+    real information contribution.
+
+    Scale shape: rides the session-shared dedup components; cluster
+    sizes are one aggregate over the (tiny) near-dup node set, joined
+    back to the corpus on uniform doc ids; token counts are the
+    in-row whitespace fold. One final per-source rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _dedup_clusters_shared(spark, sf_dir)
+    csize = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    toks = (
+        docs.select("doc_id", "source", token_count_ws("text").alias("n_tok"))
+        .join(clusters, docs["doc_id"] == clusters["id_a"], "left")
+        .join(csize, "cluster_id", "left")
+        .select(
+            "source", "n_tok", F.coalesce(F.col("sz"), F.lit(1)).alias("sz")
+        )
+    )
+    return toks.groupBy("source").agg(
+        F.sum("n_tok").alias("raw_tokens"),
+        F.round(F.sum(F.col("n_tok") / F.col("sz")), 6).alias("effective_tokens"),
+        F.round(
+            F.sum(F.col("n_tok") / F.col("sz"))
+            / F.greatest(F.sum("n_tok"), F.lit(1)),
+            6,
+        ).alias("effective_frac"),
+    )

@@ -2305,3 +2305,84 @@ def q_text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cond_entropy_bits"),
         )
     )
+
+
+# --- r8: vocabulary divergence between sources ------------------------
+
+_JS_DIVERGENCE_ORACLE = """
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+      WHERE source IN ('src0', 'src1') AND length(trim(text)) > 0
+    ), counts AS (
+      SELECT word,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM tok GROUP BY word
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM counts
+    ), pq AS (
+      SELECT ca * 1.0 / (SELECT na FROM tot) AS p,
+             cb * 1.0 / (SELECT nb FROM tot) AS q
+      FROM counts
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM counts) AS n_words_union,
+           (SELECT CAST(count(*) AS BIGINT) FROM counts
+            WHERE ca > 0 AND cb > 0) AS n_words_shared,
+           round(0.5 * sum(CASE WHEN p > 0
+                                THEN p * log2(p / ((p + q) / 2)) ELSE 0 END)
+                 + 0.5 * sum(CASE WHEN q > 0
+                                  THEN q * log2(q / ((p + q) / 2)) ELSE 0 END),
+                 6) AS js_divergence_bits
+    FROM pq
+"""
+
+
+@query("text_js_divergence_sources", oracle=_JS_DIVERGENCE_ORACLE)
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (bits) between the word distributions
+    of two sources — the symmetric, bounded [0,1] distance used to
+    decide whether two feeds are near-duplicates at the DISTRIBUTION
+    level (merge their mixture cells) or genuinely different corpora
+    (keep separate sampling weights). 0 = identical usage, 1 =
+    disjoint vocabularies.
+
+    Scale shape: one token explode filtered to the two sources, one
+    vocabulary-sized conditional-count aggregate, then per-word
+    arithmetic against a 1-row broadcast of the two totals. Exact
+    integer counts feed every ratio.
+    """
+    from real_time_data_pipeline_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.where(
+            F.col("source").isin("src0", "src1")
+            & (F.length(F.trim("text")) > 0)
+        )
+        .select("source", F.explode(words(F.col("text"))).alias("word"))
+    )
+    counts = tok.groupBy("word").agg(
+        F.sum((F.col("source") == "src0").cast("long")).alias("ca"),
+        F.sum((F.col("source") == "src1").cast("long")).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    pq = counts.crossJoin(F.broadcast(tot)).select(
+        (F.col("ca") / F.col("na")).alias("p"),
+        (F.col("cb") / F.col("nb")).alias("q"),
+        (F.col("ca") > 0).alias("ina"),
+        (F.col("cb") > 0).alias("inb"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return pq.agg(
+        F.count(F.lit(1)).alias("n_words_union"),
+        F.sum((F.col("ina") & F.col("inb")).cast("long")).alias("n_words_shared"),
+        F.round(
+            0.5 * F.sum(F.when(F.col("p") > 0, F.col("p") * F.log2(F.col("p") / m)).otherwise(0.0))
+            + 0.5 * F.sum(F.when(F.col("q") > 0, F.col("q") * F.log2(F.col("q") / m)).otherwise(0.0)),
+            6,
+        ).alias("js_divergence_bits"),
+    )
