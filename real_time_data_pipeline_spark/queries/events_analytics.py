@@ -1701,3 +1701,45 @@ def q_event_sli_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate / 0.01, 6).alias("burn_rate"),
         (rate > 0.01).alias("breaching"),
     )
+
+
+# --- r8: burstiness (Fano factor) -------------------------------------
+
+_FANO_ORACLE = """
+    WITH mins AS (
+      SELECT event_type, time_bucket(INTERVAL '1 minute', ts) AS m,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_active_minutes,
+           round(avg(c), 6) AS mean_per_min,
+           round(var_samp(c), 6) AS var_per_min,
+           round(var_samp(c) / avg(c), 6) AS fano
+    FROM mins GROUP BY event_type
+"""
+
+
+@query("event_burstiness_fano", oracle=_FANO_ORACLE)
+def q_event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event type via the Fano factor (variance/mean of
+    per-minute counts over ACTIVE minutes): ≈1 is Poisson-like
+    arrival, ≫1 means bursts (retry storms, batch replays, bot
+    traffic) — the statistic that separates 'rate went up' from
+    'arrivals got clumpy' when sizing rate limits and stream
+    partitions.
+
+    Scale shape: a (type, minute)-keyed count aggregate, then a
+    per-type moment aggregate over integer counts (exact sums below
+    2^53, so both engines' variance agrees at 6dp).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mins = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return mins.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_active_minutes"),
+        F.round(F.avg("c"), 6).alias("mean_per_min"),
+        F.round(F.var_samp("c"), 6).alias("var_per_min"),
+        F.round(F.var_samp("c") / F.avg("c"), 6).alias("fano"),
+    )

@@ -562,3 +562,82 @@ def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("a", "b")
             )
     return out
+
+
+# --- r8: degree assortativity -----------------------------------------
+
+_ASSORTATIVITY_ORACLE = """
+    WITH flows AS (
+      SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+    ), e AS (
+      SELECT a, b FROM (
+        SELECT src AS a, dst AS b FROM flows
+        UNION SELECT dst, src FROM flows
+      )
+    ), deg AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(count(*) // 2 AS BIGINT) AS n_edges,
+           round(corr(da.d, db.d), 6) AS assortativity
+    FROM e JOIN deg da ON e.a = da.node
+           JOIN deg db ON e.b = db.node
+"""
+
+
+@query("graph_degree_assortativity", oracle=_ASSORTATIVITY_ORACLE)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph: the Pearson
+    correlation of endpoint degrees over all (symmetric) edges —
+    negative means hubs attach to low-degree spokes (the
+    hub-and-spoke shape typical of trade and web graphs), positive
+    means a core of well-connected peers. The one-number structural
+    summary read next to the degree distribution.
+
+    Scale shape: edge build + one degree aggregate + two joins of the
+    edge list against the (node,degree) frame — degree frames are
+    node-sized and broadcastable; the correlation is a single
+    moment aggregate. Integer degrees, no float thresholds.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = flows.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+        flows.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    deg = edges.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db")))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    stats = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.floor(F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.round(F.corr("da", "db"), 6).alias("assortativity"),
+        )
+    )
+    return n_nodes.crossJoin(F.broadcast(stats)).select(
+        "n_nodes", "n_edges", "assortativity"
+    )

@@ -2823,3 +2823,89 @@ def q_effective_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("effective_frac"),
     )
+
+
+# --- r8: quantization reconstruction error ----------------------------
+
+_QUANT_ERROR_ORACLE = """
+    WITH q AS (
+      SELECT vec_id,
+             list_min(embedding::DOUBLE[]) AS lo,
+             (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]))
+               / 255.0 AS scale,
+             embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), deq AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> lo + least(CASE WHEN scale > 0
+                 THEN floor((x - lo) / scale) ELSE 0 END, 255) * scale) AS dv
+      FROM q
+    ), errs AS (
+      SELECT vec_id,
+             round(list_sum(list_transform(list_zip(v, dv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) / len(v), 9)
+               AS mse,
+             round(list_max(list_transform(list_zip(v, dv),
+                     p -> abs(p[1] - p[2]))), 9) AS max_abs,
+             round(list_cosine_similarity(v, dv), 6) AS cos_keep
+      FROM deq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(mse), 9) AS avg_mse,
+           round(max(max_abs), 9) AS worst_abs_err,
+           round(min(cos_keep), 6) AS worst_cosine,
+           round(avg(cos_keep), 6) AS avg_cosine
+    FROM errs
+"""
+
+
+@query("embed_quantization_error", oracle=_QUANT_ERROR_ORACLE)
+def q_embed_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error report for the uint8 scalar quantizer that
+    backs `embed_quantized_topk`: per-vector MSE, worst absolute
+    component error, and how much cosine similarity to the original
+    the dequantized vector keeps — the table an operator reads to
+    decide whether 1-byte codes are safe for the recall target before
+    shrinking the vector store 4×.
+
+    Scale shape: everything is an in-row codegen fold (quantize,
+    dequantize, error, cosine) followed by one 1-row aggregate — the
+    corpus streams through once, nothing shuffles but partial
+    aggregates.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import (
+        dot,
+        norm,
+        quantize_embedding,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    qz = quantize_embedding(F.col("v"))
+    deq = emb.select(
+        "v",
+        F.transform(
+            qz["q"], lambda c: qz["lo"] + c.cast("double") * qz["scale"]
+        ).alias("dv"),
+    )
+    diff = F.zip_with(F.col("v"), F.col("dv"), lambda a, b: a - b)
+    errs = deq.select(
+        F.round(
+            F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+            / F.size("v"),
+            9,
+        ).alias("mse"),
+        F.round(F.array_max(F.transform(diff, F.abs)), 9).alias("max_abs"),
+        F.round(
+            dot(F.col("v"), F.col("dv")) / (norm(F.col("v")) * norm(F.col("dv"))),
+            6,
+        ).alias("cos_keep"),
+    )
+    return errs.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("mse"), 9).alias("avg_mse"),
+        F.round(F.max("max_abs"), 9).alias("worst_abs_err"),
+        F.round(F.min("cos_keep"), 6).alias("worst_cosine"),
+        F.round(F.avg("cos_keep"), 6).alias("avg_cosine"),
+    )
