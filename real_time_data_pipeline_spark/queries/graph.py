@@ -630,12 +630,26 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da")))
     db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db")))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # corr() from explicit guarded moments, NOT F.corr: under the
+    # ANSI mode a vanilla session runs with, a zero degree variance
+    # (regular graph — exactly what a dense trade graph becomes at
+    # larger SFs) makes corr's internal division throw DIVIDE_BY_ZERO;
+    # DuckDB's corr returns NULL there. Integer degrees keep every
+    # moment exact, and the guard reproduces the NULL.
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("da").cast("double"), F.sum("db").cast("double")
+    sxy = F.sum(F.col("da") * F.col("db")).cast("double")
+    sx2 = F.sum(F.col("da") * F.col("da")).cast("double")
+    sy2 = F.sum(F.col("db") * F.col("db")).cast("double")
+    denom = F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
     stats = (
         edges.join(da, "a")
         .join(db, "b")
         .agg(
             F.floor(F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
-            F.round(F.corr("da", "db"), 6).alias("assortativity"),
+            F.round(
+                F.when(denom > 0, (n * sxy - sx * sy) / denom), 6
+            ).alias("assortativity"),
         )
     )
     return n_nodes.crossJoin(F.broadcast(stats)).select(
