@@ -353,6 +353,19 @@ def _dedup_clusters_shared(spark, sf_dir):
     )
 
 
+def _jaccard_pairs_uncapped_shared(spark, sf_dir):
+    """Exact near-dup pairs over FULL (uncapped) shingle sets — the
+    truth set the MinHash path is evaluated against (its verification
+    runs uncapped, unlike the inverted-index path's df-capped sets)."""
+    return _shared_artifact(
+        spark, sf_dir, "jaccard_pairs_n3_uncapped",
+        lambda: jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text",
+            n=3, threshold=JACCARD_THRESHOLD, max_df=None,
+        ),
+    )
+
+
 def _minhash_sigs_shared(spark, sf_dir):
     """MinHash signatures (n=3 word shingles) over the documents
     table — the other once-per-snapshot index build."""
@@ -1210,10 +1223,7 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     set joins into them — at corpus scale a lookup, not a pass."""
     from real_time_data_pipeline_spark.operators.similarity import MINHASH_NUM
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD, max_df=None
-    )
+    pairs = _jaccard_pairs_uncapped_shared(spark, sf_dir)
     sigs = _minhash_sigs_shared(spark, sf_dir)
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
@@ -2908,4 +2918,93 @@ def q_embed_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("max_abs"), 9).alias("worst_abs_err"),
         F.round(F.min("cos_keep"), 6).alias("worst_cosine"),
         F.round(F.avg("cos_keep"), 6).alias("avg_cosine"),
+    )
+
+
+# --- r8: LSH candidate efficiency (precision/recall of the blocker) ---
+
+_LSH_EFFICIENCY_ORACLE = (
+    _SHINGLE_CTES
+    + ", sh AS (SELECT * FROM sh_all)"
+    + f"""
+    , counts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), ip AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jpairs AS (
+      SELECT p.id_a, p.id_b
+      FROM ip p
+        JOIN counts ca ON p.id_a = ca.doc_id
+        JOIN counts cb ON p.id_b = cb.doc_id
+      WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= {{JT}}
+    ), xs AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS x FROM sh_all
+    ), sigm AS (
+      SELECT doc_id, ii.i AS i,
+             min(((2 * ii.i + 1) * x + 7919 * ii.i + 1) % {{MP}}) AS v
+      FROM xs, (SELECT unnest(range({{MN}})) AS i) ii
+      GROUP BY doc_id, ii.i
+    ), bands AS (
+      SELECT doc_id, i // 2 AS band,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key
+      FROM sigm GROUP BY doc_id, i // 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), hits AS (
+      SELECT c.id_a FROM cand c JOIN jpairs j
+        ON c.id_a = j.id_a AND c.id_b = j.id_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM jpairs) AS n_true_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+           round((SELECT count(*) FROM hits) * 1.0
+                 / greatest((SELECT count(*) FROM cand), 1), 6) AS precision,
+           round((SELECT count(*) FROM hits) * 1.0
+                 / greatest((SELECT count(*) FROM jpairs), 1), 6) AS recall
+"""
+)
+
+
+def _lsh_efficiency_oracle() -> str:
+    return _LSH_EFFICIENCY_ORACLE.format(JT=JACCARD_THRESHOLD, MP=_MP, MN=_MN)
+
+
+@query("dedup_lsh_candidate_efficiency", oracle=_lsh_efficiency_oracle())
+def q_lsh_candidate_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation of the LSH BLOCKER itself: raw band-collision
+    candidates vs the exact near-dup truth set — precision says how
+    much verification work the bands waste on false candidates,
+    recall says what the banding loses before verification even runs
+    (the 48x2 config targets ~1e-6 miss probability at J=0.5). The
+    capacity-planning twin of dedup_minhash_estimate's estimator
+    check: this is the number that sizes the verify stage at 100 TB.
+
+    Scale shape: candidates from the session-shared signatures (one
+    bucket shuffle, corpus-size-independent volume), truth from the
+    session-shared uncapped pair set, and the comparison is one hash
+    join + three counts.
+    """
+    sigs = _minhash_sigs_shared(spark, sf_dir)
+    truth = _jaccard_pairs_uncapped_shared(spark, sf_dir).select("id_a", "id_b")
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    hits = cands.join(truth, ["id_a", "id_b"], "left_semi")
+    nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_candidates", "n_true_pairs", "n_hits",
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)), 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_hits") / F.greatest(F.col("n_true_pairs"), F.lit(1)), 6
+            ).alias("recall"),
+        )
     )
