@@ -1743,3 +1743,71 @@ def q_event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("c"), 6).alias("var_per_min"),
         F.round(F.var_samp("c") / F.avg("c"), 6).alias("fano"),
     )
+
+
+# --- r8: user lifecycle stages ----------------------------------------
+
+_LIFECYCLE_ORACLE = """
+    WITH horizon AS (
+      SELECT max(ts) AS h FROM events
+    ), per_user AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ), staged AS (
+      SELECT user_id,
+             CASE
+               WHEN first_ts > (SELECT h FROM horizon) - INTERVAL '7 days'
+                 THEN 'new'
+               WHEN last_ts > (SELECT h FROM horizon) - INTERVAL '7 days'
+                 THEN 'active'
+               WHEN last_ts > (SELECT h FROM horizon) - INTERVAL '28 days'
+                 THEN 'lapsing'
+               ELSE 'churned'
+             END AS stage,
+             CAST(date_diff('day', first_ts, last_ts) AS BIGINT) AS tenure_days
+      FROM per_user
+    )
+    SELECT stage, count(*) AS n_users,
+           round(avg(tenure_days), 6) AS avg_tenure_days,
+           CAST(max(tenure_days) AS BIGINT) AS max_tenure_days
+    FROM staged GROUP BY stage
+"""
+
+
+@query("event_user_lifecycle_stages", oracle=_LIFECYCLE_ORACLE)
+def q_event_user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle segmentation at the data's own horizon (max event
+    time, so the report is reproducible): users whose FIRST activity
+    is inside the last 7 days are 'new', still-active veterans are
+    'active', quiet for 7-28 days 'lapsing', longer 'churned' — with
+    tenure stats per stage. The events-side counterpart of the
+    RFM segmentation on orders.
+
+    Scale shape: one per-user min/max aggregate, the horizon as a
+    1-row broadcast, then a 4-group rollup. Stage boundaries are
+    timestamp comparisons — no floats.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    j = per_user.crossJoin(F.broadcast(horizon))
+    d7 = F.col("h") - F.expr("INTERVAL 7 DAYS")
+    d28 = F.col("h") - F.expr("INTERVAL 28 DAYS")
+    stage = (
+        F.when(F.col("first_ts") > d7, "new")
+        .when(F.col("last_ts") > d7, "active")
+        .when(F.col("last_ts") > d28, "lapsing")
+        .otherwise("churned")
+    )
+    tenure = F.datediff(F.col("last_ts"), F.col("first_ts")).cast("long")
+    return (
+        j.select(stage.alias("stage"), tenure.alias("tenure_days"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("tenure_days"), 6).alias("avg_tenure_days"),
+            F.max("tenure_days").alias("max_tenure_days"),
+        )
+    )

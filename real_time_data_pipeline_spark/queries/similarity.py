@@ -3008,3 +3008,78 @@ def q_lsh_candidate_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- r8: one-way ANOVA of norms across labels -------------------------
+
+_ANOVA_ORACLE = """
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                          x -> x * x))) AS nrm
+      FROM embeddings
+    ), per AS (
+      SELECT label, count(*) AS n, avg(nrm) AS m,
+             sum(nrm * nrm) - count(*) * avg(nrm) * avg(nrm) AS ss_within
+      FROM norms GROUP BY label
+    ), tot AS (
+      SELECT count(*) AS n, avg(nrm) AS gm FROM norms
+    )
+    SELECT CAST((SELECT count(*) FROM per) AS BIGINT) AS n_groups,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n_vectors,
+           round(sum(n * (m - (SELECT gm FROM tot))
+                       * (m - (SELECT gm FROM tot)))
+                 / ((SELECT count(*) FROM per) - 1)
+                 / (sum(ss_within)
+                    / ((SELECT n FROM tot) - (SELECT count(*) FROM per))),
+                 6) AS f_stat
+    FROM per
+"""
+
+
+@query("embed_norm_anova_by_label", oracle=_ANOVA_ORACLE)
+def q_embed_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic of embedding norms across labels —
+    does the class structure leak into the vector MAGNITUDE (F ≫ 1)
+    or are norms label-independent (F ≈ 1)? A norm-classifiable space
+    means downstream cosine retrieval has a magnitude confounder and
+    vectors should be normalized before indexing.
+
+    Scale shape: per-row norm fold, one per-label moment aggregate
+    (between-group SS from label means, within-group SS from per-
+    label second moments), one 1-row division. Two bounded
+    aggregates, no joins wider than the label count.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import norm
+
+    norms = load_table(spark, sf_dir, "embeddings").select(
+        "label", norm(F.col("embedding").cast("array<double>")).alias("nrm")
+    )
+    per = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("nrm").alias("m"),
+        (
+            F.sum(F.col("nrm") * F.col("nrm"))
+            - F.count(F.lit(1)) * F.avg("nrm") * F.avg("nrm")
+        ).alias("ss_within"),
+    )
+    tot = norms.agg(
+        F.count(F.lit(1)).alias("nt"), F.avg("nrm").alias("gm")
+    )
+    gm = F.col("gm")
+    k = F.count(F.lit(1))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.first("nt").alias("n_vectors"),
+            F.round(
+                (
+                    F.sum(F.col("n") * (F.col("m") - gm) * (F.col("m") - gm))
+                    / (k - 1)
+                )
+                / (F.sum("ss_within") / (F.first("nt") - k)),
+                6,
+            ).alias("f_stat"),
+        )
+    )

@@ -2386,3 +2386,53 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("js_divergence_bits"),
     )
+
+
+# --- r8: per-split feature parity -------------------------------------
+
+_SPLIT_PARITY_ORACLE = f"""
+    WITH lab AS (
+      SELECT n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+             CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+                  WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(stddev(n_chars), 6) AS sd_chars,
+           round(avg(n_tok), 6) AS avg_tokens,
+           round(stddev(n_tok), 6) AS sd_tokens
+    FROM lab GROUP BY split
+"""
+
+
+@query("data_split_feature_parity", oracle=_SPLIT_PARITY_ORACLE)
+def q_split_feature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-moment parity across the train/val/test hash split:
+    per-split mean and stddev of document length features — the check
+    that an iid hash split actually produced exchangeable splits (a
+    val set that skews long inflates eval loss for reasons that have
+    nothing to do with the model).
+
+    Scale shape: split label and both features are per-row
+    expressions in one scan; the report is a 3-group aggregate of
+    exact integer moments.
+    """
+    from real_time_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.select("split", "n_chars", token_count_ws("text").alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.stddev_samp("n_chars"), 6).alias("sd_chars"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.round(F.stddev_samp("n_tok"), 6).alias("sd_tokens"),
+        )
+    )
