@@ -393,3 +393,95 @@ def test_lsh_chain_routing_preserves_exact_dup_connectivity(contents, cap):
         assert len(roots) == 1, (
             f"content {c} shattered into {len(roots)} components at cap={cap}"
         )
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1, max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_activity_islands_rn_trick_matches_brute_force(pairs):
+    """The gaps-and-islands rn-difference grouping must produce
+    exactly the consecutive-day runs a brute-force scan finds, for
+    arbitrary (user, day) multisets (duplicates collapse first)."""
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(days=d)) for u, d in pairs
+    ]
+    df = _spark.createDataFrame(rows, "user_id int, d date").distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = df.select(
+        "user_id", F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp")
+    )
+    got = sorted(
+        (r.user_id, r.len)
+        for r in runs.groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .collect()
+    )
+    # brute force islands per user
+    want = []
+    by_user: dict[int, set] = {}
+    for u, d in pairs:
+        by_user.setdefault(u, set()).add(d)
+    for u, ds in by_user.items():
+        ds = sorted(ds)
+        run = 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                want.append((u, run)); run = 1
+        want.append((u, run))
+    assert got == sorted(want)
+
+
+@given(
+    clicks=st.lists(st.integers(0, 2000), min_size=0, max_size=30),
+    buys=st.lists(st.integers(0, 2000), min_size=1, max_size=10),
+)
+@settings(**SETTINGS)
+def test_asof_tolerance_never_fabricates_and_bounds_staleness(clicks, buys):
+    """TTL-bounded as-of: every attached click is the LATEST click at
+    or before the purchase; matches older than the tolerance read as
+    NULL; no purchase ever gets a later click."""
+    import datetime
+
+    from real_time_data_pipeline_spark.operators.joins import asof_join
+
+    TOL = 600
+    base = datetime.datetime(2024, 1, 1)
+    cl = list(dict.fromkeys(clicks))  # dedup, keep arbitrary order
+    left = _spark.createDataFrame(
+        [(i, 1, base + datetime.timedelta(seconds=s)) for i, s in enumerate(buys)],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = _spark.createDataFrame(
+        [(1, base + datetime.timedelta(seconds=s), float(s)) for s in cl],
+        "user_id int, click_ts timestamp, click_value double",
+    ) if cl else _spark.createDataFrame(
+        [], "user_id int, click_ts timestamp, click_value double"
+    )
+    j = asof_join(
+        left, right, by=["user_id"], left_on="ts", right_on="click_ts",
+        right_cols=["click_ts", "click_value"],
+    )
+    age = F.col("ts").cast("long") - F.col("click_ts_asof").cast("long")
+    fresh = age <= TOL
+    out = {
+        r.event_id: r.v
+        for r in j.select(
+            "event_id",
+            F.when(fresh, F.col("click_value_asof")).alias("v"),
+        ).collect()
+    }
+    for i, s in enumerate(buys):
+        eligible = [c for c in cl if c <= s and s - c <= TOL]
+        want = float(max(eligible)) if eligible else None
+        assert out[i] == want, (i, s, eligible, out[i])
