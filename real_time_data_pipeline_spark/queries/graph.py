@@ -655,3 +655,95 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_nodes.crossJoin(F.broadcast(stats)).select(
         "n_nodes", "n_edges", "assortativity"
     )
+
+
+# --- r8: two-hop reach -------------------------------------------------
+
+_TWO_HOP_ORACLE = """
+    WITH flows AS (
+      SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+    ), e AS (
+      SELECT a, b FROM (
+        SELECT src AS a, dst AS b FROM flows
+        UNION SELECT dst, src FROM flows
+      )
+    ), hop1 AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS d1 FROM e GROUP BY 1
+    ), two AS (
+      SELECT e1.a AS node, e2.b AS reach
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      WHERE e2.b <> e1.a
+      UNION SELECT a, b FROM e
+    ), hop2 AS (
+      SELECT node, CAST(count(DISTINCT reach) AS BIGINT) AS d2 FROM two GROUP BY 1
+    )
+    SELECT h1.node AS nation, h1.d1 AS n_1hop, h2.d2 AS n_2hop,
+           round(h2.d2 * 1.0 / h1.d1, 6) AS expansion
+    FROM hop1 h1 JOIN hop2 h2 ON h1.node = h2.node
+"""
+
+
+@query("graph_two_hop_reach", oracle=_TWO_HOP_ORACLE)
+def q_graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighborhood size per node (friends-of-friends reach,
+    self excluded) next to direct degree, with the expansion ratio —
+    the local counterpart of the global reachability query: a low
+    expansion means the graph is clustered (your partners' partners
+    are already your partners), high means two hops open the whole
+    network.
+
+    Scale shape: one edge-edge self-join keyed on the shared endpoint
+    (bounded by Σdeg² — the same frontier-expansion join every
+    iterative graph query here uses once per round), then distinct
+    counts per node. No iteration, no collect.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = reliable_materialize(
+        flows.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(flows.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    hop1 = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_1hop")
+    )
+    e2 = edges.select(F.col("a").alias("mid"), F.col("b").alias("reach"))
+    two = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("mid"))
+        .join(e2, "mid")
+        .where(F.col("reach") != F.col("node"))
+        .select("node", "reach")
+        .union(edges.select(F.col("a").alias("node"), F.col("b").alias("reach")))
+    )
+    hop2 = two.groupBy("node").agg(F.count_distinct("reach").alias("n_2hop"))
+    return (
+        hop1.join(hop2, "node")
+        .select(
+            F.col("node").alias("nation"),
+            "n_1hop",
+            "n_2hop",
+            F.round(F.col("n_2hop") / F.col("n_1hop"), 6).alias("expansion"),
+        )
+    )

@@ -2339,3 +2339,90 @@ def q_revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nation", "n_customers", "hhi", "hhi_floor")
     )
+
+
+# --- r8: yearly revenue growth ----------------------------------------
+
+_YOY_ORACLE = """
+    WITH yr AS (
+      SELECT CAST(date_part('year', o_orderdate) AS INT) AS year,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT year, n_orders, rev_cents,
+           round((rev_cents - lag(rev_cents) OVER (ORDER BY year)) * 1.0
+                 / lag(rev_cents) OVER (ORDER BY year), 6) AS yoy_growth
+    FROM yr
+"""
+
+
+@query("agg_yearly_revenue_growth", oracle=_YOY_ORACLE)
+def q_yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue with year-over-year growth. The lag window runs
+    over the POST-AGGREGATE year series (a handful of rows), never the
+    fact table — the safe place for an unpartitioned window; revenue
+    is exact integer cents so growth ratios cannot flap on float
+    summation order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    yr = orders.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("year")
+    return yr.select(
+        "year", "n_orders", "rev_cents",
+        F.round(
+            (F.col("rev_cents") - F.lag("rev_cents").over(w))
+            / F.lag("rev_cents").over(w),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+# --- r8: order-to-ship latency profile --------------------------------
+
+_SHIP_LATENCY_ORACLE = """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(avg(days), 6) AS avg_days,
+           round(quantile_cont(days, 0.5), 6) AS p50_days,
+           round(quantile_cont(days, 0.95), 6) AS p95_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+"""
+
+
+@query("agg_order_to_ship_latency", oracle=_SHIP_LATENCY_ORACLE)
+def q_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority (mean, exact
+    p50/p95, max in days) — the fulfilment SLA table, and a check
+    that priority classes actually ship faster. Day differences are
+    exact integers; `percentile()` interpolates them identically to
+    DuckDB's quantile_cont.
+
+    Scale shape: one fact join on orderkey, then a per-priority
+    aggregate; the exact percentile is a single-pass sketch-free
+    aggregate within each (small) priority group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("days"), 6).alias("avg_days"),
+        F.round(F.expr("percentile(days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.95)"), 6).alias("p95_days"),
+        F.max("days").alias("max_days"),
+    )
