@@ -2426,3 +2426,54 @@ def q_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(days, 0.95)"), 6).alias("p95_days"),
         F.max("days").alias("max_days"),
     )
+
+
+# --- r8: Benford first-digit conformance ------------------------------
+
+_BENFORD_ORACLE = """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), tot AS (SELECT count(*) AS n FROM d)
+    SELECT digit,
+           count(*) AS n_orders,
+           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford,
+           round(abs(count(*) * 1.0 / (SELECT n FROM tot)
+                     - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+    FROM d GROUP BY digit
+"""
+
+
+@query("agg_benford_first_digit", oracle=_BENFORD_ORACLE)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed first-digit
+    frequencies (of the integer-cent amount) against log10(1+1/d) —
+    the classic forensic screen for fabricated or truncated monetary
+    data; a large deviation on a digit is where an auditor looks
+    first.
+
+    Scale shape: the first digit is per-row string arithmetic on the
+    exact cent value inside one scan, then a 9-group aggregate with a
+    1-row broadcast total.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    obs = F.col("n_orders") / F.col("n")
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n_orders",
+            F.round(obs, 6).alias("observed"),
+            F.round(ben, 6).alias("benford"),
+            F.round(F.abs(obs - ben), 6).alias("abs_dev"),
+        )
+    )
