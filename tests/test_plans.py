@@ -377,6 +377,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "event_session_paths": "rank over <=15 rows above TakeOrderedAndProject",
     "event_rate_anomaly_cusum": "running sum over hour-grain calendar-bounded frame",
     "event_hourly_autocorr": "lead over hour-grain calendar-bounded series",
+    "agg_yearly_revenue_growth": "lag over year-grain calendar-bounded series",
 }
 
 
