@@ -45,40 +45,25 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # check window ahead of merely-stale greens. Maintained by hand at
 # edit time; cleared once the next round's gate re-confirms them.
 EDITED_THIS_ROUND = {
-    # r8: oracle CAST(... AS BIGINT) fixes for the three r7 reds
-    # (VERDICT r7 #1) — also tier -1 via latest_not_green, listed for
-    # the record
-    "corpus_dedup_survivorship_by_source",
-    "pipeline_watermark_lateness",
-    "window_pareto_revenue_share",
-    # r8: stale-green rotation (VERDICT r7 #3) — last externally
-    # checked r2; force into the r8 window
-    "join_anti_customers_without_orders",
-    "join_outer_order_counts",
-    # r8: lsh_oversize_stats residual re-defined to count every
-    # member of a multi-sig-group oversized bucket (ADVICE r7 medium)
-    "dedup_lsh_swarm_guard",
-    # r8: embed family shared artifacts (VERDICT r7 #6) — training /
-    # ground-truth / covariance now memoized per (session, sf_dir)
-    "embed_ann_ivf_kmeans_topk",
-    "embed_ann_kmeans_recall",
-    "embed_semdedup_prune",
-    "embed_ann_probe_sweep",
-    "embed_ann_recall",
-    "embed_covariance_matrix",
-    "embed_pca_power_iteration",
-    # r8: dedup family shared artifacts (jaccard edge list, components,
-    # minhash signatures) — same memo pattern as the embed family
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_cluster_assignment",
-    "dedup_cluster_assignment_star",
-    "dedup_keep_one",
-    "data_leakage_safe_split",
-    "dedup_minhash_estimate",
-    "dedup_cluster_size_distribution",
-    "corpus_training_ready",
-    "corpus_cross_source_dup",
+    # r9: graph family shared artifacts (VERDICT r8 #2) — the 5-way
+    # nation fact join and the co-purchase edge/degree/orientation/
+    # triangle-corner builds are now session-shared artifacts
+    # consumed by every graph query
+    "graph_pagerank_trade",
+    "graph_recursive_reachability",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "graph_degree_distribution",
+    # (kcore/assortativity/two_hop also consume the artifacts, but
+    # they are tier-0 never-green already — listed for the record)
+    "graph_kcore_peeling",
+    "graph_degree_assortativity",
+    "graph_two_hop_reach",
+    # r9: measured candidate set is now the uncapped blocker the
+    # oracle enumerates (ADVICE r8)
+    "dedup_lsh_candidate_efficiency",
+    # r9: YoY lag expression computed once (VERDICT r8 #5)
+    "agg_yearly_revenue_growth",
 }
 
 

@@ -2372,13 +2372,16 @@ def q_yearly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     w = Window.orderBy("year")
-    return yr.select(
-        "year", "n_orders", "rev_cents",
-        F.round(
-            (F.col("rev_cents") - F.lag("rev_cents").over(w))
-            / F.lag("rev_cents").over(w),
-            6,
-        ).alias("yoy_growth"),
+    return (
+        yr.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .select(
+            "year", "n_orders", "rev_cents",
+            F.round(
+                (F.col("rev_cents") - F.col("prev_cents"))
+                / F.col("prev_cents"),
+                6,
+            ).alias("yoy_growth"),
+        )
     )
 
 
@@ -2410,8 +2413,13 @@ def q_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's quantile_cont.
 
     Scale shape: one fact join on orderkey, then a per-priority
-    aggregate; the exact percentile is a single-pass sketch-free
-    aggregate within each (small) priority group.
+    aggregate. Exact `percentile` is safe here because its
+    aggregation buffer is a per-group map of DISTINCT VALUES, and
+    ship-minus-order day differences are bounded integers (~120
+    distinct at any SF) — the bound that matters is distinct-value
+    cardinality, NOT group row count. Never copy this pattern onto an
+    unbounded-cardinality column (latencies in micros, free floats);
+    use approx_percentile there (tests/test_plans.py audits this).
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")

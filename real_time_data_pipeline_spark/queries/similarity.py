@@ -271,32 +271,14 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries: the k-means-trained centroids (4 queries), the brute-force
 # ground-truth top-5 (3 recall consumers), and the covariance upper
 # triangle (2 queries). In production these are INDEX BUILDS —
-# trained once, served by every downstream query — so the engine
-# memoizes the materialized frame per (SparkContext, sf_dir). Every
-# memoized artifact is deterministic (quantized-integer k-means,
-# 6dp-rounded covariance, total-ordered top-k), so sharing cannot
-# change any oracle-checked value. Frames are reliably materialized
-# (checkpoint files / local blocks), NOT tracked persists: the
-# cache-leak registry stays empty and release_caches is unaffected.
-_SHARED_ARTIFACTS: "dict[tuple, DataFrame]" = {}
-_SHARED_LOCK = __import__("threading").RLock()
-
-
-def _shared_artifact(spark, sf_dir, what, build):
-    key = (spark.sparkContext.applicationId, sf_dir, what)
-    # Double-checked under a lock: concurrent query threads must not
-    # each pay for (and race to register) the same index build. The
-    # build itself runs inside the lock — the artifacts are
-    # deliberately few and one-time, and a duplicate k-means training
-    # racing in parallel would waste far more than the serialization.
-    df = _SHARED_ARTIFACTS.get(key)
-    if df is None:
-        with _SHARED_LOCK:
-            df = _SHARED_ARTIFACTS.get(key)
-            if df is None:
-                df = reliable_materialize(build())
-                _SHARED_ARTIFACTS[key] = df
-    return df
+# trained once, served by every downstream query. The memo itself
+# lives in queries/artifacts.py (factored out in r9 so the graph
+# family can share the mechanism); re-exported here for back-compat.
+from real_time_data_pipeline_spark.queries.artifacts import (  # noqa: F401
+    _SHARED_ARTIFACTS,
+    _shared_artifact,
+    clear_shared_artifacts,
+)
 
 
 def _kmeans_cents_shared(spark, sf_dir, emb):
@@ -2990,7 +2972,13 @@ def q_lsh_candidate_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sigs = _minhash_sigs_shared(spark, sf_dir)
     truth = _jaccard_pairs_uncapped_shared(spark, sf_dir).select("id_a", "id_b")
-    cands = lsh_candidate_pairs(sigs, "doc_id")
+    # max_bucket=None: the oracle enumerates UNCAPPED band collisions,
+    # so the measured candidate set must be the raw blocker too — the
+    # default cap + exact_chain routing would silently diverge the
+    # moment any band bucket exceeds the cap on a larger corpus
+    # (ADVICE r8). Capped-production behavior is evaluated separately
+    # by dedup_lsh_swarm_guard / lsh_oversize_stats.
+    cands = lsh_candidate_pairs(sigs, "doc_id", max_bucket=None)
     hits = cands.join(truth, ["id_a", "id_b"], "left_semi")
     nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
     nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))

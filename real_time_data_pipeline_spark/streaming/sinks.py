@@ -457,6 +457,12 @@ def read_layout_preserving(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql.types import StringType, StructField, StructType
 
     fs, jroot = _hadoop_fs(spark, path)
+    # Qualify the root BEFORE the prefix strip below: listStatus
+    # returns fully-qualified (scheme-prefixed) child paths, so an
+    # unqualified/relative caller path would misalign the character
+    # slice and could parse ancestor directories containing '=' as
+    # phantom partition columns (ADVICE r8).
+    jroot = fs.makeQualified(jroot)
 
     def _find_leaf(jdir):
         # lexicographically stable walk; partition dirs before files
@@ -477,7 +483,14 @@ def read_layout_preserving(spark: SparkSession, path: str) -> DataFrame:
         # empty/absent table: nothing to preserve, plain read
         return spark.read.parquet(path)
     rel = str(jleaf)[len(str(jroot)) :].strip("/")
-    part_cols = [seg.split("=", 1)[0] for seg in rel.split("/")[:-1] if "=" in seg]
+    dir_segs = rel.split("/")[:-1]
+    if not all("=" in seg for seg in dir_segs):
+        # Non-hive directory segment under the root: this is not a
+        # layout the engine's writers produce — fall back to a plain
+        # read rather than silently dropping the segment (which would
+        # misalign the inferred partition schema).
+        return spark.read.parquet(path)
+    part_cols = [seg.split("=", 1)[0] for seg in dir_segs]
     if not part_cols:
         return spark.read.parquet(path)
     data_schema = spark.read.parquet(str(jleaf)).schema

@@ -409,6 +409,56 @@ def test_no_unbounded_global_window_anywhere(spark, sf_dir):
     assert not offenders, f"unbounded global windows: {offenders}"
 
 
+# Queries allowed to use EXACT `percentile`, each with its documented
+# bound. The bound that matters is the DISTINCT-VALUE CARDINALITY of
+# the aggregated column (the aggregation buffer is a per-group map of
+# distinct values), NOT the group row count (VERDICT r8 #4). Entries
+# whose column is not provably bounded must document the approx swap
+# for the scale path.
+_BOUNDED_EXACT_PERCENTILES = {
+    "graph_kcore_peeling": "median over the <=|nations|^2-row flow frame",
+    "agg_order_to_ship_latency": "day differences: bounded ints, ~120 distinct",
+    "window_moving_median": "percentile over a 7-row window frame buffer",
+    "agg_quantile_accuracy": (
+        "exact side is the contract's ground truth; docstring states only "
+        "the sketch runs at scale"
+    ),
+    "agg_stats_by_returnflag": (
+        "l_extendedprice distinct <= 50x|part| (price schedule) — "
+        "dimension-sized; approx twin (agg_quantile_accuracy pattern) is "
+        "the scale path"
+    ),
+    "agg_percentiles_by_segment": (
+        "o_totalprice distinct is fact-sized; docstring documents the "
+        "approx_percentile swap at 100 TB"
+    ),
+    "event_outlier_mad": (
+        "events.value distinct is fact-sized; docstring documents the "
+        "percentile_approx twin as the monitoring-cadence variant"
+    ),
+}
+
+
+def test_exact_percentile_only_on_documented_bounds(spark, sf_dir):
+    """Registry-wide audit: exact `percentile` keeps a map of every
+    distinct input value in its aggregation buffer, so it is only
+    safe on columns with a documented distinct-value bound (or with
+    an explicitly documented approx swap for the scale path). Any new
+    exact-percentile call site must enter the allowlist above with
+    its bound stated — unbounded-cardinality columns silently OOM the
+    aggregation buffer at 100 TB."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        plan = _plan(spec.fn(spark, sf_dir))
+        uses_exact = "percentile(" in plan.replace("percentile_approx(", "")
+        if uses_exact and name not in _BOUNDED_EXACT_PERCENTILES:
+            offenders[name] = "exact percentile without a documented bound"
+    assert not offenders, f"undocumented exact percentile: {offenders}"
+    # allowlist hygiene: every entry actually uses exact percentile
+    for name in _BOUNDED_EXACT_PERCENTILES:
+        assert name in REGISTRY, name
+
+
 def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
     """Runtime Bloom-filter join pruning — the 100 TB fact⋈fact
     feature: a selective filter on one side injects a might_contain

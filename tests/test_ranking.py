@@ -244,9 +244,13 @@ def test_global_running_max_matches_window_form(spark):
 
 def test_release_covers_graph_and_dedup_reuse_caches(spark, sf_dir):
     """The shared cache registry must free EVERY persist_tracked site
-    — ranking range-shuffles, graph reuse frames, inverted-index
-    buckets, multi-cap LSH buckets — not just the ranking family
-    (VERDICT r6 #1's 'no leaked persistent RDDs after a full run')."""
+    — ranking range-shuffles, inverted-index buckets, multi-cap LSH
+    buckets, and any cache a shared-artifact BUILD registers — not
+    just the ranking family (VERDICT r6 #1's 'no leaked persistent
+    RDDs after a full run'). Graph queries consume session-shared
+    artifacts since r9 (localCheckpoint blocks that deliberately
+    outlive release), so the artifact is warmed BEFORE the baseline
+    and the steady-state graph run must add nothing releasable."""
     from real_time_data_pipeline_spark.operators.ranking import release_rank_caches
     from real_time_data_pipeline_spark.operators.similarity import (
         jaccard_pairs,
@@ -255,9 +259,14 @@ def test_release_covers_graph_and_dedup_reuse_caches(spark, sf_dir):
     )
     from real_time_data_pipeline_spark.queries.registry import REGISTRY
 
+    # Warm the co-purchase shared artifacts: their localCheckpoint
+    # blocks persist for the session by design, so they must be in
+    # the baseline; the build's own tracked caches release here.
+    REGISTRY["graph_triangle_count"].fn(spark, sf_dir).count()
     release_rank_caches(blocking=True)
     baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
 
+    # Steady-state artifact consumption registers NO tracked caches.
     REGISTRY["graph_triangle_count"].fn(spark, sf_dir).count()
     docs = spark.createDataFrame(
         [(i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(30)]
@@ -270,5 +279,5 @@ def test_release_covers_graph_and_dedup_reuse_caches(spark, sf_dir):
         df.count()
 
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
-    assert release_rank_caches(blocking=True) >= 3
+    assert release_rank_caches(blocking=True) >= 2
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
