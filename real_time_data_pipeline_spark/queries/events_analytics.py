@@ -1811,3 +1811,178 @@ def q_event_user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("tenure_days").alias("max_tenure_days"),
         )
     )
+
+
+# --- r9: day-of-week × hour activity heatmap --------------------------
+
+_DOW_HOUR_ORACLE = """
+    WITH tot AS (SELECT count(*) AS t FROM events)
+    SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(count(*) * 1.0 / (SELECT t FROM tot), 6) AS share
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query("event_dow_hour_heatmap", oracle=_DOW_HOUR_ORACLE)
+def q_event_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap by ISO weekday × hour (counts, distinct
+    users, share of all events) — the load-shape diagnostic behind
+    capacity planning and trigger-cadence choices. ISO weekday
+    (Mon=1) is used on both engines: Spark's `weekday()` (Mon=0) + 1
+    equals DuckDB's `isodow`, sidestepping the Sunday-first
+    `dayofweek` trap.
+
+    Scale shape: two per-row date expressions inside the scan, one
+    168-group hash aggregate (map-side combined), and a 1-row
+    broadcast total for the share — nothing wider than 168 groups
+    ever shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("isodow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "isodow", "hour", "n_events", "n_users",
+            F.round(F.col("n_events") / F.col("t"), 6).alias("share"),
+        )
+    )
+
+
+# --- r9: per-user event-type entropy profile --------------------------
+
+_USER_ENTROPY_ORACLE = """
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), u AS (
+      SELECT user_id, count(*) AS n_types,
+             CAST(sum(c) AS BIGINT) AS tot,
+             sum(c * ln(c)) AS clogc
+      FROM per GROUP BY 1
+    )
+    SELECT CAST(n_types AS BIGINT) AS n_types,
+           count(*) AS n_users,
+           round(avg(ln(tot) - clogc / tot), 6) AS avg_entropy,
+           round(ln(n_types), 6) AS max_entropy
+    FROM u GROUP BY n_types
+"""
+
+
+@query("event_user_activity_entropy", oracle=_USER_ENTROPY_ORACLE)
+def q_event_user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix, profiled by how
+    many distinct types the user touches: single-behavior users
+    (entropy 0) vs diversified ones — the engagement-diversity screen
+    next to DAU/MAU stickiness, and a bot heuristic (scripted
+    accounts sit at entropy ≈ 0 with high volume).
+
+    The entropy is computed from count sums via the algebraic
+    identity −Σ(c/T)ln(c/T) = ln(T) − (Σ c·ln c)/T, so the per-user
+    pass needs only (n_types, Σc, Σc·ln c) — three aggregates, no
+    per-type normalization join. ln arguments are counts ≥ 1 and
+    totals ≥ 1: no ANSI log-domain or division guard needed by
+    construction.
+
+    Scale shape: one (user, type) aggregate, one user-keyed rollup of
+    it (same partitioning — AQE reuses the exchange), then a final
+    ≤|types| -group summary. Nothing user-wide ever sits in one task.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    u = per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+    )
+    ent = F.log(F.col("tot")) - F.col("clogc") / F.col("tot")
+    per_user = u.select(
+        F.col("n_types").cast("long").alias("n_types"), ent.alias("ent")
+    )
+    return (
+        per_user.groupBy("n_types")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("ent"), 6).alias("avg_entropy"),
+        )
+        .select(
+            "n_types", "n_users", "avg_entropy",
+            F.round(F.log(F.col("n_types").cast("double")), 6).alias(
+                "max_entropy"
+            ),
+        )
+    )
+
+
+# --- r9: central-moment profile (skewness / kurtosis) -----------------
+
+_MOMENTS_ORACLE = """
+    WITH mu AS (
+      SELECT event_type, avg(value) AS mu FROM events GROUP BY 1
+    ), m AS (
+      SELECT e.event_type,
+             count(*) AS n_events,
+             avg(pow(e.value - mu.mu, 2)) AS m2,
+             avg(pow(e.value - mu.mu, 3)) AS m3,
+             avg(pow(e.value - mu.mu, 4)) AS m4
+      FROM events e JOIN mu USING (event_type)
+      GROUP BY 1
+    )
+    SELECT m.event_type, n_events,
+           round(mu.mu, 6) AS mean_value,
+           round(m2, 6) AS variance,
+           round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6) AS skewness,
+           round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END, 6) AS ex_kurtosis
+    FROM m JOIN mu USING (event_type)
+"""
+
+
+@query("agg_value_moments_by_type", oracle=_MOMENTS_ORACLE)
+def q_agg_value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of the value distribution per
+    event type — the two shape numbers that tell a monitoring system
+    whether a z-score threshold is even meaningful (heavy tails make
+    3σ fire constantly; strong skew makes it one-sided).
+
+    Computed as TWO-PASS central moments: per-type means broadcast
+    back onto the scan, then one aggregate of (x−μ)^{2,3,4}. The
+    one-pass raw-power-sum form (Σx⁴ etc.) is catastrophically
+    cancellation-prone when μ is far from 0 — the two-pass form keeps
+    every accumulated term centered and O(σ⁴). Ratios are guarded
+    (`m2 > 0` → NULL, matching DuckDB's CASE) so a constant-valued
+    type can never throw ANSI DIVIDE_BY_ZERO at a larger SF.
+
+    Scale shape: two scans of (event_type, value) with a ≤|types|-row
+    broadcast between them; both aggregates are map-side combined.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    mu = ev.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    d = F.col("value") - F.col("mu")
+    m = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg(d * d).alias("m2"),
+            F.avg(d * d * d).alias("m3"),
+            F.avg(d * d * d * d).alias("m4"),
+        )
+    )
+    m2 = F.col("m2")
+    return m.join(F.broadcast(mu), "event_type").select(
+        "event_type", "n_events",
+        F.round(F.col("mu"), 6).alias("mean_value"),
+        F.round(m2, 6).alias("variance"),
+        F.round(F.when(m2 > 0, F.col("m3") / F.pow(m2, 1.5)), 6).alias("skewness"),
+        F.round(F.when(m2 > 0, F.col("m4") / (m2 * m2) - 3), 6).alias("ex_kurtosis"),
+    )

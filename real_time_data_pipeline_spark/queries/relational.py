@@ -2485,3 +2485,67 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(obs - ben), 6).alias("abs_dev"),
         )
     )
+
+
+# --- r9: RFM customer segmentation ------------------------------------
+
+_RFM_ORACLE = """
+    WITH c AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY 1
+    ), q AS (
+      SELECT monetary_cents,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_quintile,
+             ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f_quintile,
+             ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_quintile
+      FROM c
+    )
+    SELECT CAST(r_quintile AS BIGINT) AS r_quintile,
+           CAST(f_quintile AS BIGINT) AS f_quintile,
+           CAST(m_quintile AS BIGINT) AS m_quintile,
+           count(*) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS sum_monetary_cents
+    FROM q GROUP BY 1, 2, 3
+"""
+
+
+@query("agg_customer_rfm_segments", oracle=_RFM_ORACLE)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every ordering customer scored into quintiles
+    on Recency (last order date), Frequency (order count), and
+    Monetary (lifetime cents), then the 125-cell segment grid with
+    counts and revenue mass — the classic CRM cut ("champions" at
+    5/5/5, "at-risk big spenders" at 1/·/5).
+
+    All three quintile assignments use `exact_ntile` — bit-identical
+    to ANSI `ntile(5) OVER (ORDER BY metric, custkey)` (the custkey
+    tie-break makes every assignment deterministic) but built on the
+    pid-partitioned global row_number, so the plan contains NO
+    unpartitioned window: three range shuffles over the
+    customer-grain frame (dimension-sized, never fact-sized), then
+    one ≤125-group aggregate. Monetary is exact integer cents.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import exact_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    c = exact_ntile(c, 5, ["last_order", "o_custkey"], "r_quintile")
+    c = exact_ntile(c, 5, ["n_orders", "o_custkey"], "f_quintile")
+    c = exact_ntile(c, 5, ["monetary_cents", "o_custkey"], "m_quintile")
+    return c.groupBy(
+        F.col("r_quintile").cast("long").alias("r_quintile"),
+        F.col("f_quintile").cast("long").alias("f_quintile"),
+        F.col("m_quintile").cast("long").alias("m_quintile"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("sum_monetary_cents"),
+    )

@@ -3071,3 +3071,87 @@ def q_embed_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_stat"),
         )
     )
+
+
+# --- r9: cluster separation (within vs between scatter) ---------------
+
+_CLUSTER_SEP_ORACLE = """
+    WITH flat AS (
+      SELECT label, j AS pos, CAST(embedding[j] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(j)
+    ), ld AS (
+      SELECT label, pos, sum(x) AS sx, sum(x * x) AS ssq, count(*) AS n
+      FROM flat GROUP BY 1, 2
+    ), gd AS (
+      SELECT pos, sum(sx) / sum(n) AS gmu FROM ld GROUP BY 1
+    ), lab AS (
+      SELECT ld.label,
+             CAST(max(ld.n) AS BIGINT) AS n_vecs,
+             sum(ld.ssq) / max(ld.n)
+               - sum((ld.sx / ld.n) * (ld.sx / ld.n)) AS within_ms,
+             sum((ld.sx / ld.n - gd.gmu) * (ld.sx / ld.n - gd.gmu))
+               AS between_ms
+      FROM ld JOIN gd USING (pos)
+      GROUP BY 1
+    )
+    SELECT label, n_vecs,
+           round(within_ms, 6) AS within_ms,
+           round(between_ms, 6) AS between_ms,
+           round(CASE WHEN within_ms > 0 THEN between_ms / within_ms END, 6)
+             AS separation
+    FROM lab
+"""
+
+
+@query("embed_cluster_separation", oracle=_CLUSTER_SEP_ORACLE)
+def q_embed_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster-separation diagnostic: mean squared distance
+    of the label's vectors to their own centroid (within scatter)
+    vs squared distance of that centroid to the global centroid
+    (between scatter), and their ratio — the per-cluster view of the
+    Calinski-Harabasz idea. A label whose separation ratio ≈ 0 is
+    not a usable class for semantic dedup or stratified sampling.
+
+    Everything derives from SUFFICIENT STATISTICS: within-scatter via
+    E‖x−μ‖² = Σ_d(E[x_d²] − μ_d²), so the only pass over the vectors
+    is one posexplode → (label, dim) aggregate of (Σx, Σx², n); the
+    label×64 frame is then rolled up label-wise with the global
+    centroid joined per-dim. No pairwise distances, no second scan.
+    Components cast to double BEFORE any arithmetic on both engines
+    (float32 multiply would quantize differently). The ratio is
+    guarded (`within > 0` → NULL, as DuckDB's CASE) for degenerate
+    single-point or duplicate-swarm labels at any SF.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select("label", "pos0", F.col("xf").cast("double").alias("x"))
+    ld = flat.groupBy("label", "pos0").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("ssq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    gd = ld.groupBy("pos0").agg(
+        (F.sum("sx") / F.sum("n")).alias("gmu")
+    )
+    mu_d = F.col("sx") / F.col("n")
+    lab = (
+        ld.join(F.broadcast(gd), "pos0")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            (
+                F.sum("ssq") / F.max("n") - F.sum(mu_d * mu_d)
+            ).alias("within_ms"),
+            F.sum((mu_d - F.col("gmu")) * (mu_d - F.col("gmu"))).alias(
+                "between_ms"
+            ),
+        )
+    )
+    w = F.col("within_ms")
+    return lab.select(
+        "label", "n_vecs",
+        F.round(w, 6).alias("within_ms"),
+        F.round(F.col("between_ms"), 6).alias("between_ms"),
+        F.round(F.when(w > 0, F.col("between_ms") / w), 6).alias("separation"),
+    )

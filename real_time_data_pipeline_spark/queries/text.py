@@ -2436,3 +2436,214 @@ def q_split_feature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("n_tok"), 6).alias("sd_tokens"),
         )
     )
+
+
+# --- r9: document length bands ----------------------------------------
+
+_LENGTH_BANDS_ORACLE = """
+    WITH b AS (
+      SELECT CASE WHEN n_chars < 200 THEN 1
+                  WHEN n_chars < 1000 THEN 2
+                  WHEN n_chars < 5000 THEN 3
+                  ELSE 4 END AS band_ord,
+             CASE WHEN n_chars < 200 THEN 'xs'
+                  WHEN n_chars < 1000 THEN 'short'
+                  WHEN n_chars < 5000 THEN 'medium'
+                  ELSE 'long' END AS band,
+             n_chars
+      FROM documents
+    ), tot AS (SELECT count(*) AS t FROM documents)
+    SELECT band_ord, band,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(count(*) * 1.0 / (SELECT t FROM tot), 6) AS share
+    FROM b GROUP BY 1, 2
+"""
+
+
+@query("text_doc_length_bands", oracle=_LENGTH_BANDS_ORACLE)
+def q_text_doc_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-band profile (xs / short / medium / long on
+    character count) with counts, char mass, and corpus share — the
+    first curation cut every training-data pipeline makes (too-short
+    docs carry boilerplate; the long tail dominates token budget).
+    Band edges are integer thresholds on the stored n_chars, so band
+    membership can never flap between engines.
+
+    Scale shape: a per-row CASE inside the scan reading ONLY n_chars
+    (column-pruned), one 4-group aggregate, one 1-row broadcast
+    total.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    band_ord = (
+        F.when(F.col("n_chars") < 200, 1)
+        .when(F.col("n_chars") < 1000, 2)
+        .when(F.col("n_chars") < 5000, 3)
+        .otherwise(4)
+    )
+    band = (
+        F.when(F.col("n_chars") < 200, "xs")
+        .when(F.col("n_chars") < 1000, "short")
+        .when(F.col("n_chars") < 5000, "medium")
+        .otherwise("long")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        docs.groupBy(band_ord.alias("band_ord"), band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band_ord", "band", "n_docs", "sum_chars", "avg_chars",
+            F.round(F.col("n_docs") / F.col("t"), 6).alias("share"),
+        )
+    )
+
+
+# --- r9: trigram novelty by source ------------------------------------
+
+_TRIGRAM_NOVELTY_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), idx AS (
+      SELECT doc_id, source, w,
+             unnest(range(1, greatest(len(w) - 1, 1))) AS i
+      FROM words
+    ), sh AS (
+      SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS s
+      FROM idx WHERE len(w) >= 3
+    ), first_owner AS (
+      SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1
+    ), per_doc AS (
+      SELECT sh.doc_id, sh.source,
+             count(*) AS total,
+             CAST(sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS novel
+      FROM sh JOIN first_owner f USING (s)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(total) AS BIGINT) AS n_shingles,
+           CAST(sum(novel) AS BIGINT) AS n_novel,
+           round(sum(novel) * 1.0 / sum(total), 6) AS novelty_rate
+    FROM per_doc GROUP BY source
+"""
+
+
+@query("text_trigram_novelty_by_source", oracle=_TRIGRAM_NOVELTY_ORACLE)
+def q_text_trigram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty per source: of each document's distinct word
+    3-grams, how many are seen here FIRST (first owner = lowest
+    doc_id) — the saturation diagnostic for corpus growth ("is this
+    source still contributing new n-grams, or re-crawling what we
+    have?"). Low novelty on a new source is a stop-crawling signal
+    before any token is spent training on it.
+
+    Scale shape: the shingle explode fans out across partitions
+    BEFORE the interpreted higher-order-function work (one input file
+    otherwise serializes on a single task), then first ownership is
+    one min-aggregate on the shingle key and attribution is one join
+    of the posting list against it — the inverted-index pattern every
+    dedup query here shares; nothing quadratic, nothing collected.
+    Ratios divide by each doc's own distinct-shingle count (≥ 1 by
+    construction of the group) — no ANSI guard needed.
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "source", "text")
+        .repartition(par)  # fan out BEFORE the explode
+    )
+    sh = docs.select(
+        "doc_id", "source", F.explode(word_shingles("text", 3)).alias("s")
+    ).distinct()
+    first_owner = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_owner, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias(
+                "novel"
+            ),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("total").alias("n_shingles"),
+        F.sum("novel").alias("n_novel"),
+        F.round(F.sum("novel") / F.sum("total"), 6).alias("novelty_rate"),
+    )
+
+
+# --- r9: multimodal feature-extraction profile ------------------------
+
+_FEATURE_PROFILE_ORACLE = """
+    WITH f AS (
+      SELECT lang,
+             octet_length(encode(text)) AS nb,
+             CAST(((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+                  / 255.0 AS REAL) AS f0,
+             CAST(((strpos('0123456789abcdef', substr(md5(text), 15, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5(text), 16, 1)) - 1)
+                  / 255.0 AS REAL) AS f7
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_media,
+           CAST(sum(nb) AS BIGINT) AS bytes_total,
+           round(avg(f0), 6) AS avg_f0,
+           round(avg(f7), 6) AS avg_f7
+    FROM f GROUP BY lang
+"""
+
+
+@query("multimodal_feature_extract_profile", oracle=_FEATURE_PROFILE_ORACLE)
+def q_multimodal_feature_extract_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end check of the multimodal DECODE PATH: payloads run
+    through the Arrow-batched `mapInPandas` feature extractor
+    (deterministic-fake codec — md5-seeded 8-dim vector; the real
+    codec is the documented environment gate), then a per-language
+    profile of two feature components and byte mass. The oracle
+    recomputes the fake features arithmetically from md5 hex in
+    DuckDB, so the WHOLE Python stage — Arrow transfer, batch shape,
+    float32 quantization of the feature array — is value-checked,
+    not just smoke-tested. Both sides quantize to float32 before
+    averaging (the array column is `array<float>`), so the compare is
+    exact up to summation order.
+
+    Scale shape: metadata derivation and the profile are JVM-side;
+    only (payload → 8 floats) crosses into Python, Arrow-batched.
+    The per-language rollup joins features to docs on the id key —
+    at 100 TB the media table is the big side and the aggregate is
+    ≤|langs| groups, map-side combined.
+    """
+    from real_time_data_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    feats = extract_features(media, deterministic_fake=True)
+    lang = docs.select(F.col("doc_id").alias("media_id"), "lang")
+    return (
+        feats.join(lang, "media_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("bytes_total"),
+            F.round(F.avg(F.col("feature")[0]), 6).alias("avg_f0"),
+            F.round(F.avg(F.col("feature")[7]), 6).alias("avg_f7"),
+        )
+    )
