@@ -64,6 +64,9 @@ EDITED_THIS_ROUND = {
     "dedup_lsh_candidate_efficiency",
     # r9: YoY lag expression computed once (VERDICT r8 #5)
     "agg_yearly_revenue_growth",
+    # r9: per-doc novelty now reads the shared first-owner attribution
+    # artifact (also consumed by text_trigram_novelty_by_source)
+    "text_ngram_novelty",
 }
 
 

@@ -1187,6 +1187,28 @@ _NOVELTY_ORACLE = """
 """
 
 
+def _novelty_attributed_shared(spark, sf_dir):
+    """Session-shared FIRST-OWNER ATTRIBUTION of the 3-gram postings:
+    (doc_id, g, first_id) — each distinct (doc, gram) posting joined
+    with the gram's lowest owning doc_id. One postings build + one
+    min-aggregate + one join, memoized per corpus snapshot (r9);
+    consumed by the per-doc novelty curve AND the per-source novelty
+    rollup — two reports off one attribution index, the same shape as
+    the dedup-graph and k-means artifacts."""
+    from real_time_data_pipeline_spark.queries.artifacts import _shared_artifact
+    from real_time_data_pipeline_spark.operators.similarity import shingle_postings
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        grams = shingle_postings(docs, "doc_id", "text", 3).withColumnRenamed(
+            "shingle", "g"
+        ).transform(reliable_materialize)  # feeds the owner build AND the join back
+        firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+        return grams.join(firsts, "g")
+
+    return _shared_artifact(spark, sf_dir, "novelty_first_owner_v1", build)
+
+
 @query("text_ngram_novelty", oracle=_NOVELTY_ORACLE)
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc novelty under arrival order: the share of a doc's
@@ -1195,17 +1217,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (novelty 1.0 = all fresh; near 0 = the doc restates the corpus).
     Same scale shape as the sentence-dup query: distinct postings, a
     min-id owner per gram, and a postings-to-owners join — no
-    per-bucket id arrays anywhere."""
-    from real_time_data_pipeline_spark.operators.similarity import shingle_postings
-
-    docs = load_table(spark, sf_dir, "documents")
-    grams = shingle_postings(docs, "doc_id", "text", 3).withColumnRenamed(
-        "shingle", "g"
-    ).transform(reliable_materialize)  # feeds the owner build AND the join back
-    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    per-bucket id arrays anywhere; the attributed postings are the
+    session-shared `_novelty_attributed_shared` artifact (r9), also
+    read by the per-source rollup."""
     novel = F.sum(F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0))
     return (
-        grams.join(firsts, "g")
+        _novelty_attributed_shared(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -2545,41 +2562,34 @@ def q_text_trigram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     have?"). Low novelty on a new source is a stop-crawling signal
     before any token is spent training on it.
 
-    Scale shape: the shingle explode fans out across partitions
-    BEFORE the interpreted higher-order-function work (one input file
-    otherwise serializes on a single task), then first ownership is
-    one min-aggregate on the shingle key and attribution is one join
-    of the posting list against it — the inverted-index pattern every
-    dedup query here shares; nothing quadratic, nothing collected.
-    Ratios divide by each doc's own distinct-shingle count (≥ 1 by
-    construction of the group) — no ANSI guard needed.
+    Scale shape: reads the session-shared first-owner attribution
+    (`_novelty_attributed_shared` — built once, also read by the
+    per-doc `text_ngram_novelty` curve), rolls it up to doc grain,
+    then joins the doc→source dimension and reduces to ≤|sources|
+    groups. Nothing quadratic, nothing collected; ratios divide by
+    each source's shingle mass (≥ 1 by construction of the group) —
+    no ANSI guard needed.
     """
-    par = spark.sparkContext.defaultParallelism
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length(F.trim(F.col("text"))) > 0)
-        .select("doc_id", "source", "text")
-        .repartition(par)  # fan out BEFORE the explode
-    )
-    sh = docs.select(
-        "doc_id", "source", F.explode(word_shingles("text", 3)).alias("s")
-    ).distinct()
-    first_owner = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     per_doc = (
-        sh.join(first_owner, "s")
-        .groupBy("doc_id", "source")
+        _novelty_attributed_shared(spark, sf_dir)
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("total"),
-            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias(
+            F.sum((F.col("doc_id") == F.col("first_id")).cast("long")).alias(
                 "novel"
             ),
         )
     )
-    return per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("total").alias("n_shingles"),
-        F.sum("novel").alias("n_novel"),
-        F.round(F.sum("novel") / F.sum("total"), 6).alias("novelty_rate"),
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("total").alias("n_shingles"),
+            F.sum("novel").alias("n_novel"),
+            F.round(F.sum("novel") / F.sum("total"), 6).alias("novelty_rate"),
+        )
     )
 
 

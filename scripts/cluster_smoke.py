@@ -155,6 +155,46 @@ def _streaming_smoke(spark) -> str:
     return "oracle-match"
 
 
+def _retention_ingest_smoke(spark) -> str:
+    """Incremental retention-cohort ingest on the real cluster (r9):
+    the foreachBatch keyed upsert (temp-dir + rename swap) and the
+    first_seen min-merge run across separate executor JVMs against a
+    shared filesystem, then the derived matrix is oracle-checked
+    against the batch `event_retention_cohorts` DuckDB oracle — the
+    incremental state must reproduce the full-rescan answer exactly.
+    """
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.retention_ingest import (
+        retention_ingest_sink,
+        retention_matrix,
+    )
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+    from tests.oracle import assert_matches
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-retention-")
+    replay, state, ck = f"{work}/replay", f"{work}/state", f"{work}/ck"
+    os.makedirs(replay)
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts")
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    chunk = (len(pdf) + 3) // 4
+    for i in range(4):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            part.to_parquet(os.path.join(replay, f"b{i}.parquet"), index=False)
+        time.sleep(0.05)
+    stream = file_stream(spark, replay, ev.schema, max_files_per_trigger=1).select(
+        "user_id", "ts"
+    )
+    q = retention_ingest_sink(stream, state, ck)
+    q.processAllAvailable()
+    q.stop()
+    got = retention_matrix(spark, state)
+    assert_matches(got, REGISTRY["event_retention_cohorts"].oracle, SF_DIR)
+    return "oracle-match"
+
+
 def main() -> int:
     procs: list[subprocess.Popen] = []
     master_url = f"spark://127.0.0.1:{MASTER_PORT}"
@@ -246,6 +286,20 @@ def main() -> int:
             failures += 1
             print(
                 f"  streaming_gold_15m: FAIL {str(exc).splitlines()[0][:200]}",
+                flush=True,
+            )
+        t0 = time.perf_counter()
+        try:
+            status = _retention_ingest_smoke(spark)
+            print(
+                f"  retention_ingest: {status} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — report, then fail
+            failures += 1
+            print(
+                f"  retention_ingest: FAIL {str(exc).splitlines()[0][:200]}",
                 flush=True,
             )
         spark.stop()

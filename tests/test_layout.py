@@ -221,3 +221,22 @@ def test_expire_tombstones_preserves_type_ambiguous_partition_values(spark, tmp_
     got = spark.read.parquet(path)
     assert got.where("is_delete").count() == 0
     assert got.count() == 2
+
+
+def test_read_layout_preserving_ancestor_dir_with_equals(spark, tmp_path):
+    """ADVICE r8: an '=' in an ANCESTOR directory of the table root
+    (e.g. /data/ds=2024/tbl) must never be parsed as a phantom
+    partition column — the root is qualified before the prefix strip,
+    so only segments BELOW the root count."""
+    from real_time_data_pipeline_spark.streaming.sinks import read_layout_preserving
+
+    root = tmp_path / "ds=2024" / "tbl"
+    df = spark.createDataFrame(
+        [("01", i, float(i)) for i in range(5)], "dt string, k int, v double"
+    )
+    df.write.partitionBy("dt").parquet(str(root))
+    got = read_layout_preserving(spark, str(root))
+    # exactly the real partition column, holding the raw text
+    assert [f.name for f in got.schema.fields if f.name == "ds"] == []
+    assert {r.dt for r in got.select("dt").distinct().collect()} == {"01"}
+    assert got.count() == 5

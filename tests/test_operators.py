@@ -611,3 +611,27 @@ def test_shared_artifact_memo_builds_once_and_keys_by_sf(spark, sf_dir):
     assert len(materialize._LIVE_CACHES) == before
     for k in [k for k in _SHARED_ARTIFACTS if k[2] == "__memo_test"]:
         del _SHARED_ARTIFACTS[k]
+
+
+def test_shared_artifact_memo_evicts_foreign_app_ids(spark, sf_dir):
+    """ADVICE r8: entries keyed by OTHER applicationIds (stopped
+    SparkContexts) are evicted on the next build-miss, and
+    clear_shared_artifacts drops everything (the lost-executor
+    escape hatch)."""
+    from real_time_data_pipeline_spark.queries.artifacts import (
+        _SHARED_ARTIFACTS,
+        _shared_artifact,
+        clear_shared_artifacts,
+    )
+
+    stale_key = ("app-that-stopped-long-ago", sf_dir, "__stale_test")
+    _SHARED_ARTIFACTS[stale_key] = spark.range(1)
+    df = _shared_artifact(spark, sf_dir, "__evict_test", lambda: spark.range(3))
+    assert df.count() == 3
+    assert stale_key not in _SHARED_ARTIFACTS  # foreign appId evicted
+    app = spark.sparkContext.applicationId
+    assert (app, sf_dir, "__evict_test") in _SHARED_ARTIFACTS
+    n_before = len(_SHARED_ARTIFACTS)
+    assert n_before >= 1
+    clear_shared_artifacts()
+    assert len(_SHARED_ARTIFACTS) == 0

@@ -485,3 +485,49 @@ def test_asof_tolerance_never_fabricates_and_bounds_staleness(clicks, buys):
         eligible = [c for c in cl if c <= s and s - c <= TOL]
         want = float(max(eligible)) if eligible else None
         assert out[i] == want, (i, s, eligible, out[i])
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 120)),  # (user, day offset)
+        min_size=1, max_size=25,
+    ),
+    cut=st.integers(0, 24),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_retention_min_merge_invariant_under_batch_order(events, cut, data, tmp_path_factory):
+    """The incremental retention state must yield the SAME cohort
+    matrix for ANY split of the events into micro-batches and ANY
+    batch arrival order — the min-merge is order-independent, and
+    offsets are re-derived from the final first_seen, so late cohort
+    re-dating can never leave a stale bin behind."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.streaming.retention_ingest import (
+        merge_retention_batch,
+        retention_matrix,
+    )
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _ in events],
+            "ts": [base + pd.Timedelta(days=d) for _, d in events],
+        }
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+
+    def run(order):
+        root = str(tmp_path_factory.mktemp("ret_state"))
+        k = max(1, min(cut, len(order) - 1)) if len(order) > 1 else 1
+        parts = [order[:k], order[k:]] if order[k:] else [order]
+        for idx in parts:
+            merge_retention_batch(
+                _spark.createDataFrame(rows.iloc[idx]), root
+            )
+        return {tuple(r) for r in retention_matrix(_spark, root).collect()}
+
+    idx = list(range(len(rows)))
+    shuffled = data.draw(st.permutations(idx))
+    assert run(idx) == run(list(shuffled))
