@@ -2533,10 +2533,17 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    c = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(cents).alias("monetary_cents"),
+    # Truncate lineage ONCE before the three chained ntile passes:
+    # each exact_ntile references its input in two branches (range
+    # exchange + offset build), so an unmaterialized base would put
+    # ~2^3 copies of the orders aggregate in the plan for Catalyst to
+    # analyze. The customer-grain frame is dimension-sized.
+    c = reliable_materialize(
+        orders.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("monetary_cents"),
+        )
     )
     c = exact_ntile(c, 5, ["last_order", "o_custkey"], "r_quintile")
     c = exact_ntile(c, 5, ["n_orders", "o_custkey"], "f_quintile")
