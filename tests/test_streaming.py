@@ -1322,3 +1322,46 @@ def test_retention_ingest_min_merge_is_order_independent(spark, tmp_path):
     merge_retention_batch(batch([(1, "2024-01-02 09:00:00")]), state_root)
     m3 = {tuple(r) for r in retention_matrix(spark, state_root).collect()}
     assert m3 == m2
+
+
+def test_retention_ingest_recovers_from_crash_between_upserts(spark, tmp_path):
+    """A crash AFTER the first_seen merge but BEFORE the activity
+    upsert leaves the two state tables inconsistent; the foreachBatch
+    retry re-runs the whole batch, and both merges are idempotent, so
+    the state converges to exactly the no-crash result."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.streaming import retention_ingest as ri
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return spark.createDataFrame(pdf)
+
+    rows = [(1, "2024-01-02 09:00:00"), (2, "2024-01-16 10:00:00")]
+    clean_root = str(tmp_path / "clean")
+    ri.merge_retention_batch(batch(rows), clean_root)
+    want = {tuple(r) for r in ri.retention_matrix(spark, clean_root).collect()}
+
+    crash_root = str(tmp_path / "crash")
+    real_upsert = ri.upsert_parquet
+    calls = {"n": 0}
+
+    def crashing_upsert(df, path, keys, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die before the activity merge commits
+            raise RuntimeError("simulated executor loss")
+        return real_upsert(df, path, keys, *a, **k)
+
+    ri.upsert_parquet = crashing_upsert
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            ri.merge_retention_batch(batch(rows), crash_root)
+    finally:
+        ri.upsert_parquet = real_upsert
+    # retry of the SAME batch (what foreachBatch does)
+    ri.merge_retention_batch(batch(rows), crash_root)
+    got = {tuple(r) for r in ri.retention_matrix(spark, crash_root).collect()}
+    assert got == want
