@@ -75,3 +75,56 @@ def session_windowed_agg(
         *keys,
         *aggs.keys(),
     )
+
+
+def windowed_distinct_count(
+    df: DataFrame,
+    event_time: str,
+    window_duration: str,
+    key_cols: Sequence[str],
+    out_col: str = "n_distinct",
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Distinct-key count per tumbling event-time window (windowed
+    DAU), batch or streaming, with identical results.
+
+    Streaming aggregations cannot express ``count_distinct``
+    (distinct aggregates need the whole group in one place — exactly
+    what an incremental state update can't have), so the streaming
+    plan uses the canonical two-stage decomposition instead:
+    watermark-first ``dropDuplicatesWithinWatermark`` on
+    (window, *keys) — state is one row per distinct key per window,
+    evicted once the watermark passes — then a plain windowed COUNT
+    of the survivors, which IS incrementally computable. The batch
+    twin collapses to ``count_distinct`` directly; both reduce to the
+    same set cardinality, so parity is exact whenever re-deliveries
+    of a (window, key) arrive within the watermark (later ones would
+    double-count — size the delay to the source's re-delivery bound,
+    the same contract as every watermarked dedup here).
+
+    Scale: dedup state is distinct-keys-per-live-window sized (never
+    event-sized); the count is a two-phase aggregate on window keys.
+    """
+    win = F.window(F.col(event_time), window_duration)
+    if df.isStreaming:
+        if watermark_delay is None:
+            raise ValueError(
+                "streaming windowed_distinct_count requires watermark_delay"
+            )
+        deduped = (
+            df.withWatermark(event_time, watermark_delay)
+            .select(win.alias("window"), *[F.col(k) for k in key_cols])
+            .dropDuplicatesWithinWatermark(["window", *key_cols])
+        )
+        out = deduped.groupBy("window").agg(F.count(F.lit(1)).alias(out_col))
+    else:
+        out = (
+            df.select(win.alias("window"), *[F.col(k) for k in key_cols])
+            .groupBy("window")
+            .agg(F.count_distinct(*[F.col(k) for k in key_cols]).alias(out_col))
+        )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        out_col,
+    )

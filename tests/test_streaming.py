@@ -1365,3 +1365,144 @@ def test_retention_ingest_recovers_from_crash_between_upserts(spark, tmp_path):
     ri.merge_retention_batch(batch(rows), crash_root)
     got = {tuple(r) for r in ri.retention_matrix(spark, crash_root).collect()}
     assert got == want
+
+
+def test_stream_batch_parity_windowed_distinct_users(spark, replay_dir):
+    """Parity: streaming windowed distinct-user counts (watermarked
+    dedup state → windowed count, CHAINED stateful operators in
+    append mode) == batch count_distinct per window — the canonical
+    streaming-DAU decomposition, value-checked end to end. Re-uses
+    the far-future-sentinel trick to close every real window."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.windows import (
+        windowed_distinct_count,
+    )
+
+    d, schema = replay_dir
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sent = pd.DataFrame(
+        {
+            "event_id": [-1],
+            "user_id": [-1],
+            "event_type": ["view"],
+            "ts": [pd.Timestamp(max_ts) + pd.Timedelta(days=30)],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    sent["ts"] = sent["ts"].astype("datetime64[us]")
+    cols = [f.name for f in schema.fields]
+    sent_path = os.path.join(d, "z_sentinel_dau.parquet")
+    sent[cols].to_parquet(sent_path, index=False)
+    try:
+        stream = file_stream(spark, d, schema, max_files_per_trigger=2)
+        dau = windowed_distinct_count(
+            stream, "ts", "15 minutes", ["user_id"],
+            out_col="n_users", watermark_delay="1 minute",
+        )
+        _run_stream_to_memory(dau, "dau_parity", "append")
+        # the sentinel's own window never closes, so no filtering is
+        # needed beyond dropping it if it somehow flushed
+        got = spark.table("dau_parity").where(
+            F.col("window_start") <= F.lit(max_ts)
+        )
+        want = windowed_distinct_count(
+            ev, "ts", "15 minutes", ["user_id"], out_col="n_users"
+        )
+        assert _canon(got) == _canon(want)
+        assert got.count() > 0
+    finally:
+        try:
+            os.remove(sent_path)
+        except OSError:
+            pass
+
+
+def test_session_windows_on_rocksdb_provider(spark, tmp_path):
+    """Native session_window streaming aggregation on the RocksDB
+    state store provider (the 100 TB state backend): merging session
+    state — a different state format from window-agg and dedup state,
+    both already RocksDB-covered — must produce the same sessions the
+    default provider and the batch twin give."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.windows import (
+        session_windowed_agg,
+    )
+    from real_time_data_pipeline_spark.session import use_rocksdb_state
+
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 1],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00:00",  # u1 session A
+                    "2024-01-01 10:10:00",  # extends A
+                    "2024-01-01 11:30:00",  # u1 session B (>30m gap)
+                    "2024-01-01 10:05:00",  # u2 session A
+                    "2024-01-01 12:00:00",  # u2 session B
+                    "2024-06-01 00:00:00",  # sentinel-ish: closes all
+                ]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 0.0],
+        }
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    half = rows.iloc[:3].sort_values("ts")
+    rest = rows.iloc[3:].sort_values("ts")
+    half.to_parquet(os.path.join(d, "b0.parquet"), index=False)
+    rest.to_parquet(os.path.join(d, "b1.parquet"), index=False)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    use_rocksdb_state(spark)
+    try:
+        stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+        sess = session_windowed_agg(
+            stream, "ts", "30 minutes", ["user_id"],
+            {"n_events": F.count(F.lit(1)),
+             "total_value": F.round(F.sum("value"), 6)},
+            watermark_delay="1 minute",
+        )
+        _run_stream_to_memory(sess, "rocksdb_sessions", "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        (r.user_id, str(r.window_start), r.n_events, r.total_value)
+        for r in spark.table("rocksdb_sessions")
+        .where(F.col("window_start") < F.lit("2024-02-01"))
+        .collect()
+    }
+    batch_df = spark.createDataFrame(rows.iloc[:5])
+    want = {
+        (r.user_id, str(r.window_start), r.n_events, r.total_value)
+        for r in session_windowed_agg(
+            batch_df, "ts", "30 minutes", ["user_id"],
+            {"n_events": F.count(F.lit(1)),
+             "total_value": F.round(F.sum("value"), 6)},
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 4  # two sessions per user
