@@ -102,6 +102,12 @@ def windowed_distinct_count(
     double-count — size the delay to the source's re-delivery bound,
     the same contract as every watermarked dedup here).
 
+    NULL keys follow SQL ``COUNT(DISTINCT ...)`` semantics on BOTH
+    paths: rows where any key column is NULL are not counted (the
+    streaming branch filters them explicitly — ``dropDuplicates``
+    would otherwise keep one (window, NULL) row and the plain count
+    would include it, silently breaking parity).
+
     Scale: dedup state is distinct-keys-per-live-window sized (never
     event-sized); the count is a two-phase aggregate on window keys.
     """
@@ -111,8 +117,12 @@ def windowed_distinct_count(
             raise ValueError(
                 "streaming windowed_distinct_count requires watermark_delay"
             )
+        no_null_keys = F.lit(True)
+        for k in key_cols:
+            no_null_keys = no_null_keys & F.col(k).isNotNull()
         deduped = (
             df.withWatermark(event_time, watermark_delay)
+            .where(no_null_keys)
             .select(win.alias("window"), *[F.col(k) for k in key_cols])
             .dropDuplicatesWithinWatermark(["window", *key_cols])
         )

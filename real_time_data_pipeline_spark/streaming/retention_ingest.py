@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from real_time_data_pipeline_spark.streaming.sinks import upsert_parquet
+from real_time_data_pipeline_spark.streaming.sinks import _swap_paths, upsert_parquet
 
 
 def _first_seen_path(state_root: str) -> str:
@@ -47,6 +47,24 @@ def _first_seen_path(state_root: str) -> str:
 
 def _activity_path(state_root: str) -> str:
     return os.path.join(state_root, "activity")
+
+
+def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Crash-recovering read of a swap-committed state table.
+
+    Runs the `_swap_paths` restore first (a commit that died between
+    the two swap renames leaves the committed table at ``__old__`` —
+    every reader of a swap-committed table must recover it, per the
+    sinks contract), then returns None ONLY when the table truly does
+    not exist. Real read failures PROPAGATE: swallowing one here and
+    treating it as "first batch" would let the last-writer-wins
+    upsert overwrite a stored earlier cohort_week with this batch's
+    later one — a silent, permanent cohort re-dating.
+    """
+    _, _, _, _, _, exists = _swap_paths(spark, path)
+    if not exists:
+        return None
+    return spark.read.parquet(path)
 
 
 def merge_retention_batch(batch_df: DataFrame, state_root: str) -> None:
@@ -62,10 +80,7 @@ def merge_retention_batch(batch_df: DataFrame, state_root: str) -> None:
     batch_first = batch_df.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
-    try:
-        stored = spark.read.parquet(fs_path)
-    except Exception:  # first batch: no state yet
-        stored = None
+    stored = _read_state(spark, fs_path)
     if stored is not None:
         # min-merge: the stored week participates as just another
         # candidate row; the per-key min is order-independent. Only
@@ -111,7 +126,14 @@ def retention_matrix(spark: SparkSession, state_root: str) -> DataFrame:
     """Cohort matrix from the state tables — same schema and values
     as the batch `event_retention_cohorts` query: (cohort_week,
     week_offset, n_users). Offsets are computed against the FINAL
-    first_seen table, so late cohort re-dating is always honored."""
+    first_seen table, so late cohort re-dating is always honored.
+
+    Both reads run the swap-commit crash recovery first: a sink that
+    died between the two commit renames leaves the committed table at
+    ``__old__``, and a reader skipping the restore would fail on a
+    path that is in fact fully committed."""
+    _swap_paths(spark, _first_seen_path(state_root))
+    _swap_paths(spark, _activity_path(state_root))
     first = spark.read.parquet(_first_seen_path(state_root))
     act = spark.read.parquet(_activity_path(state_root))
     return (

@@ -447,16 +447,41 @@ def test_exact_percentile_only_on_documented_bounds(spark, sf_dir):
     exact-percentile call site must enter the allowlist above with
     its bound stated — unbounded-cardinality columns silently OOM the
     aggregation buffer at 100 TB."""
-    offenders = {}
+    import inspect
+    import re as _re
+
+    def _src_uses_exact(fn) -> bool:
+        # Source-level detection complements the plan scan: a query
+        # that materializes eagerly during construction (kcore's
+        # median threshold feeds reliable_materialize) leaves no
+        # percentile in its RETURNED plan. F.percentile( never
+        # matches F.percentile_approx(; the F.expr form is matched
+        # inside the SQL string, so prose mentions in docstrings
+        # cannot false-positive.
+        try:
+            src = inspect.getsource(fn)
+        except OSError:  # pragma: no cover — source always on disk here
+            return False
+        return bool(
+            _re.search(r"F\.percentile\(", src)
+            or _re.search(r"""F\.expr\(\s*['"]percentile\(""", src)
+        )
+
+    exact_users = set()
     for name, spec in REGISTRY.items():
         plan = _plan(spec.fn(spark, sf_dir))
-        uses_exact = "percentile(" in plan.replace("percentile_approx(", "")
-        if uses_exact and name not in _BOUNDED_EXACT_PERCENTILES:
-            offenders[name] = "exact percentile without a documented bound"
+        if "percentile(" in plan.replace(
+            "percentile_approx(", ""
+        ) or _src_uses_exact(spec.fn):
+            exact_users.add(name)
+    offenders = exact_users - set(_BOUNDED_EXACT_PERCENTILES)
     assert not offenders, f"undocumented exact percentile: {offenders}"
-    # allowlist hygiene: every entry actually uses exact percentile
-    for name in _BOUNDED_EXACT_PERCENTILES:
-        assert name in REGISTRY, name
+    # allowlist hygiene: every entry actually still uses exact
+    # percentile — a query rewritten to approx must leave the list,
+    # or its documented bound goes stale and a later re-introduction
+    # of the exact form would be waved through unreviewed
+    stale = set(_BOUNDED_EXACT_PERCENTILES) - exact_users
+    assert not stale, f"stale exact-percentile allowlist entries: {stale}"
 
 
 def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):

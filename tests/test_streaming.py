@@ -1506,3 +1506,106 @@ def test_session_windows_on_rocksdb_provider(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 4  # two sessions per user
+
+
+def test_retention_state_readers_recover_mid_swap_crash(spark, tmp_path):
+    """A commit that died between the two swap renames leaves the
+    committed table at __old__. Both the matrix reader and the next
+    merge must restore it — a merge that skipped recovery would see
+    'no state' and let last-writer-wins permanently re-date the
+    cohort to this batch's later week."""
+    import os as _os
+
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.streaming import retention_ingest as ri
+
+    def batch(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return spark.createDataFrame(pdf)
+
+    root = str(tmp_path / "state")
+    ri.merge_retention_batch(batch([(1, "2024-01-02 09:00:00")]), root)
+    # simulate the crash window: committed table parked at __old__
+    fs_path = ri._first_seen_path(root)
+    _os.rename(fs_path, fs_path + "__old__")
+
+    # reader recovers and still sees the committed cohort
+    m = {tuple(r) for r in ri.retention_matrix(spark, root).collect()}
+    assert m == {("2024-01-01", 0, 1)}
+
+    # crash again, then merge a LATER event for the same user: the
+    # restored W1 cohort must win the min-merge
+    _os.rename(fs_path, fs_path + "__old__")
+    ri.merge_retention_batch(batch([(1, "2024-03-05 10:00:00")]), root)
+    m2 = {tuple(r) for r in ri.retention_matrix(spark, root).collect()}
+    assert ("2024-01-01", 0, 1) in m2          # cohort NOT re-dated
+    assert all(c == "2024-01-01" for c, _, _ in m2)
+
+
+def test_windowed_distinct_count_null_keys_match_sql_semantics(spark, tmp_path):
+    """NULL keys are not counted on either path (SQL COUNT DISTINCT
+    semantics) — the streaming dedup would otherwise keep one
+    (window, NULL) row and silently over-count vs the batch twin."""
+    import pandas as pd
+
+    from real_time_data_pipeline_spark.operators.windows import (
+        windowed_distinct_count,
+    )
+
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    rows = pd.DataFrame(
+        {
+            "user_id": pd.array([1, 2, None, 1], dtype="Int64"),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:01:00",
+                    "2024-01-01 10:02:00",
+                    "2024-01-01 10:03:00",
+                    "2024-01-01 10:04:00",
+                ]
+            ),
+        }
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    rows.to_parquet(os.path.join(d, "b0.parquet"), index=False)
+    # sentinel closes the 10:00 window
+    sent = pd.DataFrame(
+        {"user_id": pd.array([9], dtype="Int64"),
+         "ts": [pd.Timestamp("2024-06-01")]}
+    )
+    sent["ts"] = sent["ts"].astype("datetime64[us]")
+    sent.to_parquet(os.path.join(d, "b1.parquet"), index=False)
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    stream = file_stream(spark, d, schema, max_files_per_trigger=1)
+    dau = windowed_distinct_count(
+        stream, "ts", "15 minutes", ["user_id"],
+        out_col="n_users", watermark_delay="1 minute",
+    )
+    _run_stream_to_memory(dau, "dau_nulls", "append")
+    got = {
+        (str(r.window_start), r.n_users)
+        for r in spark.table("dau_nulls")
+        .where(F.col("window_start") < F.lit("2024-02-01"))
+        .collect()
+    }
+    assert got == {("2024-01-01 10:00:00", 2)}  # NULL row not counted
+    batch = windowed_distinct_count(
+        spark.createDataFrame(rows), "ts", "15 minutes", ["user_id"],
+        out_col="n_users",
+    )
+    assert {
+        (str(r.window_start), r.n_users) for r in batch.collect()
+    } == got
