@@ -27,6 +27,26 @@ from pyspark.sql.types import StructType
 from real_time_data_pipeline_spark.operators.normalize import decode_json_col
 
 
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector is on the JVM classpath.
+
+    pyspark does not bundle the Kafka connector (it ships as the
+    separate spark-sql-kafka-0-10 package), so in this sandbox a live
+    consume is structurally impossible for TWO reasons — no broker
+    can exist AND the source class is absent. This probe makes the
+    environment gate truthful and self-updating, exactly like
+    `sinks.delta_available`: the moment a deployment puts the
+    connector jar on the classpath, gated tests run the real path.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -123,3 +123,32 @@ def test_jdbc_derby_round_trip(spark, tmp_path):
         jdbc_reader(spark, url, "gold_t", "app", "app", driver=drv).load().count()
         == 200
     )
+
+
+def test_kafka_gate_reports_connector_absence_truthfully(spark):
+    """S2 closure, both halves (the delta_available pattern): when the
+    probe says the Kafka connector is absent, that claim must itself
+    be TRUE — the JVM really cannot load the source class, and an
+    actual load attempt fails with source-not-found (proving a live
+    consume is structurally impossible here: no broker AND no
+    connector jar). On a deployment with spark-sql-kafka on the
+    classpath the probe flips and the wire-contract tests drive the
+    real source."""
+    import pytest as _pytest
+
+    from real_time_data_pipeline_spark.streaming.sources import (
+        kafka_connector_available,
+        kafka_stream,
+    )
+
+    if kafka_connector_available(spark):
+        _pytest.skip("connector present — covered by the contract tests")
+    # half 1: the class truly is not loadable
+    with _pytest.raises(Exception):
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    # half 2: an actual source lookup fails as absent, not as
+    # misconfigured — the reader builds lazily, the load() resolves
+    with _pytest.raises(Exception, match="[Kk]afka"):
+        kafka_stream(spark, "broker:9092", "t").writeStream  # noqa: B018
