@@ -106,30 +106,35 @@ def windowed_distinct_count(
     paths: rows where any key column is NULL are not counted (the
     streaming branch filters them explicitly — ``dropDuplicates``
     would otherwise keep one (window, NULL) row and the plain count
-    would include it, silently breaking parity).
+    would include it, silently breaking parity). Rows with a NULL
+    ``event_time`` are likewise excluded on BOTH paths: they have no
+    window, the streaming watermark would never close their (NULL)
+    state, and the batch path would otherwise emit a
+    (null, null, n) row the streaming path can never produce.
 
     Scale: dedup state is distinct-keys-per-live-window sized (never
     event-sized); the count is a two-phase aggregate on window keys.
     """
     win = F.window(F.col(event_time), window_duration)
+    no_nulls = F.col(event_time).isNotNull()
+    for k in key_cols:
+        no_nulls = no_nulls & F.col(k).isNotNull()
     if df.isStreaming:
         if watermark_delay is None:
             raise ValueError(
                 "streaming windowed_distinct_count requires watermark_delay"
             )
-        no_null_keys = F.lit(True)
-        for k in key_cols:
-            no_null_keys = no_null_keys & F.col(k).isNotNull()
         deduped = (
             df.withWatermark(event_time, watermark_delay)
-            .where(no_null_keys)
+            .where(no_nulls)
             .select(win.alias("window"), *[F.col(k) for k in key_cols])
             .dropDuplicatesWithinWatermark(["window", *key_cols])
         )
         out = deduped.groupBy("window").agg(F.count(F.lit(1)).alias(out_col))
     else:
         out = (
-            df.select(win.alias("window"), *[F.col(k) for k in key_cols])
+            df.where(no_nulls)
+            .select(win.alias("window"), *[F.col(k) for k in key_cols])
             .groupBy("window")
             .agg(F.count_distinct(*[F.col(k) for k in key_cols]).alias(out_col))
         )

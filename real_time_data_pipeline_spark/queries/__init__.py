@@ -44,29 +44,18 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # green rows predate the edit, so they must re-enter the external
 # check window ahead of merely-stale greens. Maintained by hand at
 # edit time; cleared once the next round's gate re-confirms them.
-EDITED_THIS_ROUND = {
-    # r9: graph family shared artifacts (VERDICT r8 #2) — the 5-way
-    # nation fact join and the co-purchase edge/degree/orientation/
-    # triangle-corner builds are now session-shared artifacts
-    # consumed by every graph query
-    "graph_pagerank_trade",
-    "graph_recursive_reachability",
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    "graph_degree_distribution",
-    # (kcore/assortativity/two_hop also consume the artifacts, but
-    # they are tier-0 never-green already — listed for the record)
-    "graph_kcore_peeling",
-    "graph_degree_assortativity",
-    "graph_two_hop_reach",
-    # r9: measured candidate set is now the uncapped blocker the
-    # oracle enumerates (ADVICE r8)
-    "dedup_lsh_candidate_efficiency",
-    # r9: YoY lag expression computed once (VERDICT r8 #5)
-    "agg_yearly_revenue_growth",
-    # r9: per-doc novelty now reads the shared first-owner attribution
-    # artifact (also consumed by text_trigram_novelty_by_source)
+EDITED_THIS_ROUND: set = {
+    # r9 entries (graph family artifacts, lsh_candidate_efficiency,
+    # yearly_revenue_growth, text_ngram_novelty) cleared after
+    # CORRECTNESS_r09 confirmed all of them green.
+    # r10: the shared novelty first-owner build dropped its inner
+    # (orphaned) materialization (ADVICE r9) — both consumers re-enter
+    # the window
     "text_ngram_novelty",
+    "text_trigram_novelty_by_source",
+    # r10: two-hop sketch refactored through the callable
+    # two_hop_reach_sketch operator (same expressions, new code path)
+    "graph_two_hop_reach_sketch",
 }
 
 

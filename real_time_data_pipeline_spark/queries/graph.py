@@ -828,6 +828,47 @@ _TWO_HOP_SKETCH_ORACLE = """
 """
 
 
+def two_hop_reach_sketch(
+    edges: DataFrame, rsd: float = 0.05, include_exact: bool = False
+) -> DataFrame:
+    """Per-node two-hop reach with the distinct count SKETCHED
+    (HyperLogLog++ via approx_count_distinct) over a symmetric edge
+    frame (a, b).
+
+    PRODUCTION MODE IS ``include_exact=False`` (the default): the
+    sketch aggregates constant-size HLL buffers map-side BEFORE the
+    shuffle, so the Σdeg² hop-2 pair set is never materialized at an
+    exchange and hub nodes cost the same aggregation memory as
+    leaves. ``include_exact=True`` additionally computes the exact
+    ``count_distinct`` and the accuracy-contract boolean — which
+    re-introduces the exact-distinct shuffle the sketch exists to
+    avoid; it is for oracle/validation runs only (the registry query
+    below uses it because the external gate hash-checks exact
+    values).
+    """
+    e2 = edges.select(F.col("a").alias("mid"), F.col("b").alias("reach"))
+    two = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("mid"))
+        .join(e2, "mid")
+        .where(F.col("reach") != F.col("node"))
+        .select("node", "reach")
+        .union(edges.select(F.col("a").alias("node"), F.col("b").alias("reach")))
+    )
+    approx = F.approx_count_distinct("reach", rsd)
+    if not include_exact:
+        return two.groupBy(F.col("node").alias("nation")).agg(
+            approx.alias("n_2hop_sketch")
+        )
+    exact = F.count_distinct(F.col("reach"))
+    return two.groupBy(F.col("node").alias("nation")).agg(
+        exact.alias("n_2hop_exact"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double")) / exact
+            <= F.lit(3 * rsd)
+        ).alias("sketch_within_rsd"),
+    )
+
+
 @query("graph_two_hop_reach_sketch", oracle=_TWO_HOP_SKETCH_ORACLE)
 def q_graph_two_hop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop reach per node with the distinct count SKETCHED
@@ -843,23 +884,13 @@ def q_graph_two_hop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     |approx − exact| / exact ≤ 3×rsd. Spark's sketch is deterministic
     for a fixed input, so the boolean is stable — a drift past the
     bound flips it and the driver flags the mismatch.
+
+    PRODUCTION CALLERS DROP THE EXACT SIDE: this registry entry runs
+    `two_hop_reach_sketch(..., include_exact=True)` solely because
+    the gate hash-checks exact values — the exact column re-pays the
+    Σdeg² materialization. At scale call the operator with its
+    default ``include_exact=False``, whose plan contains no exact
+    distinct (asserted by the plan audit).
     """
     edges = _trade_edges_sym_shared(spark, sf_dir)
-    e2 = edges.select(F.col("a").alias("mid"), F.col("b").alias("reach"))
-    two = (
-        edges.select(F.col("a").alias("node"), F.col("b").alias("mid"))
-        .join(e2, "mid")
-        .where(F.col("reach") != F.col("node"))
-        .select("node", "reach")
-        .union(edges.select(F.col("a").alias("node"), F.col("b").alias("reach")))
-    )
-    rsd = 0.05
-    approx = F.approx_count_distinct("reach", rsd)
-    exact = F.count_distinct(F.col("reach"))
-    return two.groupBy(F.col("node").alias("nation")).agg(
-        exact.alias("n_2hop_exact"),
-        (
-            F.abs(approx.cast("double") - exact.cast("double")) / exact
-            <= F.lit(3 * rsd)
-        ).alias("sketch_within_rsd"),
-    )
+    return two_hop_reach_sketch(edges, rsd=0.05, include_exact=True)

@@ -1194,7 +1194,17 @@ def _novelty_attributed_shared(spark, sf_dir):
     min-aggregate + one join, memoized per corpus snapshot (r9);
     consumed by the per-doc novelty curve AND the per-source novelty
     rollup — two reports off one attribution index, the same shape as
-    the dedup-graph and k-means artifacts."""
+    the dedup-graph and k-means artifacts.
+
+    Footprint note (r10): unlike the other artifacts this one is
+    POSTINGS-sized — one row per distinct (doc, 3-gram), i.e. corpus
+    token scale, not dimension scale (see the footprint paragraph in
+    artifacts.py). The build deliberately does NOT materialize the
+    intermediate ``grams`` frame: it runs exactly once per snapshot
+    (the memo's outer reliable_materialize pins only the final joined
+    result), so the double-read of the shingle scan is a one-time
+    cost, whereas an inner materialization would pin a second
+    postings-sized block set that nothing ever reads again."""
     from real_time_data_pipeline_spark.queries.artifacts import _shared_artifact
     from real_time_data_pipeline_spark.operators.similarity import shingle_postings
 
@@ -1202,7 +1212,7 @@ def _novelty_attributed_shared(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         grams = shingle_postings(docs, "doc_id", "text", 3).withColumnRenamed(
             "shingle", "g"
-        ).transform(reliable_materialize)  # feeds the owner build AND the join back
+        )
         firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
         return grams.join(firsts, "g")
 

@@ -85,7 +85,11 @@ def read_buckets(spark: SparkSession, path: str, buckets: list[int]) -> DataFram
 
 def _touched_buckets(df: DataFrame) -> list[int]:
     """Distinct bucket values present in a (small) micro-batch-derived
-    frame — the collect is bounded by the batch's own key count."""
+    frame. COLLECT BOUND CONTRACT: at most min(batch key count,
+    N_BUCKETS) integers come back — the bucket column is a pmod into
+    a FIXED bucket count, so the driver-side list can never exceed
+    the configured bucket total no matter how large the batch. Do not
+    copy this pattern onto an unbounded (raw-key) column."""
     return [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
 
 

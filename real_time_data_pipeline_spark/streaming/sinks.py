@@ -132,8 +132,12 @@ def upsert_parquet(
     - **Partitioned** (``partition_cols``): only the partitions present
       in the micro-batch are read, merged, and dynamically overwritten
       — per-batch cost scales with the batch's partitions, not the
-      table. The distinct partition-value collect is bounded by the
-      micro-batch's own partition count.
+      table. COLLECT BOUND CONTRACT: the distinct partition-value
+      collect returns at most one row per partition the batch
+      touches; ``partition_cols`` must therefore be coarse-grained
+      (date/hour), never a raw key — a high-cardinality partition
+      column would make this collect (and the table layout itself)
+      unbounded.
     - ``order_col`` (e.g. an event-time column) makes "last writer"
       deterministic when one batch carries several rows per key; a
       full-row hash breaks any remaining tie, so a retried batch always
@@ -309,9 +313,12 @@ def cdc_upsert_parquet(
         )
         old = None
         if exists:
+            # COLLECT BOUND CONTRACT: ≤ min(batch keys, n_buckets)
+            # values — bucket_col is pmod into the FIXED n_buckets,
+            # so this can never grow past the configured bucket total
             touched = [
                 r[0] for r in batch.select(bucket_col).distinct().collect()
-            ]  # micro-batch-bounded
+            ]
             old = spark.read.parquet(path).where(F.col(bucket_col).isin(touched))
         result = _merge_event_time_wins(old, batch, keys, order_cols)
         # Commit: stage the merged touched buckets to a sibling dir,

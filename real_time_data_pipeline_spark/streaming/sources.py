@@ -37,10 +37,34 @@ def kafka_connector_available(spark: SparkSession) -> bool:
     environment gate truthful and self-updating, exactly like
     `sinks.delta_available`: the moment a deployment puts the
     connector jar on the classpath, gated tests run the real path.
+
+    Resolution goes through Spark's own source registry
+    (``DataSource.lookupDataSource``), not ``java.lang.Class.forName``:
+    forName from Py4J consults the gateway/system classloader, which
+    cannot see jars added at runtime (``spark.jars`` on a live JVM,
+    ``sparkContext.addJar``) — those land in Spark's mutable URL
+    classloader, so a forName probe would report "absent" on exactly
+    the deployments this gate exists to unlock. lookupDataSource uses
+    the same classloader ``format("kafka")`` resolves with, so the
+    probe answer and the real load agree by construction. The
+    ``Utils.classForName`` fallback (context-or-Spark classloader)
+    covers lookupDataSource signature drift across Spark versions.
     """
+    jvm = spark._jvm
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "kafka", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception as exc:
+        # Only a clean "failed to find the source" means absent; any
+        # other failure (API drift) falls through to the classloader
+        # probe so we never report absent on a reflection error.
+        if "kafka" in str(exc).lower() or "ClassNotFound" in str(exc):
+            return False
+    try:
+        jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider", False, False
         )
         return True
     except Exception:

@@ -143,10 +143,13 @@ def test_kafka_gate_reports_connector_absence_truthfully(spark):
 
     if kafka_connector_available(spark):
         _pytest.skip("connector present — covered by the contract tests")
-    # half 1: the class truly is not loadable
-    with _pytest.raises(Exception):
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    # half 1: Spark's OWN source registry cannot resolve "kafka" —
+    # probed through the session classloader (the one format("kafka")
+    # uses), not the Py4J gateway loader, so runtime-added jars would
+    # flip this assertion exactly when they flip the probe
+    with _pytest.raises(Exception, match="[Kk]afka|ClassNotFound"):
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "kafka", spark._jsparkSession.sessionState().conf()
         )
     # half 2: an actual source lookup fails as absent, not as
     # misconfigured — the reader builds lazily, the load() resolves

@@ -624,11 +624,21 @@ def test_shared_artifact_memo_evicts_foreign_app_ids(spark, sf_dir):
         clear_shared_artifacts,
     )
 
+    import os
+    import tempfile
+
+    # Simulate a dead app that HAD a reliable checkpoint dir: eviction
+    # must also best-effort remove its per-context rdd-* directory
+    # (ADVICE r9 — the ContextCleaner died with the app).
+    dead_dir = tempfile.mkdtemp(prefix="dead-app-ckpt-")
+    with open(os.path.join(dead_dir, "rdd-0"), "w") as f:
+        f.write("orphaned checkpoint block")
     stale_key = ("app-that-stopped-long-ago", sf_dir, "__stale_test")
-    _SHARED_ARTIFACTS[stale_key] = spark.range(1)
+    _SHARED_ARTIFACTS[stale_key] = (spark.range(1), dead_dir)
     df = _shared_artifact(spark, sf_dir, "__evict_test", lambda: spark.range(3))
     assert df.count() == 3
     assert stale_key not in _SHARED_ARTIFACTS  # foreign appId evicted
+    assert not os.path.exists(dead_dir)  # dead app's checkpoints deleted
     app = spark.sparkContext.applicationId
     assert (app, sf_dir, "__evict_test") in _SHARED_ARTIFACTS
     n_before = len(_SHARED_ARTIFACTS)

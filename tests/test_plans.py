@@ -554,3 +554,26 @@ def test_peak_concurrency_sweep_uses_pid_windows(spark, sf_dir):
     because the sweep is the query's entire point)."""
     plan = _plan(REGISTRY["window_peak_concurrency"].fn(spark, sf_dir))
     assert "_gr_pid" in plan
+
+
+def test_two_hop_sketch_production_mode_has_no_exact_distinct(spark, sf_dir):
+    """`two_hop_reach_sketch` default (include_exact=False) is the
+    power-law-safe production form: its plan aggregates HLL buffers
+    map-side and contains NO exact per-node distinct (no `count(...)
+    DISTINCT` / Expand over the Σdeg² hop-2 pair set). The registry
+    entry pays the exact side only for the oracle contract."""
+    from real_time_data_pipeline_spark.queries.graph import (
+        _trade_edges_sym_shared,
+        two_hop_reach_sketch,
+    )
+
+    edges = _trade_edges_sym_shared(spark, sf_dir)
+    sketch_only = two_hop_reach_sketch(edges)
+    plan = _plan(sketch_only)
+    assert "approx_count_distinct" in plan
+    assert "distinct" not in plan.replace("approx_count_distinct", "")
+    # partial aggregation (map-side HLL merge) before the exchange
+    assert plan.count("HashAggregate") >= 2
+    # and the sketch-only result covers every node the exact form does
+    exact = two_hop_reach_sketch(edges, include_exact=True)
+    assert sketch_only.count() == exact.count()

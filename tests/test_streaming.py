@@ -1547,7 +1547,11 @@ def test_retention_state_readers_recover_mid_swap_crash(spark, tmp_path):
 def test_windowed_distinct_count_null_keys_match_sql_semantics(spark, tmp_path):
     """NULL keys are not counted on either path (SQL COUNT DISTINCT
     semantics) — the streaming dedup would otherwise keep one
-    (window, NULL) row and silently over-count vs the batch twin."""
+    (window, NULL) row and silently over-count vs the batch twin.
+    NULL event TIMES are excluded on both paths too (ADVICE r9): the
+    batch path would otherwise emit a (null, null, n) row that the
+    streaming path can never produce (NULL-window state never
+    closes)."""
     import pandas as pd
 
     from real_time_data_pipeline_spark.operators.windows import (
@@ -1558,13 +1562,14 @@ def test_windowed_distinct_count_null_keys_match_sql_semantics(spark, tmp_path):
     os.makedirs(d)
     rows = pd.DataFrame(
         {
-            "user_id": pd.array([1, 2, None, 1], dtype="Int64"),
+            "user_id": pd.array([1, 2, None, 1, 5], dtype="Int64"),
             "ts": pd.to_datetime(
                 [
                     "2024-01-01 10:01:00",
                     "2024-01-01 10:02:00",
                     "2024-01-01 10:03:00",
                     "2024-01-01 10:04:00",
+                    None,  # NULL event time: dropped on both paths
                 ]
             ),
         }
