@@ -221,6 +221,82 @@ def containment_pairs(
     )
 
 
+def directional_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment: ordered (src, dst) pairs with
+    ``|src ∩ dst| / |src|`` ≥ threshold — "src's shingles are (almost)
+    all inside dst".
+
+    Strictly more informative than `containment_pairs`' min-denominator
+    form: min-containment says two docs overlap heavily but not WHICH
+    one is the subset, while the directional ratio names the contained
+    side — the curation decision ("drop src, it's a quote/wrapper
+    inside dst") needs the direction. A long doc wrapping a short one
+    scores ≥ threshold only in the short→long direction; two
+    near-identical docs score in both directions (both rows emitted).
+
+    Scale shape is identical to `jaccard_pairs`: one shuffle builds
+    the shingle inverted index, pairs expand only inside buckets
+    (docs meet solely on shared shingles — never all-pairs), ``max_df``
+    caps hot-shingle buckets to bound the O(df²) in-bucket expansion,
+    and each unordered candidate pair is scored once then emitted in
+    whichever directions clear the threshold (no doubled join work).
+
+    Output: (src_id, dst_id, containment) rounded 6, src ≠ dst.
+    """
+    sh = shingle_postings(df, id_col, text_col, n)
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    if max_df is not None:
+        buckets = buckets.where(F.size("ids") <= max_df)
+    from real_time_data_pipeline_spark.operators.materialize import persist_tracked
+
+    buckets = persist_tracked(buckets)  # feeds counts AND pair expansion
+    counts = (
+        buckets.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+                ),
+            )
+        ),
+        lambda s: s["id_a"] < s["id_b"],
+    )
+    inter = (
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    scored = inter.join(ca, "id_a").join(cb, "id_b")
+    a_in_b = scored.where(F.col("inter") / F.col("n_a") >= threshold).select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    )
+    b_in_a = scored.where(F.col("inter") / F.col("n_b") >= threshold).select(
+        F.col("id_b").alias("src_id"),
+        F.col("id_a").alias("dst_id"),
+        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return a_in_b.unionAll(b_in_a)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = MINHASH_NUM
 ) -> DataFrame:
@@ -1503,4 +1579,185 @@ def covariance_partials(
 
     return df.select(vec_col).mapInPandas(
         partials, schema="i int, j int, sxy double, n long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): per-subspace codebooks + ADC search
+# ---------------------------------------------------------------------------
+
+
+def _pq_subvectors(df: DataFrame, id_col: str, vec_col: str, m_sub: int, sub_dim: int) -> DataFrame:
+    """(id, m, s): the vector split into ``m_sub`` contiguous
+    ``sub_dim``-wide double subvectors (float32 inputs are cast to
+    double BEFORE any arithmetic, the cross-engine quantization rule)."""
+    arr = F.col(vec_col).cast("array<double>")
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(mi).alias("m"),
+                F.slice(arr, mi * sub_dim + 1, sub_dim).alias("s"),
+            )
+            for mi in range(m_sub)
+        ]
+    )
+    return df.select(F.col(id_col).alias("nid"), F.inline(pieces))
+
+
+def _pq_qd2(a: Column, b: Column, quant: int) -> Column:
+    """Quantized squared L2 distance between two double arrays: the
+    element fold runs left-to-right (same order as DuckDB's
+    list_sum-over-list_transform), then one floor-quantization makes
+    every downstream comparison and sum integer-exact."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(d2 * quant + F.lit(0.5)).cast("long")
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    stride: int = 63,
+    iters: int = 1,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic product-quantization codebooks: an independent
+    small k-means per SUBSPACE (every ``stride``-th vector's
+    subvector seeds subspace m's codebook; fixed Lloyd iterations).
+
+    PQ is the memory-side ANN index family (IVF prunes WHICH vectors
+    to score; PQ compresses HOW each vector is scored): a D-dim float
+    vector becomes ``m_sub`` one-byte-ish codes, so a 100 TB embedding
+    store's search structure fits a fraction of the space and distance
+    evaluation becomes table lookups (`pq_adc_topk`).
+
+    Every step follows the `kmeans_centroids` determinism recipe —
+    assignment by QUANTIZED squared L2 (min_by, ties to the lower
+    cent_id; integer comparison, no float-order sensitivity), centroid
+    update as an integer-quantized component mean (associative sums →
+    partial-aggregation-order independent) — so a SQL engine replays
+    the identical codebook. Empty codewords drop; per-subspace k may
+    shrink.
+
+    Scale: codebooks are tiny (m_sub·k rows) → every assignment pass
+    is a broadcast join collapsed map-side by min_by; the corpus
+    never shuffles during training. One (m, cent, pos)-keyed partial
+    aggregate of longs per iteration.
+
+    Output: (m, cent_id, cvec: array<double>).
+    """
+    subs = reliable_materialize(
+        _fan_out(_pq_subvectors(corpus, id_col, vec_col, m_sub, sub_dim), "nid")
+        .withColumn(
+            "qs",
+            F.transform(F.col("s"), lambda x: F.floor(x * quant + F.lit(0.5)).cast("long")),
+        )
+    )
+    cents = (
+        subs.where(F.col("nid") % stride == 0)
+        .select("m", F.col("nid").alias("cent_id"), F.col("s").alias("cvec"))
+    )
+    comp = F.col("ssum").cast("double") / (F.lit(float(quant)) * F.col("n").cast("double"))
+    for it in range(iters):
+        scored = subs.join(F.broadcast(cents), "m").select(
+            "nid", "m", "qs",
+            F.col("cent_id"),
+            _pq_qd2(F.col("s"), F.col("cvec"), quant).alias("qd2"),
+        )
+        best = F.min_by(F.col("cent_id"), F.struct(F.col("qd2"), F.col("cent_id")))
+        assign = scored.groupBy("nid", "m").agg(
+            best.alias("cent_id"), F.first("qs").alias("qs")
+        )
+        cents = (
+            assign.select("m", "cent_id", F.posexplode("qs").alias("pos", "q"))
+            .groupBy("m", "cent_id", "pos")
+            .agg(F.sum("q").alias("ssum"), F.count(F.lit(1)).alias("n"))
+            .select("m", "cent_id", "pos", comp.alias("comp"))
+            .groupBy("m", "cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                    lambda s: s["comp"],
+                ).alias("cvec")
+            )
+        )
+        if it == iters - 1:
+            cents = reliable_materialize(cents)
+    return cents
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    stride: int = 63,
+    iters: int = 1,
+    quant: int = 1_000_000,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ search with Asymmetric Distance Computation (ADC): encode
+    the corpus as per-subspace codes, precompute each query's distance
+    to every codeword, then score a candidate as the SUM OF TABLE
+    LOOKUPS — no full-dimension arithmetic per (query, vector) pair.
+
+    Plan at scale: the distance table is (queries × m_sub × k_codes)
+    — broadcast-sized for any bounded query batch — so the scoring
+    join touches each corpus CODE row (m_sub small ints per vector,
+    not the vector) once per query, map-side; the only shuffle is the
+    (query, neighbor)-keyed sum of m_sub quantized lookups (integer,
+    associative). Per-query top-k is a window over scored candidates.
+    Approximation error vs exact search is the per-subspace
+    quantization residual — measure it by diffing against
+    `ann_brute_topk` on the same queries, the same harness as the IVF
+    recall query.
+
+    Output: (query_id, neighbor_id, adc_dist, rk) — ascending
+    approximate distance, ties to the lower neighbor id, self
+    excluded.
+    """
+    from pyspark.sql import Window
+
+    cents = codebooks if codebooks is not None else pq_codebooks(
+        corpus, id_col, vec_col, m_sub, sub_dim, stride, iters, quant
+    )
+    corpus_subs = _fan_out(_pq_subvectors(corpus, id_col, vec_col, m_sub, sub_dim), "nid")
+    scored = corpus_subs.join(F.broadcast(cents), "m").select(
+        "nid", "m", "cent_id", _pq_qd2(F.col("s"), F.col("cvec"), quant).alias("qd2")
+    )
+    codes = scored.groupBy("nid", "m").agg(
+        F.min_by(F.col("cent_id"), F.struct(F.col("qd2"), F.col("cent_id"))).alias("code")
+    )
+    qsubs = _pq_subvectors(queries, id_col, vec_col, m_sub, sub_dim).select(
+        F.col("nid").alias("query_id"), "m", F.col("s").alias("qs")
+    )
+    dtab = qsubs.join(F.broadcast(cents), "m").select(
+        "query_id", "m", F.col("cent_id").alias("code"),
+        _pq_qd2(F.col("qs"), F.col("cvec"), quant).alias("qd2"),
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["m", "code"])
+        .where(F.col("nid") != F.col("query_id"))
+        .groupBy("query_id", F.col("nid").alias("neighbor_id"))
+        .agg(F.sum("qd2").alias("qadc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qadc"), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("qadc") / F.lit(float(quant)), 6).alias("adc_dist"),
+            "rk",
+        )
     )

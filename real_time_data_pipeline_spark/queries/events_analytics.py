@@ -1986,3 +1986,99 @@ def q_agg_value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(m2 > 0, F.col("m3") / F.pow(m2, 1.5)), 6).alias("skewness"),
         F.round(F.when(m2 > 0, F.col("m4") / (m2 * m2) - 3), 6).alias("ex_kurtosis"),
     )
+
+
+@query(
+    "event_cumulative_new_users",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT first_day, count(*) AS n_new FROM f GROUP BY 1
+    )
+    SELECT strftime(first_day, '%Y-%m-%d') AS day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY first_day) AS BIGINT) AS cum_users
+    FROM d
+    """,
+)
+def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve: per-day NEW users (first-ever event that
+    day) and the cumulative distinct-user total to date — the
+    "cumulative distinct" every growth dashboard draws, computed
+    WITHOUT a per-day distinct-to-date rescan.
+
+    The rewrite is the scale point: "distinct users as of day d" as
+    declared (count(DISTINCT user) per day over all history) rescans
+    the fact table per day; instead each user contributes exactly
+    once at their min-date (one user-keyed aggregate — the same
+    first-seen frame the retention cohort matrix builds), and the
+    running total is a prefix sum over the DAY-grain series. The
+    global window is calendar-bounded (one row per day — ~36.5k rows
+    even at a century), the allowlisted post-aggregate form; the
+    fact table is touched once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = first.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@query(
+    "event_hill_tail_index",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ), top AS (
+      SELECT n FROM c ORDER BY n DESC, user_id LIMIT 51
+    )
+    SELECT CAST(count(*) - 1 AS BIGINT) AS k,
+           CAST(min(n) AS BIGINT) AS xmin,
+           round(CASE WHEN sum(ln(n)) - count(*) * ln(min(n)) > 0
+                      THEN (count(*) - 1) * 1.0
+                           / (sum(ln(n)) - count(*) * ln(min(n)))
+                 END, 6) AS alpha_hill
+    FROM top
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index over per-user
+    activity counts — the standard "how heavy is the hub tail" number
+    that decides whether skew mitigation (salting, sketch twins) is
+    needed on a key. alpha ≈ 1-2 means an extreme tail (a few users
+    dominate); alpha > 3 behaves almost light-tailed.
+
+    Hill over the top k=50 order statistics:
+    alpha = k / Σ_{i≤k} ln(c_(i) / c_(k+1)), computed via the closed
+    form k / (Σ_{i≤k+1} ln c_(i) − (k+1)·ln c_(k+1)) so only the
+    top-(k+1) VALUE multiset matters — deterministic under count ties
+    regardless of which tied user enters the cutoff. Scale shape: one
+    user-keyed aggregate, then TakeOrderedAndProject (per-partition
+    51-row heaps, driver merge — no global sort), then a 51-row
+    aggregate. The ANSI guard returns NULL alpha when all top counts
+    tie (zero log-spread has no tail index).
+    """
+    from real_time_data_pipeline_spark.operators.topk import topk
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = topk(counts, [F.desc("n"), F.asc("user_id")], 51)
+    stats = top.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("n").alias("m"),
+        F.sum(F.log("n")).alias("s"),
+    )
+    denom = F.col("s") - F.col("cnt") * F.log("m")
+    return stats.select(
+        (F.col("cnt") - 1).cast("long").alias("k"),
+        F.col("m").cast("long").alias("xmin"),
+        F.round(
+            F.when(denom > 0, (F.col("cnt") - 1) / denom), 6
+        ).alias("alpha_hill"),
+    )

@@ -2556,3 +2556,50 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").alias("sum_monetary_cents"),
     )
+
+
+@query(
+    "join_bloom_pruned_fact_fact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_bloom_pruned_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join shaped for RUNTIME BLOOM-FILTER pruning: a
+    selective predicate on one big table (urgent orders, ~1/5 of
+    `orders`) joined to the biggest table (`lineitem`) on the shared
+    key, then a small grouped rollup.
+
+    This is THE 100 TB fact-fact shape: the filtered side is far too
+    large to broadcast, so without help the plan shuffles every
+    lineitem row only to discard ~80% at the join. Declared like
+    this — plain equi-join above eligible parquet scans, no
+    repartition/hint in the way — Catalyst's runtime bloom filter
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by
+    default) builds a bloom sketch of the filtered orders keys and
+    injects a `might_contain` pre-filter into the lineitem SCAN,
+    cutting the shuffled volume before the exchange. The plan audit
+    (tests/test_plans.py::test_bloom_registry_query_receives_filter)
+    proves the injection fires under cluster-scale thresholds; at toy
+    SF the same declaration simply broadcasts — both are the right
+    physical choice for their size, from one logical plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money(F.sum(rev)).alias("revenue"),
+        )
+    )

@@ -23,6 +23,7 @@ from real_time_data_pipeline_spark.operators.similarity import (
     ann_brute_topk,
     containment_pairs,
     cosine_neardup_pairs,
+    directional_containment_pairs,
     exact_dedup_groups,
     hyperplane_lsh_bucket,
     jaccard_pairs,
@@ -132,6 +133,49 @@ _CONTAINMENT_ORACLE = _SHINGLE_CTES + _CAPPED_SH + f"""
       JOIN counts cb ON p.id_b = cb.doc_id
     WHERE p.inter * 1.0 / least(ca.n, cb.n) >= {CONTAINMENT_THRESHOLD}
 """
+
+
+DIRECTIONAL_CONTAINMENT_THRESHOLD = 0.9
+
+_DIRECTIONAL_CONTAINMENT_ORACLE = _SHINGLE_CTES + _CAPPED_SH + f"""
+    , counts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.id_a, p.id_b, p.inter, ca.n AS n_a, cb.n AS n_b
+      FROM pairs p
+        JOIN counts ca ON p.id_a = ca.doc_id
+        JOIN counts cb ON p.id_b = cb.doc_id
+    )
+    SELECT id_a AS src_id, id_b AS dst_id,
+           round(inter * 1.0 / n_a, 6) AS containment
+    FROM scored WHERE inter * 1.0 / n_a >= {DIRECTIONAL_CONTAINMENT_THRESHOLD}
+    UNION ALL
+    SELECT id_b, id_a, round(inter * 1.0 / n_b, 6)
+    FROM scored WHERE inter * 1.0 / n_b >= {DIRECTIONAL_CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("dedup_directional_containment", oracle=_DIRECTIONAL_CONTAINMENT_ORACLE)
+def q_directional_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL containment near-dup pairs (|src ∩ dst| / |src| ≥
+    0.9): names WHICH side is the subset — the information the
+    min-denominator `dedup_containment_pairs` form discards, and the
+    one the curation decision needs ("drop src, it's quoted inside
+    dst"). A doc pair where one wraps the other appears once,
+    short→long; near-identical twins appear in both directions.
+    Same inverted-index + hot-shingle-cap scale shape as the Jaccard
+    path (docs meet only on shared shingles, never all-pairs); each
+    unordered pair is scored once, then emitted per qualifying
+    direction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return directional_containment_pairs(
+        docs, "doc_id", "text", n=3,
+        threshold=DIRECTIONAL_CONTAINMENT_THRESHOLD, max_df=JACCARD_MAX_DF,
+    )
 
 
 @query("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE)
@@ -3154,4 +3198,92 @@ def q_embed_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 6).alias("within_ms"),
         F.round(F.col("between_ms"), 6).alias("between_ms"),
         F.round(F.when(w > 0, F.col("between_ms") / w), 6).alias("separation"),
+    )
+
+
+_PQ_D2 = (
+    "CAST(floor(list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> (x[1]-x[2])*(x[1]-x[2]))) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+_PQ_ADC_ORACLE = f"""
+    WITH ms AS (SELECT unnest(range(0, 4)) AS m),
+    sub AS (
+      SELECT vec_id AS nid, m, (embedding::DOUBLE[])[m*16+1 : m*16+16] AS s
+      FROM embeddings, ms
+    ),
+    cents0 AS (SELECT m, nid AS cent_id, s AS cvec FROM sub WHERE nid % 63 = 0),
+    assign0 AS (
+      SELECT nid, m, s, cent_id FROM (
+        SELECT sub.nid, sub.m, sub.s, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY sub.nid, sub.m
+                 ORDER BY {_PQ_D2.format(a='sub.s', b='c.cvec')}, c.cent_id
+               ) AS rk
+        FROM sub JOIN cents0 c USING (m)
+      ) WHERE rk = 1
+    ),
+    cents1 AS (
+      SELECT m, cent_id, list(comp ORDER BY pos) AS cvec FROM (
+        SELECT m, cent_id, pos, sum(qd)::DOUBLE / (1000000.0 * count(*)) AS comp
+        FROM (SELECT m, cent_id,
+                     unnest(list_transform(s,
+                       x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))) AS qd,
+                     generate_subscripts(s, 1) AS pos
+              FROM assign0)
+        GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    codes AS (
+      SELECT nid, m, code FROM (
+        SELECT sub.nid, sub.m, c.cent_id AS code,
+               row_number() OVER (
+                 PARTITION BY sub.nid, sub.m
+                 ORDER BY {_PQ_D2.format(a='sub.s', b='c.cvec')}, c.cent_id
+               ) AS rk
+        FROM sub JOIN cents1 c USING (m)
+      ) WHERE rk = 1
+    ),
+    dtab AS (
+      SELECT sub.nid AS query_id, sub.m, c.cent_id AS code,
+             {_PQ_D2.format(a='sub.s', b='c.cvec')} AS qd2
+      FROM sub JOIN cents1 c USING (m) WHERE sub.nid < 10
+    ),
+    adc AS (
+      SELECT d.query_id, c.nid AS neighbor_id, CAST(sum(d.qd2) AS BIGINT) AS qadc
+      FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
+      WHERE c.nid <> d.query_id GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(qadc / 1000000.0, 6) AS adc_dist, rk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY qadc, neighbor_id) AS rk
+          FROM adc)
+    WHERE rk <= 5
+"""
+
+
+@query("embed_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace codebooks (4 × 16-dim,
+    stride-seeded, one deterministic Lloyd round) compress each vector
+    to 4 codes; search runs Asymmetric Distance Computation — the
+    query's distance to every codeword is precomputed once, then each
+    candidate costs 4 integer table-lookups instead of a 64-dim dot
+    product. The third index family next to brute force and IVF: IVF
+    prunes WHICH vectors are scored, PQ compresses HOW — at 100 TB
+    the two compose (IVF lists of PQ codes).
+
+    The oracle replays the identical codebook training, encoding, and
+    ADC ranking (quantized-integer distances end-to-end: assignment
+    and ranking compare BIGINTs, codeword means are integer-quantized
+    sums — no cross-engine float-ordering exposure). Same 10-query
+    batch as the brute/IVF queries, so PQ's approximation error is
+    visible by diffing against `embed_ann_brute_topk`.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding",
+        k=5, m_sub=4, sub_dim=16, stride=63, iters=1,
     )

@@ -378,6 +378,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "event_rate_anomaly_cusum": "running sum over hour-grain calendar-bounded frame",
     "event_hourly_autocorr": "lead over hour-grain calendar-bounded series",
     "agg_yearly_revenue_growth": "lag over year-grain calendar-bounded series",
+    "event_cumulative_new_users": "running sum over day-grain calendar-bounded series",
 }
 
 
@@ -577,3 +578,34 @@ def test_two_hop_sketch_production_mode_has_no_exact_distinct(spark, sf_dir):
     # and the sketch-only result covers every node the exact form does
     exact = two_hop_reach_sketch(edges, include_exact=True)
     assert sketch_only.count() == exact.count()
+
+
+def test_bloom_registry_query_receives_filter(spark, sf_dir):
+    """`join_bloom_pruned_fact_fact` is SHAPED to receive Catalyst's
+    runtime bloom filter: under cluster-scale thresholds (lowered
+    here, broadcast off — the sizes a 100 TB run actually has) the
+    injected might_contain pre-filter appears on the lineitem side.
+    At toy SF with default confs the same logical plan broadcasts —
+    also asserted, because both physical choices must come from this
+    one declaration."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        plan = _plan(REGISTRY["join_bloom_pruned_fact_fact"].fn(spark, sf_dir))
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # default session at toy SF: filtered orders side broadcasts
+    plan = _plan(REGISTRY["join_bloom_pruned_fact_fact"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
