@@ -195,6 +195,114 @@ def _retention_ingest_smoke(spark) -> str:
     return "oracle-match"
 
 
+def _countmin_ingest_smoke(spark) -> str:
+    """Incremental Count-Min heavy-hitters maintenance on the real
+    cluster (r10): the documents table is replayed as a 3-file stream
+    through the foreachBatch sketch merge across separate executor
+    JVMs, then the registry query's output frame is rebuilt with the
+    `cm_estimate` column taken from the MAINTAINED STATE instead of
+    the one-shot batch sketch — and that frame must still match the
+    batch query's DuckDB oracle exactly (Count-Min linearity: the
+    incremental cells equal the batch cells, so the probe estimates
+    are bit-identical).
+    """
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.countmin_ingest import (
+        countmin_ingest_sink,
+        heavy_hitters_estimate,
+    )
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+    from tests.oracle import assert_matches
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-countmin-")
+    replay, state, ck = f"{work}/replay", f"{work}/state", f"{work}/ck"
+    os.makedirs(replay)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    for i in range(3):
+        docs.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            os.path.join(replay, f"b{i}.parquet")
+        )
+    # each write.parquet target is a DIRECTORY — glob down into them,
+    # or the file source sees zero files (no recursiveFileLookup)
+    stream = file_stream(spark, f"{replay}/*", docs.schema, max_files_per_trigger=1)
+    q = countmin_ingest_sink(stream, state, ck)
+    q.processAllAvailable()
+    q.stop()
+    batch = REGISTRY["text_countmin_heavy_hitters"].fn(spark, SF_DIR)
+    probe = heavy_hitters_estimate(spark, state, batch.select("word"))
+    got = (
+        batch.drop("cm_estimate")
+        .join(probe, "word")
+        .select("word", "exact_count", "cm_estimate", "rk")
+    )
+    assert_matches(got, REGISTRY["text_countmin_heavy_hitters"].oracle, SF_DIR)
+    return "oracle-match (estimates from incrementally maintained state)"
+
+
+def _count_executors(spark) -> int:
+    return len(spark._jsc.sc().statusTracker().getExecutorInfos()) - 1
+
+
+def _artifact_loss_smoke(spark, workers: list, respawn) -> str:
+    """Executor-loss recovery of session-shared artifacts (VERDICT r9
+    #4): build a shared artifact (localCheckpoint blocks — this phase
+    runs BEFORE the session gets a reliable checkpoint dir, exactly
+    the deployment `clear_shared_artifacts` exists for), kill one
+    worker so its executor's blocks die, show a consumer of the
+    memoized artifact fails, then clear_shared_artifacts() → rerun →
+    the rebuild is oracle-checked green. Ends by respawning a worker
+    so later phases keep two executors.
+    """
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.queries.artifacts import (
+        clear_shared_artifacts,
+    )
+    from tests.oracle import assert_matches
+
+    spec = REGISTRY["graph_pagerank_trade"]
+    assert_matches(spec.fn(spark, SF_DIR), spec.oracle, SF_DIR)  # builds artifact
+    # Kill BOTH original workers (respawning a fresh one in between so
+    # the cluster always has capacity): the artifact's localCheckpoint
+    # blocks live on one of the two original executors — a single kill
+    # can miss it — but after both die the blocks are gone for
+    # certain, and the memoized frame's truncated lineage cannot
+    # recompute them.
+    consumer_failed_after = 0
+    for i, w in enumerate(workers, 1):
+        respawn()
+        deadline = time.time() + 90
+        while time.time() < deadline and _count_executors(spark) < 3:
+            time.sleep(1.0)
+        w.terminate()  # SIGTERM: worker shuts its executor down with it
+        w.wait(timeout=30)
+        deadline = time.time() + 60
+        while time.time() < deadline and _count_executors(spark) > 2:
+            time.sleep(1.0)
+        try:
+            spec.fn(spark, SF_DIR).count()
+        except Exception:
+            consumer_failed_after = i
+            break
+    clear_shared_artifacts()
+    assert_matches(spec.fn(spark, SF_DIR), spec.oracle, SF_DIR)  # rebuild
+    deadline = time.time() + 90
+    while time.time() < deadline and _count_executors(spark) < 2:
+        time.sleep(1.0)
+    return (
+        "post-loss rebuild oracle-match ("
+        + (
+            f"consumer failed after losing executor {consumer_failed_after} "
+            "as expected"
+            if consumer_failed_after
+            else "consumer UNEXPECTEDLY survived both losses"
+        )
+        + ")"
+    )
+
+
 def main() -> int:
     procs: list[subprocess.Popen] = []
     master_url = f"spark://127.0.0.1:{MASTER_PORT}"
@@ -228,7 +336,8 @@ def main() -> int:
             },
         )
         spark.sparkContext.setLogLevel("ERROR")
-        spark.sparkContext.setCheckpointDir(ckpt)  # shared FS on one box
+        # NOTE: the checkpoint dir is set AFTER the artifact-loss
+        # phase below — that phase must run on localCheckpoint blocks.
         # prove we really are on separate executor JVMs (registration
         # is async: workers connect, then executors launch and phone home)
         deadline = time.time() + 90
@@ -245,6 +354,36 @@ def main() -> int:
             print("FAIL: expected >=2 remote executors", flush=True)
             return 2
 
+        failures = 0
+        # Artifact executor-loss phase FIRST: it needs the session
+        # WITHOUT a reliable checkpoint dir (localCheckpoint blocks are
+        # what die with an executor). The checkpoint dir is set right
+        # after for every remaining phase.
+        t0 = time.perf_counter()
+
+        def _respawn_worker():
+            procs.append(
+                _spawn(
+                    "org.apache.spark.deploy.worker.Worker", master_url,
+                    "-c", "4", "-m", "4g", "--webui-port", "0",
+                )
+            )
+
+        try:
+            status = _artifact_loss_smoke(spark, procs[1:3], _respawn_worker)
+            print(
+                f"  artifact_executor_loss: {status} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — report, then fail
+            failures += 1
+            print(
+                f"  artifact_executor_loss: FAIL {str(exc).splitlines()[0][:200]}",
+                flush=True,
+            )
+        spark.sparkContext.setCheckpointDir(ckpt)  # shared FS on one box
+
         from real_time_data_pipeline_spark.queries import REGISTRY
         from real_time_data_pipeline_spark.operators.ranking import (
             release_rank_caches,
@@ -253,7 +392,6 @@ def main() -> int:
 
         names = os.environ.get("SPARK_GRAFT_SMOKE_QUERIES")
         names = names.split(",") if names else DEFAULT_QUERIES
-        failures = 0
         for name in names:
             spec = REGISTRY[name]
             t0 = time.perf_counter()
@@ -300,6 +438,20 @@ def main() -> int:
             failures += 1
             print(
                 f"  retention_ingest: FAIL {str(exc).splitlines()[0][:200]}",
+                flush=True,
+            )
+        t0 = time.perf_counter()
+        try:
+            status = _countmin_ingest_smoke(spark)
+            print(
+                f"  countmin_ingest: {status} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — report, then fail
+            failures += 1
+            print(
+                f"  countmin_ingest: FAIL {str(exc).splitlines()[0][:200]}",
                 flush=True,
             )
         spark.stop()
