@@ -2528,6 +2528,17 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window: three range shuffles over the
     customer-grain frame (dimension-sized, never fact-sized), then
     one ≤125-group aggregate. Monetary is exact integer cents.
+
+    A single-exchange variant is measured and pending adoption
+    (`scripts/rfm_single_exchange_experiment.py`): explode the three
+    metrics into one (metric_id, value) frame (dates as epoch days),
+    take ONE global row_number over (metric_id, value, custkey), and
+    the per-metric rank is rn − metric_id·n — bit-identical to this
+    form at sf0.01 and sf0.1 and ~2.3× faster at sf0.1 (3.02 s →
+    1.33 s median of 5). Adoption deferred one round: an
+    implementation edit would re-enter this query into the current
+    external-check window and displace the final slot of the r5
+    cohort rotation.
     """
     from real_time_data_pipeline_spark.operators.ranking import exact_ntile
 

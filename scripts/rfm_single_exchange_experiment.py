@@ -1,0 +1,127 @@
+"""VERDICT r9 #8 experiment: can agg_customer_rfm_segments share ONE
+range exchange across its three quintile passes?
+
+Variant: explode each customer into 3 (metric_id, value) rows (dates
+cast to epoch-day so all metrics share a long sort key), take ONE
+global row_number over (metric_id, value, custkey); within metric m
+the rank is rn - m*n, and the same closed-form ntile arithmetic gives
+the quintile. Pivot back with a groupBy(custkey).
+
+Checks bit-identity against the DuckDB oracle, then times both
+variants at sf0.1.
+"""
+import sys, time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_spark.session import get_spark
+from real_time_data_pipeline_spark.sources.tables import load_table
+from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
+from real_time_data_pipeline_spark.operators.ranking import (
+    global_row_number,
+    release_rank_caches,
+)
+from real_time_data_pipeline_spark.queries import REGISTRY
+
+
+def rfm_single_exchange(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = reliable_materialize(
+        orders.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+    )
+    exploded = c.select(
+        "o_custkey",
+        "monetary_cents",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("mid"),
+                    F.datediff("last_order", F.lit("1970-01-01")).cast("long").alias("v"),
+                ),
+                F.struct(F.lit(1).alias("mid"), F.col("n_orders").cast("long").alias("v")),
+                F.struct(F.lit(2).alias("mid"), F.col("monetary_cents").cast("long").alias("v")),
+            )
+        ).alias("m"),
+    ).select("o_custkey", "monetary_cents", "m.mid", "m.v")
+    ranked = global_row_number(
+        exploded, ["mid", "v", "o_custkey"], rn_col="_rn", total_col="_n3"
+    )
+    n = (F.col("_n3") / 3).cast("long")
+    rn = F.col("_rn") - F.col("mid") * n  # rank within the metric, 1..n
+    # closed-form ntile(5) — same arithmetic as operators/ranking.exact_ntile
+    B = 5
+    quot = F.expr(f"_mn div {B}")
+    rem = F.col("_mn") % B
+    head = rem * (quot + 1)
+    ranked = ranked.withColumn("_mn", n).withColumn("_mrn", rn)
+    bucket = (
+        F.when(quot == F.lit(0), F.col("_mrn"))
+        .when(
+            F.col("_mrn") <= head,
+            F.expr(f"(_mrn - 1) div ((_mn div {B}) + 1)") + F.lit(1),
+        )
+        .otherwise(
+            rem
+            + F.expr(
+                f"(_mrn - 1 - (_mn % {B}) * ((_mn div {B}) + 1)) div (_mn div {B})"
+            )
+            + F.lit(1)
+        )
+    )
+    q = (
+        ranked.withColumn("_b", bucket)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("mid") == 0, F.col("_b"))).alias("r_quintile"),
+            F.max(F.when(F.col("mid") == 1, F.col("_b"))).alias("f_quintile"),
+            F.max(F.when(F.col("mid") == 2, F.col("_b"))).alias("m_quintile"),
+            F.max("monetary_cents").alias("monetary_cents"),
+        )
+    )
+    return q.groupBy(
+        F.col("r_quintile").cast("long").alias("r_quintile"),
+        F.col("f_quintile").cast("long").alias("f_quintile"),
+        F.col("m_quintile").cast("long").alias("m_quintile"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("sum_monetary_cents"),
+    )
+
+
+def canon(df):
+    rows = sorted(tuple(r) for r in df.collect())
+    return rows
+
+
+def main():
+    spark = get_spark("rfm-experiment")
+    spec = REGISTRY["agg_customer_rfm_segments"]
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        a = canon(spec.fn(spark, sf)); release_rank_caches()
+        b = canon(rfm_single_exchange(spark, sf)); release_rank_caches()
+        print(sf, "bit-identical:", a == b, f"({len(a)} vs {len(b)} rows)")
+        if a != b:
+            print("  first diff:", next((x, y) for x, y in zip(a, b) if x != y))
+            return 1
+    sf = "/root/testdata/sf0.1"
+    for name, fn in [("current-3pass", spec.fn), ("single-exchange", rfm_single_exchange)]:
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn(spark, sf).collect()
+            release_rank_caches()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        print(f"{name}: median {ts[2]:.3f}s  runs {['%.3f' % t for t in ts]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

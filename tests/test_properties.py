@@ -531,3 +531,47 @@ def test_retention_min_merge_invariant_under_batch_order(events, cut, data, tmp_
     idx = list(range(len(rows)))
     shuffled = data.draw(st.permutations(idx))
     assert run(idx) == run(list(shuffled))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=40),
+        min_size=1, max_size=10,
+    ),
+    cut=st.integers(0, 9),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_countmin_merge_invariant_under_batch_split_and_order(
+    texts, cut, data, tmp_path_factory
+):
+    """The incremental Count-Min state must equal the one-shot batch
+    sketch cell-for-cell for ANY split of the corpus into
+    micro-batches and ANY arrival order — linearity means chunking can
+    never introduce drift, including batches that contribute nothing
+    (empty / whitespace-only docs)."""
+    from real_time_data_pipeline_spark.streaming.countmin_ingest import (
+        merge_countmin_batch,
+        read_sketch,
+        sketch_increments,
+    )
+
+    docs = _spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def run(order):
+        # subpath: the state table must NOT pre-exist as an empty dir
+        root = str(tmp_path_factory.mktemp("cm")) + "/state"
+        k = max(1, min(cut, len(order) - 1)) if len(order) > 1 else 1
+        parts = [order[:k], order[k:]] if order[k:] else [order]
+        for bid, idx in enumerate(parts):
+            batch = docs.where(F.col("doc_id").isin([int(i) for i in idx]))
+            merge_countmin_batch(batch, root, batch_id=bid)
+        return {tuple(r) for r in read_sketch(_spark, root).collect()}
+
+    idx = list(range(len(texts)))
+    want = {tuple(r) for r in sketch_increments(docs).collect()}
+    shuffled = data.draw(st.permutations(idx))
+    assert run(idx) == want
+    assert run(list(shuffled)) == want

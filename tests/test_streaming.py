@@ -1705,3 +1705,118 @@ def test_countmin_ingest_sink_end_to_end(spark, tmp_path):
     want = {tuple(r) for r in sketch_increments(docs).collect()}
     assert got == want and len(got) > 0
 
+
+def test_bloom_ingest_parity_retry_and_probe(spark, tmp_path):
+    """Streaming Bloom-filter twin: the bit array is the OR of
+    per-document bit sets, so replaying the benchmark docs in ANY
+    chunking must leave the state table SET-identical to the one-shot
+    batch build; a retried batch_id is a recorded no-op; and the
+    candidate-side contamination summary computed against the
+    maintained filter must reproduce the batch registry query's row
+    exactly."""
+    from real_time_data_pipeline_spark.operators.text import word_shingles
+    from real_time_data_pipeline_spark.queries.registry import REGISTRY
+    from real_time_data_pipeline_spark.streaming.bloom_ingest import (
+        bloom_bit_increments,
+        bloom_maybe_filter,
+        merge_bloom_batch,
+        read_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") < 20).select("doc_id", "text")
+    chunks = [bench.where(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+
+    state = str(tmp_path / "bloom_state")
+    for i, ch in enumerate(chunks):
+        assert merge_bloom_batch(ch, state, batch_id=i) is True
+    got = {r.pos for r in read_bloom(spark, state).collect()}
+    want = {r.pos for r in bloom_bit_increments(bench).collect()}
+    assert got == want and len(got) > 0
+
+    # retry of an already-merged batch_id: recorded no-op
+    assert merge_bloom_batch(chunks[1], state, batch_id=1) is False
+    assert {r.pos for r in read_bloom(spark, state).collect()} == want
+
+    # different chunk ORDER converges to the same bit set
+    state2 = str(tmp_path / "bloom_state2")
+    for i, ch in enumerate(reversed(chunks)):
+        merge_bloom_batch(ch, state2, batch_id=i)
+    assert {r.pos for r in read_bloom(spark, state2).collect()} == want
+
+    # probe parity: rebuild the registry summary, bloom_maybe decided
+    # by the MAINTAINED filter instead of the one-shot batch bits
+    grams = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
+        .distinct()
+    )
+    cand = grams.where(F.col("doc_id") >= 20).select("g").distinct()
+    truth = (
+        grams.where(F.col("doc_id") < 20).select("g").distinct()
+        .withColumn("true_hit", F.lit(True))
+    )
+    maybe = bloom_maybe_filter(spark, state, cand).withColumn(
+        "bloom_maybe", F.lit(True)
+    )
+    t, h = F.col("bloom_maybe"), F.col("true_hit")
+    got_row = (
+        cand.join(F.broadcast(maybe), "g", "left")
+        .join(F.broadcast(truth), "g", "left")
+        .select(
+            F.coalesce("bloom_maybe", F.lit(False)).alias("bloom_maybe"),
+            F.coalesce("true_hit", F.lit(False)).alias("true_hit"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_grams"),
+            F.sum(t.cast("long")).alias("n_bloom_maybe"),
+            F.sum(h.cast("long")).alias("n_true_hits"),
+            F.sum((t & ~h).cast("long")).alias("n_false_positives"),
+            F.sum((h & ~t).cast("long")).alias("n_false_negatives"),
+        )
+        .first()
+    )
+    want_row = REGISTRY["contamination_bloom_prefilter"].fn(spark, sf).first()
+    assert tuple(got_row) == tuple(want_row)
+
+
+def test_bloom_ingest_sink_end_to_end(spark, tmp_path):
+    """The foreachBatch sink drains a benchmark-docs file-replay and
+    leaves the same bit set as the direct merges."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from real_time_data_pipeline_spark.streaming.bloom_ingest import (
+        bloom_bit_increments,
+        bloom_ingest_sink,
+        read_bloom,
+    )
+
+    bench = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+    )
+    d = str(tmp_path / "bench_drops")
+    _os.makedirs(d)
+    for i in range(2):
+        bench.where(F.pmod("doc_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            _os.path.join(d, f"drop{i}")
+        )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(d, "*"))
+    )
+    state = str(tmp_path / "bloom_sink_state")
+    q = bloom_ingest_sink(stream, state, str(tmp_path / "bloom_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = {r.pos for r in read_bloom(spark, state).collect()}
+    want = {r.pos for r in bloom_bit_increments(bench).collect()}
+    assert got == want and len(got) > 0
