@@ -1652,6 +1652,26 @@ def pq_codebooks(
 
     Output: (m, cent_id, cvec: array<double>).
     """
+    return _pq_train(
+        corpus, id_col, vec_col, m_sub, sub_dim, stride, iters, quant
+    )[0]
+
+
+def _pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    sub_dim: int,
+    stride: int,
+    iters: int,
+    quant: int,
+) -> "tuple[DataFrame, DataFrame]":
+    """(codebooks, materialized subvector frame) — the frame is
+    returned so the encode pass (`pq_adc_topk`) reuses the SAME
+    corpus × m_sub explode the training pass already paid for and
+    materialized, instead of rebuilding it from a second corpus
+    scan."""
     subs = reliable_materialize(
         _fan_out(_pq_subvectors(corpus, id_col, vec_col, m_sub, sub_dim), "nid")
         .withColumn(
@@ -1689,7 +1709,7 @@ def pq_codebooks(
         )
         if it == iters - 1:
             cents = reliable_materialize(cents)
-    return cents
+    return cents, subs
 
 
 def pq_adc_topk(
@@ -1727,10 +1747,19 @@ def pq_adc_topk(
     """
     from pyspark.sql import Window
 
-    cents = codebooks if codebooks is not None else pq_codebooks(
-        corpus, id_col, vec_col, m_sub, sub_dim, stride, iters, quant
-    )
-    corpus_subs = _fan_out(_pq_subvectors(corpus, id_col, vec_col, m_sub, sub_dim), "nid")
+    if codebooks is not None:
+        cents = codebooks
+        corpus_subs = _fan_out(
+            _pq_subvectors(corpus, id_col, vec_col, m_sub, sub_dim), "nid"
+        )
+    else:
+        # training already exploded + materialized the corpus
+        # subvectors — the encode pass reuses that frame, so the
+        # corpus × m_sub fan-out (the query's dominant scan) is paid
+        # once, not twice
+        cents, corpus_subs = _pq_train(
+            corpus, id_col, vec_col, m_sub, sub_dim, stride, iters, quant
+        )
     scored = corpus_subs.join(F.broadcast(cents), "m").select(
         "nid", "m", "cent_id", _pq_qd2(F.col("s"), F.col("cvec"), quant).alias("qd2")
     )

@@ -56,6 +56,12 @@ EDITED_THIS_ROUND: set = {
     # r10: two-hop sketch refactored through the callable
     # two_hop_reach_sketch operator (same expressions, new code path)
     "graph_two_hop_reach_sketch",
+    # r10 review fixes: NULL-ts exclusion (both engines) in the
+    # growth curve; PQ encode pass reuses the codebook-training
+    # subvector materialization (already in the window as
+    # never-green; listed for bookkeeping)
+    "event_cumulative_new_users",
+    "embed_pq_adc_topk",
 }
 
 

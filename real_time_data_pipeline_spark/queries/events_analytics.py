@@ -1993,7 +1993,7 @@ def q_agg_value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH f AS (
       SELECT user_id, min(CAST(ts AS DATE)) AS first_day
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ), d AS (
       SELECT first_day, count(*) AS n_new FROM f GROUP BY 1
     )
@@ -2018,8 +2018,14 @@ def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window is calendar-bounded (one row per day — ~36.5k rows
     even at a century), the allowlisted post-aggregate form; the
     fact table is touched once.
+
+    NULL-timestamp events are excluded on BOTH engines: a user whose
+    every event has a NULL ts has no first day, and leaving the NULL
+    group in would diverge anyway (Spark's window ORDER BY sorts
+    NULLs first, DuckDB's sorts them last — the running sum would
+    disagree on every row the moment a NULL day exists).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
     daily = first.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
     w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)

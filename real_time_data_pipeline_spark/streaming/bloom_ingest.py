@@ -15,11 +15,14 @@ is also idempotent (a set union), so the exactly-once batch_id marker
 is not needed for correctness — it is kept anyway so the state table
 carries its own progress watermark and the twins share one contract.
 
-State: ONE parquet table of lit positions — at most BLOOM_BITS rows
-(16384 here; a few hundred MB of positions in a production-sized
-filter), regardless of benchmark corpus size — plus a marker row
-encoding the last merged batch_id as ``pos = -(batch_id + 1)``
-(positions are non-negative, so the sign carries the marker). Marker
+State: ONE parquet table of (pos, bid) rows — at most BLOOM_BITS
+cells (16384 here; a few hundred MB of positions in a
+production-sized filter), regardless of benchmark corpus size — plus
+a single marker row at the FIXED key ``pos = -1`` whose ``bid``
+column carries the last merged batch_id. The marker key must be
+fixed: the keyed upsert retains old keys absent from the new frame,
+so a per-batch marker key would leave one dead row per micro-batch
+behind (same reason the Count-Min twin pins salt_id = -1). Marker
 and cells commit in one staged-rename swap (`upsert_parquet`), and
 readers run the mid-swap crash recovery via `_read_state`.
 
@@ -70,6 +73,9 @@ def bloom_bit_increments(
     return out.distinct()
 
 
+_META_POS = -1  # fixed pos of the single last-batch-id marker row
+
+
 def merge_bloom_batch(
     batch_df: DataFrame,
     state_path: str,
@@ -85,15 +91,20 @@ def merge_bloom_batch(
     stored = _read_state(spark, state_path)
     cells = None
     if stored is not None:
-        marker = stored.agg(F.min("pos").alias("m")).first()["m"]
-        last = (-marker - 1) if marker is not None and marker < 0 else None
-        if last is not None and batch_id <= last:
+        marker = (
+            stored.where(F.col("pos") == _META_POS)
+            .agg(F.max("bid").alias("last"))
+            .first()["last"]
+        )
+        if marker is not None and batch_id <= marker:
             return False
-        cells = stored.where(F.col("pos") >= 0)
+        cells = stored.where(F.col("pos") >= 0).select("pos")
     inc = bloom_bit_increments(batch_df, text_col, shingle_n)
     merged = inc if cells is None else cells.unionByName(inc).distinct()
-    meta = spark.createDataFrame([(-(batch_id + 1),)], "pos bigint")
-    out = merged.select(F.col("pos").cast("bigint")).unionByName(meta)
+    meta = spark.createDataFrame([(_META_POS, batch_id)], "pos bigint, bid bigint")
+    out = merged.select(
+        F.col("pos").cast("bigint"), F.lit(0).cast("bigint").alias("bid")
+    ).unionByName(meta)
     upsert_parquet(out, state_path, keys=["pos"])
     return True
 
@@ -104,7 +115,7 @@ def read_bloom(spark: SparkSession, state_path: str) -> DataFrame:
     stored = _read_state(spark, state_path)
     if stored is None:
         raise FileNotFoundError(f"no Bloom state at {state_path}")
-    return stored.where(F.col("pos") >= 0)
+    return stored.where(F.col("pos") >= 0).select("pos")
 
 
 def bloom_maybe_filter(

@@ -126,7 +126,14 @@ def heavy_hitters_estimate(
     """CM estimate per probe word from the maintained state:
     min over the depth rows of the probed cells — the identical
     probe arithmetic as the batch query. ``probe_words`` is a
-    (word) frame (bounded: the candidate set, not the vocabulary)."""
+    (word) frame (bounded: the candidate set, not the vocabulary).
+
+    A probed cell ABSENT from the state counts as 0 (left join +
+    coalesce): a sparse early-stream sketch has unpopulated cells,
+    and the Count-Min estimate of a never-seen word is 0, not the
+    min over whichever of its cells happen to exist — an inner join
+    here would overestimate partially-present words and silently
+    drop fully-absent ones."""
     sketch = read_sketch(spark, state_path)
     probe = None
     for i, s in enumerate(CM_SALTS):
@@ -137,9 +144,9 @@ def heavy_hitters_estimate(
         )
         probe = p if probe is None else probe.unionAll(p)
     return (
-        probe.join(F.broadcast(sketch), ["salt_id", "bucket"])
+        probe.join(F.broadcast(sketch), ["salt_id", "bucket"], "left")
         .groupBy("word")
-        .agg(F.min("bc").cast("long").alias("cm_estimate"))
+        .agg(F.min(F.coalesce("bc", F.lit(0))).cast("long").alias("cm_estimate"))
     )
 
 

@@ -246,6 +246,15 @@ def _count_executors(spark) -> int:
     return len(spark._jsc.sc().statusTracker().getExecutorInfos()) - 1
 
 
+def _executor_addrs(spark) -> set:
+    """Block-manager host:port of every registered executor (plus the
+    driver, whose entry is constant across the phase)."""
+    return {
+        f"{e.host()}:{e.port()}"
+        for e in spark._jsc.sc().statusTracker().getExecutorInfos()
+    }
+
+
 def _artifact_loss_smoke(spark, workers: list, respawn) -> str:
     """Executor-loss recovery of session-shared artifacts (VERDICT r9
     #4): build a shared artifact (localCheckpoint blocks — this phase
@@ -272,14 +281,23 @@ def _artifact_loss_smoke(spark, workers: list, respawn) -> str:
     # recompute them.
     consumer_failed_after = 0
     for i, w in enumerate(workers, 1):
+        # spark.cores.max is fully allocated by the two original
+        # workers, so the standby spawned here gets an executor only
+        # AFTER the kill frees cores — track executor ADDRESS SETS,
+        # not counts: first confirm the kill actually removed one of
+        # the pre-kill executors, then confirm a replacement (an
+        # address not seen before the kill) registered on the freed
+        # cores, so the probe runs after a CONFIRMED loss and the
+        # post-clear rebuild has two executors.
+        before = _executor_addrs(spark)
         respawn()
-        deadline = time.time() + 90
-        while time.time() < deadline and _count_executors(spark) < 3:
-            time.sleep(1.0)
         w.terminate()  # SIGTERM: worker shuts its executor down with it
         w.wait(timeout=30)
         deadline = time.time() + 60
-        while time.time() < deadline and _count_executors(spark) > 2:
+        while time.time() < deadline and not (before - _executor_addrs(spark)):
+            time.sleep(1.0)
+        deadline = time.time() + 90
+        while time.time() < deadline and not (_executor_addrs(spark) - before):
             time.sleep(1.0)
         try:
             spec.fn(spark, SF_DIR).count()

@@ -1739,6 +1739,16 @@ def test_bloom_ingest_parity_retry_and_probe(spark, tmp_path):
     assert merge_bloom_batch(chunks[1], state, batch_id=1) is False
     assert {r.pos for r in read_bloom(spark, state).collect()} == want
 
+    # EXACTLY one marker row survives the batch sequence: the fixed
+    # marker key must be replaced, never accumulated (the keyed
+    # upsert retains old keys absent from the new frame, so a
+    # per-batch marker key would leak one dead row per micro-batch)
+    from real_time_data_pipeline_spark.streaming.retention_ingest import (
+        _read_state,
+    )
+
+    assert _read_state(spark, state).where(F.col("pos") < 0).count() == 1
+
     # different chunk ORDER converges to the same bit set
     state2 = str(tmp_path / "bloom_state2")
     for i, ch in enumerate(reversed(chunks)):
@@ -1820,3 +1830,32 @@ def test_bloom_ingest_sink_end_to_end(spark, tmp_path):
     got = {r.pos for r in read_bloom(spark, state).collect()}
     want = {r.pos for r in bloom_bit_increments(bench).collect()}
     assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_estimate_counts_missing_cells_as_zero(spark, tmp_path):
+    """A sparse early-stream sketch has unpopulated cells; probing a
+    never-seen word must return cm_estimate=0 (its cells are absent,
+    and an absent cell counts as 0 — an inner join would overestimate
+    or drop the word entirely). All hashes are deterministic salted
+    md5, so this assertion is stable across runs."""
+    from real_time_data_pipeline_spark.streaming.countmin_ingest import (
+        heavy_hitters_estimate,
+        merge_countmin_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha beta")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "cm_sparse")
+    merge_countmin_batch(docs, state, batch_id=0)
+    probe = spark.createDataFrame(
+        [("alpha",), ("never_seen_zzzz",)], "word string"
+    )
+    got = {
+        r.word: r.cm_estimate
+        for r in heavy_hitters_estimate(spark, state, probe).collect()
+    }
+    assert set(got) == {"alpha", "never_seen_zzzz"}  # nothing dropped
+    assert got["alpha"] == 2
+    assert got["never_seen_zzzz"] == 0
+
