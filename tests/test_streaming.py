@@ -1859,3 +1859,101 @@ def test_heavy_hitters_estimate_counts_missing_cells_as_zero(spark, tmp_path):
     assert got["alpha"] == 2
     assert got["never_seen_zzzz"] == 0
 
+
+def test_hll_ingest_parity_retry_overlap_and_estimate(spark, tmp_path):
+    """Streaming HyperLogLog twin: register max-merge is associative,
+    commutative AND idempotent, so any chunking — and an OVERLAPPING
+    redelivery of the whole corpus — must leave the register table
+    cell-identical to the one-shot batch build; the estimate from the
+    maintained state equals the batch estimate; and both sit within
+    the published ~1.04/sqrt(m) error of the exact distinct count.
+    All hashes are deterministic salted md5, so every assertion is
+    stable across runs."""
+    from real_time_data_pipeline_spark.operators.text import words
+    from real_time_data_pipeline_spark.streaming.hll_ingest import (
+        hll_estimate,
+        hll_estimate_of,
+        hll_register_increments,
+        merge_hll_batch,
+        read_registers,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    chunks = [docs.where(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+
+    state = str(tmp_path / "hll_state")
+    for i, ch in enumerate(chunks):
+        assert merge_hll_batch(ch, state, batch_id=i) is True
+    want = {tuple(r) for r in hll_register_increments(docs).collect()}
+    got = {tuple(r) for r in read_registers(spark, state).collect()}
+    assert got == want and len(got) > 0
+
+    # retry of an already-merged batch_id: recorded no-op
+    assert merge_hll_batch(chunks[1], state, batch_id=1) is False
+    assert {tuple(r) for r in read_registers(spark, state).collect()} == want
+
+    # OVERLAPPING redelivery (a fresh batch_id re-shipping the whole
+    # corpus): max-merge absorbs it, state cell-identical
+    assert merge_hll_batch(docs, state, batch_id=9) is True
+    assert {tuple(r) for r in read_registers(spark, state).collect()} == want
+
+    # EXACTLY one marker row ever exists (fixed key, replaced not
+    # accumulated — the Bloom-twin lesson)
+    from real_time_data_pipeline_spark.streaming.retention_ingest import (
+        _read_state,
+    )
+
+    assert _read_state(spark, state).where(F.col("reg") < 0).count() == 1
+
+    # estimate parity + accuracy: state estimate == batch estimate,
+    # and within 5% (~3 sigma at m=4096) of the exact distinct count
+    est = hll_estimate(spark, state)
+    batch_est = hll_estimate_of(hll_register_increments(docs))
+    assert est == batch_est
+    exact = docs.select(F.explode(words("text")).alias("w")).distinct().count()
+    assert abs(est - exact) / exact < 0.05
+
+    # different chunk ORDER converges to the same cells
+    state2 = str(tmp_path / "hll_state2")
+    for i, ch in enumerate(reversed(chunks)):
+        merge_hll_batch(ch, state2, batch_id=i)
+    assert {tuple(r) for r in read_registers(spark, state2).collect()} == want
+
+
+def test_hll_ingest_sink_end_to_end(spark, tmp_path):
+    """The foreachBatch sink drains a documents file-replay and leaves
+    the same register table as the one-shot batch build."""
+    import os as _os
+
+    from real_time_data_pipeline_spark.streaming.hll_ingest import (
+        hll_ingest_sink,
+        hll_register_increments,
+        read_registers,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "doc_drops")
+    _os.makedirs(d)
+    for i in range(2):
+        docs.where(F.pmod("doc_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            _os.path.join(d, f"drop{i}")
+        )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(d, "*"))
+    )
+    state = str(tmp_path / "hll_sink_state")
+    q = hll_ingest_sink(stream, state, str(tmp_path / "hll_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in read_registers(spark, state).collect()}
+    want = {tuple(r) for r in hll_register_increments(docs).collect()}
+    assert got == want and len(got) > 0
