@@ -242,6 +242,53 @@ def _countmin_ingest_smoke(spark) -> str:
     return "oracle-match (estimates from incrementally maintained state)"
 
 
+def _hll_ingest_smoke(spark) -> str:
+    """Incremental HyperLogLog cardinality maintenance on the real
+    cluster (r10): the documents table is replayed as a 3-file stream
+    through the foreachBatch register max-merge across separate
+    executor JVMs; the maintained register table must be
+    cell-identical to the one-shot batch build (max-merge is
+    idempotent and order-free), and the derived estimate must equal
+    the batch estimate and sit within the published ~1.04/sqrt(m)
+    error of the exact distinct word count."""
+    from real_time_data_pipeline_spark.operators.text import words
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.hll_ingest import (
+        hll_estimate,
+        hll_estimate_of,
+        hll_ingest_sink,
+        hll_register_increments,
+        read_registers,
+    )
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-hll-")
+    replay, state, ck = f"{work}/replay", f"{work}/state", f"{work}/ck"
+    os.makedirs(replay)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    for i in range(3):
+        docs.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            os.path.join(replay, f"b{i}.parquet")
+        )
+    stream = file_stream(spark, f"{replay}/*", docs.schema, max_files_per_trigger=1)
+    q = hll_ingest_sink(stream, state, ck)
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in read_registers(spark, state).collect()}
+    want = {tuple(r) for r in hll_register_increments(docs).collect()}
+    assert got == want and len(got) > 0, "register table != batch build"
+    est = hll_estimate(spark, state)
+    assert est == hll_estimate_of(hll_register_increments(docs))
+    exact = docs.select(F.explode(words("text")).alias("w")).distinct().count()
+    assert abs(est - exact) / exact < 0.05, f"estimate {est} vs exact {exact}"
+    return (
+        f"register-parity + estimate {est:.0f} vs exact {exact} "
+        f"({abs(est - exact) / exact:.1%} err)"
+    )
+
+
 def _count_executors(spark) -> int:
     return len(spark._jsc.sc().statusTracker().getExecutorInfos()) - 1
 
@@ -470,6 +517,20 @@ def main() -> int:
             failures += 1
             print(
                 f"  countmin_ingest: FAIL {str(exc).splitlines()[0][:200]}",
+                flush=True,
+            )
+        t0 = time.perf_counter()
+        try:
+            status = _hll_ingest_smoke(spark)
+            print(
+                f"  hll_ingest: {status} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — report, then fail
+            failures += 1
+            print(
+                f"  hll_ingest: FAIL {str(exc).splitlines()[0][:200]}",
                 flush=True,
             )
         spark.stop()

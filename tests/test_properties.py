@@ -575,3 +575,50 @@ def test_countmin_merge_invariant_under_batch_split_and_order(
     shuffled = data.draw(st.permutations(idx))
     assert run(idx) == want
     assert run(list(shuffled)) == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=40),
+        min_size=1, max_size=10,
+    ),
+    cut=st.integers(0, 9),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_hll_merge_invariant_under_split_order_and_redelivery(
+    texts, cut, data, tmp_path_factory
+):
+    """The incremental HLL register state must equal the one-shot
+    batch build cell-for-cell for ANY split of the corpus into
+    micro-batches, ANY arrival order, AND any overlapping redelivery
+    of an arbitrary subset (max-merge is idempotent — stronger than
+    Count-Min's linearity, which only tolerates disjoint chunks)."""
+    from real_time_data_pipeline_spark.streaming.hll_ingest import (
+        hll_register_increments,
+        merge_hll_batch,
+        read_registers,
+    )
+
+    docs = _spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def run(order, redeliver):
+        # subpath: the state table must NOT pre-exist as an empty dir
+        root = str(tmp_path_factory.mktemp("hll")) + "/state"
+        k = max(1, min(cut, len(order) - 1)) if len(order) > 1 else 1
+        parts = [order[:k], order[k:]] if order[k:] else [order]
+        if redeliver:
+            parts.append(redeliver)  # overlapping re-ship of a subset
+        for bid, idx in enumerate(parts):
+            batch = docs.where(F.col("doc_id").isin([int(i) for i in idx]))
+            merge_hll_batch(batch, root, batch_id=bid)
+        return {tuple(r) for r in read_registers(_spark, root).collect()}
+
+    idx = list(range(len(texts)))
+    want = {tuple(r) for r in hll_register_increments(docs).collect()}
+    shuffled = data.draw(st.permutations(idx))
+    overlap = data.draw(st.lists(st.sampled_from(idx), max_size=len(idx)))
+    assert run(idx, None) == want
+    assert run(list(shuffled), overlap) == want
