@@ -622,3 +622,90 @@ def test_hll_merge_invariant_under_split_order_and_redelivery(
     overlap = data.draw(st.lists(st.sampled_from(idx), max_size=len(idx)))
     assert run(idx, None) == want
     assert run(list(shuffled), overlap) == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=40),
+        min_size=1, max_size=10,
+    ),
+    cut=st.integers(0, 9),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_bloom_merge_invariant_under_split_order_and_redelivery(
+    texts, cut, data, tmp_path_factory
+):
+    """The incremental Bloom state must equal the one-shot batch bit
+    set for ANY corpus split, arrival order, and overlapping subset
+    redelivery — set union is idempotent, so re-shipped documents can
+    never perturb the filter."""
+    from real_time_data_pipeline_spark.streaming.bloom_ingest import (
+        bloom_bit_increments,
+        merge_bloom_batch,
+        read_bloom,
+    )
+
+    docs = _spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def run(order, redeliver):
+        root = str(tmp_path_factory.mktemp("bloom")) + "/state"
+        k = max(1, min(cut, len(order) - 1)) if len(order) > 1 else 1
+        parts = [order[:k], order[k:]] if order[k:] else [order]
+        if redeliver:
+            parts.append(redeliver)
+        for bid, idx in enumerate(parts):
+            batch = docs.where(F.col("doc_id").isin([int(i) for i in idx]))
+            merge_bloom_batch(batch, root, batch_id=bid, shingle_n=2)
+        return {r.pos for r in read_bloom(_spark, root).collect()}
+
+    idx = list(range(len(texts)))
+    want = {r.pos for r in bloom_bit_increments(docs, shingle_n=2).collect()}
+    shuffled = data.draw(st.permutations(idx))
+    overlap = data.draw(st.lists(st.sampled_from(idx), max_size=len(idx)))
+    assert run(idx, None) == want
+    assert run(list(shuffled), overlap) == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-5.0, max_value=1e6, allow_nan=False),
+        min_size=1, max_size=30,
+    ),
+    cut=st.integers(0, 29),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_histogram_merge_invariant_under_batch_split_and_order(
+    vals, cut, data, tmp_path_factory
+):
+    """The incremental fixed-boundary histogram state must equal the
+    one-shot batch build cell-for-cell for ANY split of the stream and
+    ANY arrival order (sum linearity) — including non-positive values,
+    which BOTH sides exclude by the documented contract."""
+    from real_time_data_pipeline_spark.streaming.histogram_ingest import (
+        histogram_increments,
+        merge_histogram_batch,
+        read_histogram,
+    )
+
+    ev = _spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+
+    def run(order):
+        root = str(tmp_path_factory.mktemp("hist")) + "/state"
+        k = max(1, min(cut, len(order) - 1)) if len(order) > 1 else 1
+        parts = [order[:k], order[k:]] if order[k:] else [order]
+        for bid, idx in enumerate(parts):
+            batch = ev.where(F.col("event_id").isin([int(i) for i in idx]))
+            merge_histogram_batch(batch, root, batch_id=bid)
+        return {tuple(r) for r in read_histogram(_spark, root).collect()}
+
+    idx = list(range(len(vals)))
+    want = {tuple(r) for r in histogram_increments(ev).collect()}
+    shuffled = data.draw(st.permutations(idx))
+    assert run(idx) == want
+    assert run(list(shuffled)) == want

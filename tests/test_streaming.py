@@ -1957,3 +1957,102 @@ def test_hll_ingest_sink_end_to_end(spark, tmp_path):
     got = {tuple(r) for r in read_registers(spark, state).collect()}
     want = {tuple(r) for r in hll_register_increments(docs).collect()}
     assert got == want and len(got) > 0
+
+
+def test_histogram_ingest_parity_retry_and_quantiles(spark, tmp_path):
+    """Streaming quantile twin: a FIXED-boundary log histogram merges
+    by cell-wise sum (the bucket function depends only on the value,
+    never the distribution), so any chunked replay leaves the state
+    cell-identical to the one-shot batch build; a retried batch_id is
+    an exactly-once no-op; quantile estimates from the maintained
+    state equal the batch-histogram estimates; and every estimate
+    sits within the constant relative bucket error of the EXACT
+    percentile. Deterministic data + deterministic buckets → stable
+    assertions."""
+    from real_time_data_pipeline_spark.streaming.histogram_ingest import (
+        LOG2_DIVS,
+        histogram_increments,
+        merge_histogram_batch,
+        quantile_estimates,
+        quantile_estimates_of,
+        read_histogram,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    chunks = [ev.where(F.pmod("event_id", F.lit(3)) == i) for i in range(3)]
+
+    state = str(tmp_path / "hist_state")
+    for i, ch in enumerate(chunks):
+        assert merge_histogram_batch(ch, state, batch_id=i) is True
+    want = {tuple(r) for r in histogram_increments(ev).collect()}
+    got = {tuple(r) for r in read_histogram(spark, state).collect()}
+    assert got == want and len(got) > 0
+
+    # retry of an already-merged batch_id: exactly-once no-op
+    assert merge_histogram_batch(chunks[1], state, batch_id=1) is False
+    assert {tuple(r) for r in read_histogram(spark, state).collect()} == want
+
+    # reversed chunk order converges to the same cells (linearity)
+    state2 = str(tmp_path / "hist_state2")
+    for i, ch in enumerate(reversed(chunks)):
+        merge_histogram_batch(ch, state2, batch_id=i)
+    assert {tuple(r) for r in read_histogram(spark, state2).collect()} == want
+
+    # quantile parity with the batch histogram, and accuracy vs the
+    # exact percentiles: relative error bounded by the bucket's
+    # geometric half-width 2^(1/(2*LOG2_DIVS)) - 1 (~4.4% at 8 divs;
+    # assert with a little slack for the rank-vs-interpolation gap)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got_q = {r.q: r.est for r in quantile_estimates(spark, state, qs).collect()}
+    batch_q = {
+        r.q: r.est
+        for r in quantile_estimates_of(histogram_increments(ev), qs).collect()
+    }
+    assert got_q == batch_q and set(got_q) == set(qs)
+    exact = ev.where(F.col("value") > 0).agg(
+        F.expr(f"percentile(value, array({','.join(map(str, qs))}))").alias("p")
+    ).first()["p"]
+    bound = 2 ** (1 / (2 * LOG2_DIVS)) - 1
+    for q, ex in zip(qs, exact):
+        assert abs(got_q[q] - ex) / ex < bound + 0.02, (q, got_q[q], ex)
+
+
+def test_histogram_ingest_sink_end_to_end(spark, tmp_path):
+    """The foreachBatch sink drains an events file-replay and leaves
+    the same histogram cells as the one-shot batch build."""
+    import os as _os
+
+    from real_time_data_pipeline_spark.streaming.histogram_ingest import (
+        histogram_ingest_sink,
+        histogram_increments,
+        read_histogram,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "value"
+    )
+    d = str(tmp_path / "ev_drops")
+    _os.makedirs(d)
+    pdf = ev.toPandas()
+    for i in range(2):
+        part = pdf[pdf["event_id"] % 2 == i]
+        spark.createDataFrame(part).coalesce(1).write.parquet(
+            _os.path.join(d, f"drop{i}")
+        )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(d, "*"))
+    )
+    state = str(tmp_path / "hist_sink_state")
+    q = histogram_ingest_sink(stream, state, str(tmp_path / "hist_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in read_histogram(spark, state).collect()}
+    want = {tuple(r) for r in histogram_increments(ev).collect()}
+    assert got == want and len(got) > 0
