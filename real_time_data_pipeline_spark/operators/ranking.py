@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "global_row_number",
     "exact_ntile",
+    "multi_metric_ntiles",
     "grouped_row_number",
     "grouped_exact_ntile",
     "global_prefix_sum",
@@ -174,6 +175,124 @@ def exact_ntile(
     )
     return (
         ranked.withColumn(out_col, bucket.cast("int")).drop("_gr_rn", "_gr_n")
+    )
+
+
+def _closed_form_ntile(rn_col: str, n_col: str, n_buckets: int) -> Column:
+    """ANSI ``ntile(n_buckets)`` bucket of rank column ``rn_col``
+    (1-based) among ``n_col`` rows, as pure column arithmetic with
+    exact integer ``div`` throughout (same expressions as
+    `exact_ntile`): bucket sizes differ by at most one, larger buckets
+    first; with fewer rows than buckets, row i lands alone in
+    bucket i."""
+    rn = F.col(rn_col)
+    quot = F.expr(f"{n_col} div {n_buckets}")
+    rem = F.col(n_col) % n_buckets
+    head = rem * (quot + 1)
+    return (
+        F.when(quot == F.lit(0), rn)
+        .when(
+            rn <= head,
+            F.expr(f"({rn_col} - 1) div (({n_col} div {n_buckets}) + 1)")
+            + F.lit(1),
+        )
+        .otherwise(
+            rem
+            + F.expr(
+                f"({rn_col} - 1 - ({n_col} % {n_buckets})"
+                f" * (({n_col} div {n_buckets}) + 1))"
+                f" div ({n_col} div {n_buckets})"
+            )
+            + F.lit(1)
+        )
+    )
+
+
+def multi_metric_ntiles(
+    df: DataFrame,
+    n_buckets: int,
+    metrics: "list[Column]",
+    key: str,
+    out_cols: "list[str]",
+    carry: "list[str] | None" = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n_buckets) OVER (ORDER BY metric_i, key)`` for
+    SEVERAL metrics of the same frame in ONE range exchange.
+
+    Chained `exact_ntile` calls each pay their own range shuffle of
+    the same rows (k metrics → k exchanges). Exploding the frame into
+    (metric_id, value) rows and taking ONE global row_number over
+    (metric_id, value, key) gets all k rankings from a single
+    exchange: within metric m the rank is ``rn − m·n`` (the composite
+    ordering sorts metric 0's rows entirely before metric 1's), and
+    the same closed-form bucket arithmetic as `exact_ntile` yields
+    each quintile/decile. Measured on the RFM segmentation at sf0.1:
+    ~2.3× over the three-pass form, bit-identical output
+    (scripts/rfm_single_exchange_experiment.py).
+
+    ``metrics`` must be BIGINT-comparable columns (cast dates to epoch
+    days, money to integer cents first): all k metrics share one sort
+    key column, so their values must survive a lossless cast to long
+    with order preserved. Metrics should be non-NULL — NULLs rank
+    NULLS-FIRST (Spark ascending default), which matches Spark's own
+    ``ntile`` window but NOT a DuckDB oracle's NULLS-LAST default.
+    ``key`` must be unique per row — it is the ANSI tie-break that
+    makes every assignment deterministic.
+
+    Returns one row per input row: ``key``, any ``carry`` columns, and
+    ``out_cols[i]`` (int) = the ntile bucket of ``metrics[i]``.
+
+    Scale shape: one explode (k× the KEY frame, still
+    dimension-grade), one range exchange + pid-partitioned window
+    (`global_row_number`), one ≤k-wide conditional pivot aggregate
+    back to row grain. The input should be materialized by the caller
+    if its lineage is expensive — the explode references it once, but
+    `global_row_number` fans the exploded frame into two branches.
+    """
+    if len(metrics) != len(out_cols):
+        raise ValueError("metrics and out_cols must pair up")
+    carry = carry or []
+    k = len(metrics)
+    exploded = df.select(
+        key,
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("mid"), m.cast("long").alias("v")
+                    )
+                    for i, m in enumerate(metrics)
+                ]
+            )
+        ).alias("_mm"),
+    ).select(key, *carry, "_mm.mid", "_mm.v")
+    ranked = global_row_number(
+        exploded,
+        ["mid", "v", key],
+        rn_col="_mm_rn",
+        num_partitions=num_partitions,
+        total_col="_mm_total",
+    )
+    ranked = ranked.withColumn(
+        "_mm_n", F.expr(f"_mm_total div {k}")  # rows per metric
+    ).withColumn(
+        # rank within the metric, 1..n (the composite ordering sorts
+        # metric 0's rows entirely before metric 1's)
+        "_mm_mrn",
+        F.col("_mm_rn") - F.col("mid") * F.col("_mm_n"),
+    )
+    bucket = _closed_form_ntile("_mm_mrn", "_mm_n", n_buckets)
+    return (
+        ranked.withColumn("_mm_b", bucket.cast("int"))
+        .groupBy(key, *carry)
+        .agg(
+            *[
+                F.max(F.when(F.col("mid") == i, F.col("_mm_b"))).alias(oc)
+                for i, oc in enumerate(out_cols)
+            ]
+        )
     )
 
 

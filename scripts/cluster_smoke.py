@@ -289,6 +289,68 @@ def _hll_ingest_smoke(spark) -> str:
     )
 
 
+def _histogram_ingest_smoke(spark) -> str:
+    """Incremental quantile maintenance on the real cluster (r10): the
+    events table's value column is replayed as a 3-file stream through
+    the foreachBatch sum-merge across separate executor JVMs; the
+    maintained (bucket, cnt) table must be cell-identical to the
+    one-shot batch build (fixed boundaries make the histogram linear),
+    the read-time quantile estimates must equal the batch-histogram
+    estimates, and each estimate must sit within the constant relative
+    bucket error of the EXACT percentile."""
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.histogram_ingest import (
+        LOG2_DIVS,
+        histogram_increments,
+        histogram_ingest_sink,
+        quantile_estimates,
+        quantile_estimates_of,
+        read_histogram,
+    )
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-hist-")
+    replay, state, ck = f"{work}/replay", f"{work}/state", f"{work}/ck"
+    os.makedirs(replay)
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    for i in range(3):
+        ev.where(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            os.path.join(replay, f"b{i}.parquet")
+        )
+    stream = file_stream(spark, f"{replay}/*", ev.schema, max_files_per_trigger=1)
+    q = histogram_ingest_sink(stream, state, ck)
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in read_histogram(spark, state).collect()}
+    want = {tuple(r) for r in histogram_increments(ev).collect()}
+    assert got == want and len(got) > 0, "histogram cells != batch build"
+    qs = [0.5, 0.9, 0.99]
+    est = {r["q"]: r["est"] for r in quantile_estimates(spark, state, qs).collect()}
+    batch_est = {
+        r["q"]: r["est"]
+        for r in quantile_estimates_of(histogram_increments(ev), qs).collect()
+    }
+    assert est == batch_est, f"stream {est} != batch {batch_est}"
+    exact = {
+        q: v
+        for q, v in zip(
+            qs,
+            ev.where(F.col("value") > 0)
+            .agg(F.percentile("value", F.array(*[F.lit(q) for q in qs])))
+            .first()[0],
+        )
+    }
+    bound = 2 ** (1.0 / (2 * LOG2_DIVS)) - 1  # ~4.4% relative
+    worst = max(abs(est[q] - exact[q]) / exact[q] for q in qs)
+    assert worst <= bound, f"worst rel err {worst:.4f} > bound {bound:.4f}"
+    return (
+        f"cell-parity + p50/p90/p99 within {worst:.1%} of exact "
+        f"(bound {bound:.1%})"
+    )
+
+
 def _count_executors(spark) -> int:
     return len(spark._jsc.sc().statusTracker().getExecutorInfos()) - 1
 
@@ -531,6 +593,20 @@ def main() -> int:
             failures += 1
             print(
                 f"  hll_ingest: FAIL {str(exc).splitlines()[0][:200]}",
+                flush=True,
+            )
+        t0 = time.perf_counter()
+        try:
+            status = _histogram_ingest_smoke(spark)
+            print(
+                f"  histogram_ingest: {status} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — report, then fail
+            failures += 1
+            print(
+                f"  histogram_ingest: FAIL {str(exc).splitlines()[0][:200]}",
                 flush=True,
             )
         spark.stop()

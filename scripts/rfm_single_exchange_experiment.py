@@ -20,13 +20,20 @@ from real_time_data_pipeline_spark.session import get_spark
 from real_time_data_pipeline_spark.sources.tables import load_table
 from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
 from real_time_data_pipeline_spark.operators.ranking import (
-    global_row_number,
     release_rank_caches,
 )
 from real_time_data_pipeline_spark.queries import REGISTRY
 
 
 def rfm_single_exchange(spark, sf_dir):
+    """The r11 adoption target, spelled with the SHIPPED operator
+    (`operators/ranking.py::multi_metric_ntiles`) so the measured
+    variant and the code that will replace the registry query are one
+    and the same."""
+    from real_time_data_pipeline_spark.operators.ranking import (
+        multi_metric_ntiles,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     c = reliable_materialize(
@@ -36,54 +43,17 @@ def rfm_single_exchange(spark, sf_dir):
             F.sum(cents).alias("monetary_cents"),
         )
     )
-    exploded = c.select(
+    q = multi_metric_ntiles(
+        c,
+        5,
+        [
+            F.datediff("last_order", F.lit("1970-01-01")),
+            F.col("n_orders"),
+            F.col("monetary_cents"),
+        ],
         "o_custkey",
-        "monetary_cents",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("mid"),
-                    F.datediff("last_order", F.lit("1970-01-01")).cast("long").alias("v"),
-                ),
-                F.struct(F.lit(1).alias("mid"), F.col("n_orders").cast("long").alias("v")),
-                F.struct(F.lit(2).alias("mid"), F.col("monetary_cents").cast("long").alias("v")),
-            )
-        ).alias("m"),
-    ).select("o_custkey", "monetary_cents", "m.mid", "m.v")
-    ranked = global_row_number(
-        exploded, ["mid", "v", "o_custkey"], rn_col="_rn", total_col="_n3"
-    )
-    n = (F.col("_n3") / 3).cast("long")
-    rn = F.col("_rn") - F.col("mid") * n  # rank within the metric, 1..n
-    # closed-form ntile(5) — same arithmetic as operators/ranking.exact_ntile
-    B = 5
-    quot = F.expr(f"_mn div {B}")
-    rem = F.col("_mn") % B
-    head = rem * (quot + 1)
-    ranked = ranked.withColumn("_mn", n).withColumn("_mrn", rn)
-    bucket = (
-        F.when(quot == F.lit(0), F.col("_mrn"))
-        .when(
-            F.col("_mrn") <= head,
-            F.expr(f"(_mrn - 1) div ((_mn div {B}) + 1)") + F.lit(1),
-        )
-        .otherwise(
-            rem
-            + F.expr(
-                f"(_mrn - 1 - (_mn % {B}) * ((_mn div {B}) + 1)) div (_mn div {B})"
-            )
-            + F.lit(1)
-        )
-    )
-    q = (
-        ranked.withColumn("_b", bucket)
-        .groupBy("o_custkey")
-        .agg(
-            F.max(F.when(F.col("mid") == 0, F.col("_b"))).alias("r_quintile"),
-            F.max(F.when(F.col("mid") == 1, F.col("_b"))).alias("f_quintile"),
-            F.max(F.when(F.col("mid") == 2, F.col("_b"))).alias("m_quintile"),
-            F.max("monetary_cents").alias("monetary_cents"),
-        )
+        ["r_quintile", "f_quintile", "m_quintile"],
+        carry=["monetary_cents"],
     )
     return q.groupBy(
         F.col("r_quintile").cast("long").alias("r_quintile"),

@@ -609,3 +609,42 @@ def test_bloom_registry_query_receives_filter(spark, sf_dir):
     # default session at toy SF: filtered orders side broadcasts
     plan = _plan(REGISTRY["join_bloom_pruned_fact_fact"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_multi_metric_ntiles_single_range_exchange(spark):
+    """The k-metric ntile's whole point: ONE range exchange serves all
+    k rankings. Chained `exact_ntile` plans k DIFFERENT range
+    partitionings (one per metric's sort keys); here every
+    rangepartitioning occurrence in the plan must carry the SAME
+    (mid, v, key) key set — the string repeats only because the
+    persisted cache's subplan prints once per consumer branch — and
+    the data-sized ranking window must be pid-partitioned (the only
+    unpartitioned window is the numPartitions-row offsets frame)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators.ranking import (
+        multi_metric_ntiles,
+        release_rank_caches,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    out = multi_metric_ntiles(
+        cust,
+        5,
+        [F.round(F.col("c_acctbal") * 100), F.col("c_nationkey")],
+        "c_custkey",
+        ["bal_q", "nat_q"],
+    )
+    plan = _plan(out)
+    release_rank_caches()
+    keysets = {
+        re.sub(r"#\d+L?", "", m.group(1))
+        for m in re.finditer(r"rangepartitioning\(([^)]*)\)", plan)
+    }
+    assert len(keysets) == 1, keysets
+    (keys,) = keysets
+    assert "mid" in keys and "c_custkey" in keys
+    assert "windowspecdefinition(_gr_pid" in plan  # ranking window is pid-bound
+    assert "InMemoryTableScan" in plan  # one shared canonicalized exchange

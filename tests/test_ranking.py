@@ -281,3 +281,97 @@ def test_release_covers_graph_and_dedup_reuse_caches(spark, sf_dir):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > baseline
     assert release_rank_caches(blocking=True) >= 2
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+
+
+@pytest.mark.parametrize("rows", CASES, ids=range(len(CASES)))
+def test_multi_metric_ntiles_matches_chained_window_forms(spark, rows):
+    """The single-exchange k-metric ntile equals k independent ANSI
+    ``ntile(n) OVER (ORDER BY metric, id)`` windows on every boundary
+    shape (empty, ties-only, rows < buckets, rows % buckets edge
+    remainders) — the same contract chained `exact_ntile` carries,
+    bought with ONE range shuffle instead of k."""
+    from real_time_data_pipeline_spark.operators.ranking import (
+        multi_metric_ntiles,
+    )
+
+    df = _frame(spark, rows)
+    metrics = [F.col("v"), -F.col("v"), F.col("v") % 3]
+    got = {
+        r.id: (r.b0, r.b1, r.b2)
+        for r in multi_metric_ntiles(
+            df, 4, metrics, "id", ["b0", "b1", "b2"], num_partitions=4
+        ).collect()
+    }
+    want_df = df
+    for i, m in enumerate(metrics):
+        w = Window.orderBy(m.cast("long").asc(), F.asc("id"))
+        want_df = want_df.withColumn(f"b{i}", F.ntile(4).over(w))
+    want = {r.id: (r.b0, r.b1, r.b2) for r in want_df.collect()}
+    assert got == want
+
+
+def test_multi_metric_ntiles_carry_and_arity(spark):
+    """Carried columns ride through the explode/pivot unchanged; a
+    metrics/out_cols arity mismatch is rejected."""
+    from real_time_data_pipeline_spark.operators.ranking import (
+        multi_metric_ntiles,
+    )
+
+    df = _frame(spark, [(3, "a"), (1, "b"), (2, "c")])
+    out = multi_metric_ntiles(
+        df, 2, [F.col("v")], "id", ["bv"], carry=["g"], num_partitions=2
+    )
+    assert {r.id: (r.g, r.bv) for r in out.collect()} == {
+        0: ("a", 2),
+        1: ("b", 1),
+        2: ("c", 1),
+    }
+    with pytest.raises(ValueError):
+        multi_metric_ntiles(df, 2, [F.col("v")], "id", ["a", "b"])
+
+
+def test_multi_metric_ntiles_matches_rfm_three_pass(spark):
+    """End-to-end against the shipped RFM query's three chained
+    `exact_ntile` passes at sf0.001: the r11 adoption target must be
+    bit-identical to the current registry form (the experiment proved
+    sf0.01/sf0.1; this pins the contract in the suite)."""
+    from real_time_data_pipeline_spark.operators.materialize import (
+        reliable_materialize,
+    )
+    from real_time_data_pipeline_spark.operators.ranking import (
+        exact_ntile,
+        multi_metric_ntiles,
+        release_rank_caches,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = reliable_materialize(
+        orders.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+    )
+    three = base
+    three = exact_ntile(three, 5, ["last_order", "o_custkey"], "r_q")
+    three = exact_ntile(three, 5, ["n_orders", "o_custkey"], "f_q")
+    three = exact_ntile(three, 5, ["monetary_cents", "o_custkey"], "m_q")
+    want = {
+        r.o_custkey: (r.r_q, r.f_q, r.m_q)
+        for r in three.select("o_custkey", "r_q", "f_q", "m_q").collect()
+    }
+    one = multi_metric_ntiles(
+        base,
+        5,
+        [
+            F.datediff("last_order", F.lit("1970-01-01")),
+            F.col("n_orders"),
+            F.col("monetary_cents"),
+        ],
+        "o_custkey",
+        ["r_q", "f_q", "m_q"],
+    )
+    got = {r.o_custkey: (r.r_q, r.f_q, r.m_q) for r in one.collect()}
+    release_rank_caches()
+    assert got == want
