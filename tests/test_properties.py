@@ -709,3 +709,42 @@ def test_histogram_merge_invariant_under_batch_split_and_order(
     shuffled = data.draw(st.permutations(idx))
     assert run(idx) == want
     assert run(list(shuffled)) == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=0,
+        max_size=60,
+    ),
+    n_buckets=st.integers(1, 7),
+)
+@settings(max_examples=8, deadline=None)
+def test_multi_metric_ntiles_equals_window_ntile(rows, n_buckets):
+    """For ANY value distribution (duplicates, negatives, empty) and
+    ANY bucket count, the single-exchange k-metric ntile equals k
+    independent ANSI ntile windows — the invariant the closed-form
+    rank arithmetic (rn − metric_id·n over the composite ordering)
+    must hold everywhere, not just on curated boundary cases."""
+    from pyspark.sql import Window
+
+    from real_time_data_pipeline_spark.operators.ranking import (
+        multi_metric_ntiles,
+    )
+
+    df = _spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, a long, b long"
+    )
+    got = {
+        r.id: (r.qa, r.qb)
+        for r in multi_metric_ntiles(
+            df, n_buckets, [F.col("a"), F.col("b")], "id", ["qa", "qb"],
+            num_partitions=4,
+        ).collect()
+    }
+    want_df = df
+    for name, col in (("qa", "a"), ("qb", "b")):
+        w = Window.orderBy(F.asc(col), F.asc("id"))
+        want_df = want_df.withColumn(name, F.ntile(n_buckets).over(w))
+    want = {r.id: (r.qa, r.qb) for r in want_df.collect()}
+    assert got == want
