@@ -108,6 +108,10 @@ def main() -> None:
     for name, sec in timings.items():
         families[name.split("_")[0]] = round(families.get(name.split("_")[0], 0.0) + sec, 3)
 
+    from real_time_data_pipeline_spark.queries.artifacts import (
+        shared_artifact_build_seconds,
+    )
+
     out = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
@@ -116,6 +120,15 @@ def main() -> None:
         "families": families,
         "canaries": canaries,
         "canary_total": round(sum(canaries.values()), 3),
+        # One-time shared-index builds happen during the UNTIMED warm
+        # runs (each query is warmed before timing), so this cost sits
+        # outside every per-query number; reported so round-over-round
+        # family comparisons can see how much one-time work the session
+        # did. Registry rotation reorders the bench every round, which
+        # also shifts WHERE in the session each family runs — family
+        # timings drift with session position; normalize with the
+        # canaries, judge per-query.
+        "artifact_build_s": round(shared_artifact_build_seconds(), 3),
         "n_queries": len(timings),
         "sf": SF_DIR,
     }

@@ -35,6 +35,7 @@ share it without importing the 3000-line similarity module.
 from __future__ import annotations
 
 import threading
+import time
 
 from pyspark.sql import DataFrame
 
@@ -46,6 +47,13 @@ from real_time_data_pipeline_spark.operators.materialize import (
 # None when the context had no reliable checkpoint dir).
 _SHARED_ARTIFACTS: "dict[tuple, tuple[DataFrame, str | None]]" = {}
 _SHARED_LOCK = threading.RLock()
+# Wall-clock seconds spent INSIDE one-time artifact builds this
+# process. Build cost lands on whichever query consumes an artifact
+# first, so per-query timings shift with execution order (the bench
+# registry order rotates every round); this counter lets a harness
+# report the order-dependent build share separately instead of
+# misreading it as a per-query regression.
+_BUILD_SECONDS = 0.0
 
 
 def _best_effort_delete_dir(spark, path: str) -> None:
@@ -96,10 +104,19 @@ def _shared_artifact(spark, sf_dir, what, build):
                 _best_effort_delete_dir(spark, d)
             entry = _SHARED_ARTIFACTS.get(key)
             if entry is None:
+                global _BUILD_SECONDS
+                t0 = time.perf_counter()
                 df = reliable_materialize(build())
+                _BUILD_SECONDS += time.perf_counter() - t0
                 entry = (df, spark.sparkContext.getCheckpointDir())
                 _SHARED_ARTIFACTS[key] = entry
     return entry[0]
+
+
+def shared_artifact_build_seconds() -> float:
+    """Total wall-clock seconds this process has spent in one-time
+    shared-artifact builds (see _BUILD_SECONDS note)."""
+    return _BUILD_SECONDS
 
 
 def clear_shared_artifacts() -> None:

@@ -648,3 +648,16 @@ def test_multi_metric_ntiles_single_range_exchange(spark):
     assert "mid" in keys and "c_custkey" in keys
     assert "windowspecdefinition(_gr_pid" in plan  # ranking window is pid-bound
     assert "InMemoryTableScan" in plan  # one shared canonicalized exchange
+
+
+def test_pq_adc_scoring_joins_are_broadcast(spark, sf_dir):
+    """PQ/ADC's whole scale argument: codebooks and the per-query
+    distance table are broadcast-sized, so encoding and scoring touch
+    each corpus code row map-side — no shuffle join against the
+    corpus, no pair blow-up. The only exchanges are the keyed
+    aggregates and the per-query top-k window."""
+    plan = _plan(REGISTRY["embed_pq_adc_topk"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # codebooks + distance table
