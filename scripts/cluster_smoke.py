@@ -351,6 +351,48 @@ def _histogram_ingest_smoke(spark) -> str:
     )
 
 
+def _zonemap_ingest_smoke(spark) -> str:
+    """Incremental zone-map maintenance on the real cluster (r10): the
+    events table is replayed as a 3-file stream through the composite
+    merge (SUM counts behind the exactly-once marker, lattice min/max,
+    set-union user pairs — the pair upsert committing BEFORE the
+    marker-protected stats swap) across separate executor JVMs; the
+    derived manifest must reproduce the `data_partition_zonemap`
+    registry query's DuckDB-checked frame row for row."""
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+    from real_time_data_pipeline_spark.streaming.zonemap_ingest import (
+        read_zonemap,
+        zonemap_ingest_sink,
+    )
+    from tests.oracle import assert_matches
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-zm-")
+    replay, stats, users, ck = (
+        f"{work}/replay", f"{work}/stats", f"{work}/users", f"{work}/ck"
+    )
+    os.makedirs(replay)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    for i in range(3):
+        ev.where(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            os.path.join(replay, f"b{i}.parquet")
+        )
+    stream = file_stream(spark, f"{replay}/*", ev.schema, max_files_per_trigger=1)
+    q = zonemap_ingest_sink(stream, stats, users, ck)
+    q.processAllAvailable()
+    q.stop()
+    derived = read_zonemap(spark, stats, users)
+    spec = REGISTRY["data_partition_zonemap"]
+    assert_matches(derived, spec.oracle, SF_DIR)
+    n = derived.count()
+    return f"manifest from maintained state oracle-match ({n} partitions)"
+
+
 def _count_executors(spark) -> int:
     return len(spark._jsc.sc().statusTracker().getExecutorInfos()) - 1
 
@@ -593,6 +635,20 @@ def main() -> int:
             failures += 1
             print(
                 f"  hll_ingest: FAIL {str(exc).splitlines()[0][:200]}",
+                flush=True,
+            )
+        t0 = time.perf_counter()
+        try:
+            status = _zonemap_ingest_smoke(spark)
+            print(
+                f"  zonemap_ingest: {status} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — report, then fail
+            failures += 1
+            print(
+                f"  zonemap_ingest: FAIL {str(exc).splitlines()[0][:200]}",
                 flush=True,
             )
         t0 = time.perf_counter()

@@ -748,3 +748,73 @@ def test_multi_metric_ntiles_equals_window_ntile(rows, n_buckets):
         want_df = want_df.withColumn(name, F.ntile(n_buckets).over(w))
     want = {r.id: (r.qa, r.qb) for r in want_df.collect()}
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # day offset (4 partitions max)
+            st.one_of(st.none(), st.integers(0, 5)),  # user_id (NULLs allowed)
+            st.floats(-10, 10, allow_nan=False),    # value
+        ),
+        min_size=1, max_size=25,
+    ),
+    cut=st.integers(0, 24),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_zonemap_merge_invariant_under_batch_split_and_order(
+    rows, cut, data, tmp_path_factory
+):
+    """The zone-map's composite state (SUM counts + lattice min/max +
+    set-union pairs) must equal the one-shot build for ANY split of
+    the events into micro-batches and ANY arrival order — including
+    NULL users and batches that contribute nothing."""
+    import datetime as dt
+
+    from real_time_data_pipeline_spark.streaming.zonemap_ingest import (
+        merge_zonemap_batch,
+        read_zonemap,
+        zonemap_increments,
+    )
+
+    base = dt.datetime(2024, 3, 1, 6, 0, 0)
+    ev = _spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(days=d), u, float(v))
+            for i, (d, u, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+
+    def run(order):
+        root = str(tmp_path_factory.mktemp("zm"))
+        stats, users = root + "/stats", root + "/users"
+        k = max(1, min(cut, len(order) - 1)) if len(order) > 1 else 1
+        parts = [order[:k], order[k:]] if order[k:] else [order]
+        for bid, idx in enumerate(parts):
+            batch = ev.where(F.col("event_id").isin([int(i) for i in idx]))
+            merge_zonemap_batch(batch, stats, users, batch_id=bid)
+        return {tuple(r) for r in read_zonemap(_spark, stats, users).collect()}
+
+    idx = list(range(len(rows)))
+    shuffled = data.draw(st.permutations(idx))
+    got = run(idx)
+    # stats half: cell-identical to the one-shot build (counts +
+    # bounds); n_users re-derived from pairs must match a direct
+    # distinct count
+    want_stats = {
+        (r.part_date, r.n_rows, r.min_event_id, r.max_event_id)
+        for r in zonemap_increments(ev).collect()
+    }
+    assert {(r[0], r[1], r[2], r[3]) for r in got} == want_stats
+    want_users = {
+        (r.part_date, r.n_users)
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "part_date"
+            )
+        ).agg(F.count_distinct("user_id").alias("n_users")).collect()
+    }
+    assert {(r[0], r[6]) for r in got} == want_users
+    assert run(list(shuffled)) == got

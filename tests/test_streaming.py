@@ -2056,3 +2056,140 @@ def test_histogram_ingest_sink_end_to_end(spark, tmp_path):
     got = {tuple(r) for r in read_histogram(spark, state).collect()}
     want = {tuple(r) for r in histogram_increments(ev).collect()}
     assert got == want and len(got) > 0
+
+
+def test_zonemap_ingest_parity_retry_and_read(spark, tmp_path):
+    """Streaming zone-map twin: the composite state (SUM counts,
+    lattice min/max, set-union user pairs) left by ANY chunked replay
+    is cell-identical to the one-shot batch build, a retried batch_id
+    is an exactly-once no-op, and the derived manifest reproduces the
+    `data_partition_zonemap` registry frame row for row."""
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.streaming.zonemap_ingest import (
+        merge_zonemap_batch,
+        read_zonemap,
+        read_zonemap_stats,
+        zonemap_increments,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    chunks = [ev.where(F.pmod("event_id", F.lit(3)) == i) for i in range(3)]
+
+    stats = str(tmp_path / "zm_stats")
+    users = str(tmp_path / "zm_users")
+    for i, ch in enumerate(chunks):
+        assert merge_zonemap_batch(ch, stats, users, batch_id=i) is True
+    want = {tuple(r) for r in zonemap_increments(ev).collect()}
+    got = {tuple(r) for r in read_zonemap_stats(spark, stats).collect()}
+    assert got == want and len(got) > 0
+
+    # retry of an already-merged batch_id: exactly-once no-op for the
+    # linear half, true no-op for the idempotent halves
+    assert merge_zonemap_batch(chunks[1], stats, users, batch_id=1) is False
+    assert {tuple(r) for r in read_zonemap_stats(spark, stats).collect()} == want
+
+    # reversed chunk order converges to the same cells
+    stats2 = str(tmp_path / "zm_stats2")
+    users2 = str(tmp_path / "zm_users2")
+    for i, ch in enumerate(reversed(chunks)):
+        merge_zonemap_batch(ch, stats2, users2, batch_id=i)
+    assert {tuple(r) for r in read_zonemap_stats(spark, stats2).collect()} == want
+
+    # the derived manifest IS the registry frame (test data has no
+    # NULL event times, so the exclusion contract changes nothing)
+    derived = {tuple(r) for r in read_zonemap(spark, stats, users).collect()}
+    batch = {
+        tuple(r)
+        for r in REGISTRY["data_partition_zonemap"].fn(spark, sf).collect()
+    }
+    assert derived == batch and len(derived) > 0
+
+
+def test_zonemap_ingest_crash_between_writes_and_nulls(spark, tmp_path):
+    """The write-order crash argument, executed: a crash AFTER the
+    idempotent pair upsert but BEFORE the marker-protected stats swap
+    replays cleanly (pairs re-upsert as a no-op, counts merge once).
+    NULL handling: NULL-ts rows are excluded everywhere; NULL-user
+    rows count toward n_rows but never enter the pair state."""
+    import datetime as dt
+
+    from real_time_data_pipeline_spark.streaming.zonemap_ingest import (
+        merge_zonemap_batch,
+        read_zonemap,
+        zonemap_user_pairs,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, "a", 1.5),
+        (2, t0, 10, "b", 2.5),       # same user twice -> one pair
+        (3, t0, None, "c", 3.5),     # NULL user: counted, no pair
+        (4, None, 11, "d", 99.0),    # NULL ts: excluded everywhere
+        (5, t0 + dt.timedelta(days=1), 12, "e", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    stats = str(tmp_path / "zmc_stats")
+    users = str(tmp_path / "zmc_users")
+
+    # simulate the crash window: the pair half lands, the stats half
+    # never does (exactly the state a mid-batch crash leaves behind)
+    from real_time_data_pipeline_spark.streaming.sinks import upsert_parquet
+
+    upsert_parquet(
+        zonemap_user_pairs(df), users, keys=["part_date", "user_id"]
+    )
+    # the retried batch merges everything exactly once
+    assert merge_zonemap_batch(df, stats, users, batch_id=0) is True
+
+    got = {
+        r.part_date: (r.n_rows, r.min_event_id, r.max_event_id, r.n_users)
+        for r in read_zonemap(spark, stats, users).collect()
+    }
+    assert got == {
+        # 3 rows counted (incl. the NULL-user row); user 10's two
+        # events collapse to ONE pair, the NULL user adds none
+        "2024-03-01": (3, 1, 3, 1),
+        "2024-03-02": (1, 5, 5, 1),
+    }
+
+
+def test_zonemap_ingest_sink_end_to_end(spark, tmp_path):
+    """The foreachBatch sink drains an events file-replay and leaves
+    the same manifest as the batch registry query."""
+    import os as _os
+
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.streaming.zonemap_ingest import (
+        read_zonemap,
+        zonemap_ingest_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    d = str(tmp_path / "zm_drops")
+    _os.makedirs(d)
+    for i in range(2):
+        ev.where(F.pmod("event_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            _os.path.join(d, f"drop{i}")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(d, "*"))
+    )
+    stats = str(tmp_path / "zme_stats")
+    users = str(tmp_path / "zme_users")
+    q = zonemap_ingest_sink(stream, stats, users, str(tmp_path / "zme_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    derived = {tuple(r) for r in read_zonemap(spark, stats, users).collect()}
+    batch = {
+        tuple(r)
+        for r in REGISTRY["data_partition_zonemap"].fn(spark, sf).collect()
+    }
+    assert derived == batch and len(derived) > 0
