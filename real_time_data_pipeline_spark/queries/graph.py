@@ -839,7 +839,8 @@ def two_hop_reach_sketch(
     sketch aggregates constant-size HLL buffers map-side BEFORE the
     shuffle, so the Σdeg² hop-2 pair set is never materialized at an
     exchange and hub nodes cost the same aggregation memory as
-    leaves. ``include_exact=True`` additionally computes the exact
+    leaves; output is keyed by the generic column ``node``.
+    ``include_exact=True`` additionally computes the exact
     ``count_distinct`` and the accuracy-contract boolean — which
     re-introduces the exact-distinct shuffle the sketch exists to
     avoid; it is for oracle/validation runs only (the registry query
@@ -856,11 +857,9 @@ def two_hop_reach_sketch(
     )
     approx = F.approx_count_distinct("reach", rsd)
     if not include_exact:
-        return two.groupBy(F.col("node").alias("nation")).agg(
-            approx.alias("n_2hop_sketch")
-        )
+        return two.groupBy("node").agg(approx.alias("n_2hop_sketch"))
     exact = F.count_distinct(F.col("reach"))
-    return two.groupBy(F.col("node").alias("nation")).agg(
+    return two.groupBy("node").agg(
         exact.alias("n_2hop_exact"),
         (
             F.abs(approx.cast("double") - exact.cast("double")) / exact
@@ -893,4 +892,7 @@ def q_graph_two_hop_reach_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (asserted by the plan audit).
     """
     edges = _trade_edges_sym_shared(spark, sf_dir)
-    return two_hop_reach_sketch(edges, rsd=0.05, include_exact=True)
+    out = two_hop_reach_sketch(edges, rsd=0.05, include_exact=True)
+    # the generic operator keys on "node"; this query's domain is the
+    # nation trade graph (and the oracle aliases to match)
+    return out.withColumnRenamed("node", "nation")

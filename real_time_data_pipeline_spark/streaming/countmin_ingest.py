@@ -88,8 +88,21 @@ def merge_countmin_batch(
             .agg(F.max("bc").alias("last"))
             .first()["last"]
         )
-        if marker is not None and batch_id <= marker:
-            return False  # retry of a committed batch: exactly-once no-op
+        if marker is not None:
+            if batch_id == marker:
+                return False  # foreachBatch retry of the committed batch
+            if batch_id < marker:
+                # A batch id BELOW the committed marker cannot be a
+                # retry (foreachBatch re-delivers the same id): the
+                # stream's checkpoint was reset against existing
+                # state. Skipping would silently drop these batches'
+                # data forever; fail loudly instead — delete/repoint
+                # either the state path or the checkpointLocation.
+                raise ValueError(
+                    f"batch_id {batch_id} is below the committed "
+                    f"marker {marker}: checkpoint/state mismatch "
+                    "(fresh checkpointLocation over existing state?)"
+                )
         cells = stored.where(F.col("salt_id") != _META_SALT)
     inc = sketch_increments(batch_df, text_col)
     merged = inc if cells is None else (

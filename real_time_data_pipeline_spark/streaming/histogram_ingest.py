@@ -108,8 +108,21 @@ def merge_histogram_batch(
             .agg(F.max("cnt").alias("last"))
             .first()["last"]
         )
-        if marker is not None and batch_id <= marker:
-            return False
+        if marker is not None:
+            if batch_id == marker:
+                return False  # foreachBatch retry of the committed batch
+            if batch_id < marker:
+                # A batch id BELOW the committed marker cannot be a
+                # retry (foreachBatch re-delivers the same id): the
+                # stream's checkpoint was reset against existing
+                # state. Skipping would silently drop these batches'
+                # data forever; fail loudly instead — delete/repoint
+                # either the state path or the checkpointLocation.
+                raise ValueError(
+                    f"batch_id {batch_id} is below the committed "
+                    f"marker {marker}: checkpoint/state mismatch "
+                    "(fresh checkpointLocation over existing state?)"
+                )
         cells = stored.where(F.col("bucket") != _META_BUCKET)
     inc = histogram_increments(batch_df, value_col)
     merged = inc if cells is None else (

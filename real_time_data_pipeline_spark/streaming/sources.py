@@ -50,8 +50,11 @@ def kafka_connector_available(spark: SparkSession) -> bool:
     ``Utils.classForName`` fallback (context-or-Spark classloader)
     covers lookupDataSource signature drift across Spark versions.
     """
-    jvm = spark._jvm
     try:
+        # `_jvm` access itself can raise (Spark Connect sessions have
+        # no JVM handle) — that must degrade to "absent", not crash
+        # the gate.
+        jvm = spark._jvm
         jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             "kafka", spark._jsparkSession.sessionState().conf()
         )
@@ -63,7 +66,7 @@ def kafka_connector_available(spark: SparkSession) -> bool:
         if "kafka" in str(exc).lower() or "ClassNotFound" in str(exc):
             return False
     try:
-        jvm.org.apache.spark.util.Utils.classForName(
+        spark._jvm.org.apache.spark.util.Utils.classForName(
             "org.apache.spark.sql.kafka010.KafkaSourceProvider", False, False
         )
         return True

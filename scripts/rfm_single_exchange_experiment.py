@@ -78,7 +78,13 @@ def main():
         b = canon(rfm_single_exchange(spark, sf)); release_rank_caches()
         print(sf, "bit-identical:", a == b, f"({len(a)} vs {len(b)} rows)")
         if a != b:
-            print("  first diff:", next((x, y) for x, y in zip(a, b) if x != y))
+            print(
+                "  first diff:",
+                next(
+                    ((x, y) for x, y in zip(a, b) if x != y),
+                    ("length-mismatch", len(a), len(b)),
+                ),
+            )
             return 1
     sf = "/root/testdata/sf0.1"
     for name, fn in [("current-3pass", spec.fn), ("single-exchange", rfm_single_exchange)]:

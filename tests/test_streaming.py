@@ -1643,8 +1643,8 @@ def test_countmin_ingest_parity_retry_and_order_independence(spark, tmp_path):
     want = {tuple(r) for r in sketch_increments(docs).collect()}
     assert got == want and len(got) > 0
 
-    # retry of an already-merged batch_id: no-op, state unchanged
-    assert merge_countmin_batch(chunks[1], state, batch_id=1) is False
+    # retry of the committed (latest) batch_id: no-op, state unchanged
+    assert merge_countmin_batch(chunks[2], state, batch_id=2) is False
     assert {tuple(r) for r in read_sketch(spark, state).collect()} == want
 
     # different chunk ORDER converges to the same cells (linearity)
@@ -1735,8 +1735,8 @@ def test_bloom_ingest_parity_retry_and_probe(spark, tmp_path):
     want = {r.pos for r in bloom_bit_increments(bench).collect()}
     assert got == want and len(got) > 0
 
-    # retry of an already-merged batch_id: recorded no-op
-    assert merge_bloom_batch(chunks[1], state, batch_id=1) is False
+    # retry of the committed (latest) batch_id: recorded no-op
+    assert merge_bloom_batch(chunks[2], state, batch_id=2) is False
     assert {r.pos for r in read_bloom(spark, state).collect()} == want
 
     # EXACTLY one marker row survives the batch sequence: the fixed
@@ -1888,8 +1888,8 @@ def test_hll_ingest_parity_retry_overlap_and_estimate(spark, tmp_path):
     got = {tuple(r) for r in read_registers(spark, state).collect()}
     assert got == want and len(got) > 0
 
-    # retry of an already-merged batch_id: recorded no-op
-    assert merge_hll_batch(chunks[1], state, batch_id=1) is False
+    # retry of the committed (latest) batch_id: recorded no-op
+    assert merge_hll_batch(chunks[2], state, batch_id=2) is False
     assert {tuple(r) for r in read_registers(spark, state).collect()} == want
 
     # OVERLAPPING redelivery (a fresh batch_id re-shipping the whole
@@ -1988,8 +1988,8 @@ def test_histogram_ingest_parity_retry_and_quantiles(spark, tmp_path):
     got = {tuple(r) for r in read_histogram(spark, state).collect()}
     assert got == want and len(got) > 0
 
-    # retry of an already-merged batch_id: exactly-once no-op
-    assert merge_histogram_batch(chunks[1], state, batch_id=1) is False
+    # retry of the committed (latest) batch_id: exactly-once no-op
+    assert merge_histogram_batch(chunks[2], state, batch_id=2) is False
     assert {tuple(r) for r in read_histogram(spark, state).collect()} == want
 
     # reversed chunk order converges to the same cells (linearity)
@@ -2084,9 +2084,9 @@ def test_zonemap_ingest_parity_retry_and_read(spark, tmp_path):
     got = {tuple(r) for r in read_zonemap_stats(spark, stats).collect()}
     assert got == want and len(got) > 0
 
-    # retry of an already-merged batch_id: exactly-once no-op for the
+    # retry of the committed (latest) batch_id: exactly-once no-op for the
     # linear half, true no-op for the idempotent halves
-    assert merge_zonemap_batch(chunks[1], stats, users, batch_id=1) is False
+    assert merge_zonemap_batch(chunks[2], stats, users, batch_id=2) is False
     assert {tuple(r) for r in read_zonemap_stats(spark, stats).collect()} == want
 
     # reversed chunk order converges to the same cells
@@ -2193,3 +2193,42 @@ def test_zonemap_ingest_sink_end_to_end(spark, tmp_path):
         for r in REGISTRY["data_partition_zonemap"].fn(spark, sf).collect()
     }
     assert derived == batch and len(derived) > 0
+
+
+def test_twin_markers_reject_checkpoint_reset(spark, tmp_path):
+    """A batch_id BELOW the committed marker cannot be a foreachBatch
+    retry (retries re-deliver the same id) — it means a fresh
+    checkpointLocation is replaying against existing state. Every
+    twin must FAIL LOUDLY there instead of silently skipping batches
+    whose data would then never merge (for the linear sum-merges
+    that's a permanent undercount; for the idempotent merges it still
+    drops whatever NEW rows those batches carried)."""
+    import pytest as _pytest
+
+    from real_time_data_pipeline_spark.streaming.countmin_ingest import (
+        merge_countmin_batch,
+    )
+    from real_time_data_pipeline_spark.streaming.zonemap_ingest import (
+        merge_zonemap_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    cm = str(tmp_path / "cm_state")
+    assert merge_countmin_batch(docs, cm, batch_id=3) is True
+    assert merge_countmin_batch(docs, cm, batch_id=3) is False  # retry
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_countmin_batch(docs, cm, batch_id=0)
+
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1), 7, 1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    stats, users = str(tmp_path / "zx_stats"), str(tmp_path / "zx_users")
+    assert merge_zonemap_batch(ev, stats, users, batch_id=5) is True
+    assert merge_zonemap_batch(ev, stats, users, batch_id=5) is False
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_zonemap_batch(ev, stats, users, batch_id=4)
