@@ -55,6 +55,7 @@ __all__ = [
     "exact_ntile",
     "multi_metric_ntiles",
     "grouped_row_number",
+    "grouped_multi_metric_ntiles",
     "grouped_exact_ntile",
     "global_prefix_sum",
     "global_prefix_sums",
@@ -287,6 +288,73 @@ def multi_metric_ntiles(
     return (
         ranked.withColumn("_mm_b", bucket.cast("int"))
         .groupBy(key, *carry)
+        .agg(
+            *[
+                F.max(F.when(F.col("mid") == i, F.col("_mm_b"))).alias(oc)
+                for i, oc in enumerate(out_cols)
+            ]
+        )
+    )
+
+
+def grouped_multi_metric_ntiles(
+    df: DataFrame,
+    n_buckets: int,
+    metrics: "list[Column]",
+    group_by: "list[str]",
+    key: str,
+    out_cols: "list[str]",
+    carry: "list[str] | None" = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (PARTITION BY group ORDER BY metric_i,
+    key)`` for SEVERAL metrics in ONE range exchange — the per-group
+    twin of `multi_metric_ntiles` (per-language quality × length
+    quintiles over a web corpus is the motivating shape; chained
+    `grouped_exact_ntile` pays k range shuffles of the same rows).
+
+    Simpler than the global form: folding the metric id into the
+    GROUP key makes each (group, metric) its own ranking group, so
+    `grouped_row_number` already returns the within-metric rank and
+    total directly — no composite-ordering rank arithmetic. The same
+    mega-group safety applies: a group bigger than one task spans a
+    partition run and still ranks correctly.
+
+    Same contracts as `multi_metric_ntiles`: BIGINT-comparable
+    non-NULL metrics, unique ``key`` as the deterministic tie-break;
+    returns one row per input row (``group_by`` + ``key`` + ``carry``
+    + one int bucket per metric).
+    """
+    if len(metrics) != len(out_cols):
+        raise ValueError("metrics and out_cols must pair up")
+    carry = carry or []
+    exploded = df.select(
+        *group_by,
+        key,
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("mid"), m.cast("long").alias("v")
+                    )
+                    for i, m in enumerate(metrics)
+                ]
+            )
+        ).alias("_mm"),
+    ).select(*group_by, key, *carry, "_mm.mid", "_mm.v")
+    ranked = grouped_row_number(
+        exploded,
+        [*group_by, "mid"],
+        ["v", key],
+        rn_col="_mm_rn",
+        num_partitions=num_partitions,
+        total_col="_mm_n",
+    )
+    bucket = _closed_form_ntile("_mm_rn", "_mm_n", n_buckets)
+    return (
+        ranked.withColumn("_mm_b", bucket.cast("int"))
+        .groupBy(*group_by, key, *carry)
         .agg(
             *[
                 F.max(F.when(F.col("mid") == i, F.col("_mm_b"))).alias(oc)

@@ -43,7 +43,7 @@ from pyspark.sql.streaming import StreamingQuery
 from real_time_data_pipeline_spark.queries.text import CM_SALTS, CM_WIDTH
 from real_time_data_pipeline_spark.operators.text import hash32, words
 from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
-from real_time_data_pipeline_spark.streaming.sinks import upsert_parquet
+from real_time_data_pipeline_spark.streaming.sinks import replace_parquet
 
 _META_SALT = -1  # salt_id of the single last-batch-id marker row
 
@@ -77,7 +77,7 @@ def merge_countmin_batch(
 
     The stored cells and the batch increments sum cell-wise
     (linearity); the new meta row replaces the old one through the
-    same keyed upsert, so marker and cells commit in ONE swap.
+    full-frame rewrite, so marker and cells commit in ONE swap.
     """
     spark = batch_df.sparkSession
     stored = _read_state(spark, state_path)
@@ -118,10 +118,10 @@ def merge_countmin_batch(
         F.col("bucket").cast("bigint"),
         F.col("bc").cast("bigint"),
     ).unionByName(meta)
-    # The merged frame carries EVERY key, so the keyed upsert is a
+    # The merged frame carries EVERY key, so the staged swap is a
     # whole-state replace behind the sinks' crash-safe staged-rename
     # swap (mid-swap crashes recovered by _read_state on next merge).
-    upsert_parquet(out, state_path, keys=["salt_id", "bucket"])
+    replace_parquet(out, state_path)
     return True
 
 

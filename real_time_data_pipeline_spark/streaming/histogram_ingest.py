@@ -35,7 +35,7 @@ v < 1, so a sign test cannot separate the marker) whose ``cnt``
 column carries the last merged batch_id. Addition is not idempotent,
 so the marker IS required for exactly-once merges (the Count-Min
 argument), committed atomically with the cells through the
-staged-rename swap (`upsert_parquet`); readers run the mid-swap crash
+staged-rename swap (`replace_parquet`); readers run the mid-swap crash
 recovery via `_read_state`.
 
 Scale shape: per micro-batch one bucket-keyed partial aggregate
@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
-from real_time_data_pipeline_spark.streaming.sinks import upsert_parquet
+from real_time_data_pipeline_spark.streaming.sinks import replace_parquet
 
 LOG2_DIVS = 8  # buckets per factor of 2; relative width 2^(1/8)-1 ~ 9%
 # far below floor(log2(min positive double) * LOG2_DIVS) ~ -8600:
@@ -137,7 +137,7 @@ def merge_histogram_batch(
         F.col("bucket").cast("bigint"), F.col("cnt").cast("bigint")
     ).unionByName(meta)
     # whole-state replace behind the crash-safe staged-rename swap
-    upsert_parquet(out, state_path, keys=["bucket"])
+    replace_parquet(out, state_path)
     return True
 
 

@@ -189,6 +189,26 @@ def upsert_parquet(
     _swap_write(fs, result, path, tmp_path, jpath, jtmp, jold, exists)
 
 
+def replace_parquet(df: DataFrame, path: str) -> None:
+    """Whole-table replace behind the same crash-safe staged-rename
+    swap as `upsert_parquet`, WITHOUT reading or merging the stored
+    table.
+
+    For writers whose frame already IS the complete next state: the
+    sum-merge sketch twins read the state once, merge it in-plan, and
+    re-emit every key — routing that through the keyed upsert would
+    re-read the same parquet a second time and run a per-key winner
+    election whose old side is provably fully overridden, doubling
+    the fixed per-batch state I/O for nothing. Callers that do NOT
+    carry every stored key (the Bloom/HLL twins emit only touched
+    keys) must keep using `upsert_parquet` — this function drops any
+    key absent from ``df``.
+    """
+    spark = df.sparkSession
+    fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, path)
+    _swap_write(fs, df, path, tmp_path, jpath, jtmp, jold, exists)
+
+
 def _swap_paths(spark: SparkSession, path: str):
     """Resolve the swap-commit sibling paths for ``path`` and run
     crash recovery: a previous commit that died between the two swap

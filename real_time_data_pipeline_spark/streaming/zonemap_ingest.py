@@ -54,7 +54,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
-from real_time_data_pipeline_spark.streaming.sinks import upsert_parquet
+from real_time_data_pipeline_spark.streaming.sinks import (
+    replace_parquet,
+    upsert_parquet,
+)
 
 # Sentinel partition value for the exactly-once marker row. Real
 # part_date values are 'yyyy-MM-dd' strings; a NUL-prefixed name can
@@ -171,7 +174,7 @@ def merge_zonemap_batch(
         F.col("max_value").cast("double"),
     ).unionByName(meta)
     # whole-state replace behind the crash-safe staged-rename swap
-    upsert_parquet(out, stats_path, keys=["part_date"])
+    replace_parquet(out, stats_path)
     return True
 
 

@@ -375,3 +375,29 @@ def test_multi_metric_ntiles_matches_rfm_three_pass(spark):
     got = {r.o_custkey: (r.r_q, r.f_q, r.m_q) for r in one.collect()}
     release_rank_caches()
     assert got == want
+
+
+@pytest.mark.parametrize("rows", CASES, ids=range(len(CASES)))
+def test_grouped_multi_metric_ntiles_matches_window_forms(spark, rows):
+    """The per-group k-metric ntile (metric id folded into the
+    ranking group, one range exchange) equals k independent ANSI
+    ``ntile(n) OVER (PARTITION BY g ORDER BY metric, id)`` windows on
+    every boundary shape, including skewed and singleton groups."""
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_multi_metric_ntiles,
+    )
+
+    df = _frame(spark, rows)
+    metrics = [F.col("v"), -F.col("v")]
+    got = {
+        r.id: (r.g, r.b0, r.b1)
+        for r in grouped_multi_metric_ntiles(
+            df, 3, metrics, ["g"], "id", ["b0", "b1"], num_partitions=4
+        ).collect()
+    }
+    want_df = df
+    for i, m in enumerate(metrics):
+        w = Window.partitionBy("g").orderBy(m.cast("long").asc(), F.asc("id"))
+        want_df = want_df.withColumn(f"b{i}", F.ntile(3).over(w))
+    want = {r.id: (r.g, r.b0, r.b1) for r in want_df.collect()}
+    assert got == want
