@@ -323,7 +323,12 @@ def grouped_multi_metric_ntiles(
     Same contracts as `multi_metric_ntiles`: BIGINT-comparable
     non-NULL metrics, unique ``key`` as the deterministic tie-break;
     returns one row per input row (``group_by`` + ``key`` + ``carry``
-    + one int bucket per metric).
+    + one int bucket per metric). NULL group values are a partition
+    of their own, exactly as in the ANSI window: the (group, metric)
+    ranking key is carried as ONE struct column, whose join/grouping
+    semantics treat NULL fields as equal — a plain multi-column
+    equi-join inside the ranking would silently drop NULL-group rows
+    (`grouped_row_number`'s documented restriction).
     """
     if len(metrics) != len(out_cols):
         raise ValueError("metrics and out_cols must pair up")
@@ -343,9 +348,10 @@ def grouped_multi_metric_ntiles(
             )
         ).alias("_mm"),
     ).select(*group_by, key, *carry, "_mm.mid", "_mm.v")
+    wrapped = exploded.withColumn("_mm_g", F.struct(*group_by, "mid"))
     ranked = grouped_row_number(
-        exploded,
-        [*group_by, "mid"],
+        wrapped,
+        ["_mm_g"],
         ["v", key],
         rn_col="_mm_rn",
         num_partitions=num_partitions,
@@ -385,6 +391,15 @@ def grouped_row_number(
 
     ``total_col``: also attach the group's total row count (joined on
     the group key; AQE broadcasts it while groups are few).
+
+    RESTRICTION: group values must be non-NULL — the internal offset
+    and totals joins are plain equi-joins, where NULL keys never
+    match, so NULL-group rows would silently drop (ANSI windows give
+    NULL its own partition). Callers whose group can be NULL should
+    wrap the group columns in ONE struct column first (struct
+    join/grouping semantics treat NULL fields as equal — see
+    `grouped_multi_metric_ntiles`); making these joins null-safe
+    in place is on the r11 backlog.
     """
     spark = df.sparkSession
     n_parts = num_partitions or int(
@@ -431,7 +446,8 @@ def grouped_exact_ntile(
     """Exact ANSI ``ntile(n) OVER (PARTITION BY group ORDER BY ...)``
     for groups too large for one task — bit-identical to the windowed
     oracle via the closed-form bucket over (per-group rn, per-group
-    total)."""
+    total). Inherits `grouped_row_number`'s non-NULL-group
+    restriction."""
     ranked = grouped_row_number(
         df, group_by, order_by, rn_col="_gr_rn",
         num_partitions=num_partitions, total_col="_gr_n",

@@ -19,12 +19,13 @@ State: ONE parquet table of (pos, bid) rows — at most BLOOM_BITS
 cells (16384 here; a few hundred MB of positions in a
 production-sized filter), regardless of benchmark corpus size — plus
 a single marker row at the FIXED key ``pos = -1`` whose ``bid``
-column carries the last merged batch_id. The marker key must be
-fixed: the keyed upsert retains old keys absent from the new frame,
-so a per-batch marker key would leave one dead row per micro-batch
-behind (same reason the Count-Min twin pins salt_id = -1). Marker
-and cells commit in one staged-rename swap (`upsert_parquet`), and
-readers run the mid-swap crash recovery via `_read_state`.
+column carries the last merged batch_id. The marker key stays
+fixed so exactly one marker row ever exists (the Count-Min
+convention, salt_id = -1). The merge emits the FULL next state
+(stored cells unioned with the batch's increments), so marker and
+cells commit in one whole-state staged-rename swap
+(`replace_parquet`); readers run the mid-swap crash recovery via
+`_read_state`.
 
 Scale shape: per micro-batch one shingle explode + distinct over the
 batch's docs (the batch's own text volume is the only per-batch
@@ -50,7 +51,7 @@ from pyspark.sql.streaming import StreamingQuery
 from real_time_data_pipeline_spark.queries.text import BLOOM_BITS, BLOOM_SALTS
 from real_time_data_pipeline_spark.operators.text import hash32, word_shingles
 from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
-from real_time_data_pipeline_spark.streaming.sinks import upsert_parquet
+from real_time_data_pipeline_spark.streaming.sinks import replace_parquet
 
 
 def _bloom_pos(col: Column, salt: str) -> Column:
@@ -118,7 +119,10 @@ def merge_bloom_batch(
     out = merged.select(
         F.col("pos").cast("bigint"), F.lit(0).cast("bigint").alias("bid")
     ).unionByName(meta)
-    upsert_parquet(out, state_path, keys=["pos"])
+    # `out` carries every stored position (cells unioned in above), so
+    # the staged swap is a whole-state replace — no need to re-read
+    # the table for a keyed merge whose old side is fully overridden.
+    replace_parquet(out, state_path)
     return True
 
 

@@ -27,14 +27,13 @@ State: ONE parquet table of (reg, rho) rows — at most ``HLL_M``
 (4096) register cells regardless of corpus size — plus a single
 marker row at the FIXED key ``reg = -1`` whose ``rho`` column carries
 the last merged foreachBatch batch_id (the Count-Min convention: a
-fixed marker key, because the keyed upsert retains old keys absent
-from the new frame, so a per-batch key would leak one dead row per
-micro-batch). Max-merge makes the marker unnecessary for correctness
-(like Bloom, unlike Count-Min) — it is kept so all three twins share
-one exactly-once contract and the state carries its own progress
-watermark. Marker and cells commit in one staged-rename swap
-(`upsert_parquet`); readers run the mid-swap crash recovery via
-`_read_state`.
+fixed marker key, so exactly one marker row ever exists). Max-merge
+makes the marker unnecessary for correctness (like Bloom, unlike
+Count-Min) — it is kept so all three twins share one exactly-once
+contract and the state carries its own progress watermark. The merge
+emits the FULL next state, so marker and cells commit in one
+whole-state staged-rename swap (`replace_parquet`); readers run the
+mid-swap crash recovery via `_read_state`.
 
 Scale shape: per micro-batch one word explode + one reg-keyed MAX
 partial aggregate (map-side combine; output ≤ HLL_M rows), then a
@@ -59,7 +58,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from real_time_data_pipeline_spark.operators.text import hash60, words
 from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
-from real_time_data_pipeline_spark.streaming.sinks import upsert_parquet
+from real_time_data_pipeline_spark.streaming.sinks import replace_parquet
 
 HLL_P = 12  # register-index bits
 HLL_M = 1 << HLL_P  # 4096 registers; rsd = 1.04/sqrt(m) ~ 1.6%
@@ -142,10 +141,11 @@ def merge_hll_batch(
     out = merged.select(
         F.col("reg").cast("bigint"), F.col("rho").cast("bigint")
     ).unionByName(meta)
-    # The merged frame carries EVERY key, so the keyed upsert is a
-    # whole-state replace behind the sinks' crash-safe staged-rename
-    # swap (mid-swap crashes recovered by _read_state on next merge).
-    upsert_parquet(out, state_path, keys=["reg"])
+    # The merged frame carries EVERY key, so the staged swap is a
+    # whole-state replace (mid-swap crashes recovered by _read_state
+    # on the next merge) — re-reading the table for a keyed merge
+    # would double the per-batch state I/O for nothing.
+    replace_parquet(out, state_path)
     return True
 
 

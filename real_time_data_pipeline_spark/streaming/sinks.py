@@ -194,15 +194,15 @@ def replace_parquet(df: DataFrame, path: str) -> None:
     swap as `upsert_parquet`, WITHOUT reading or merging the stored
     table.
 
-    For writers whose frame already IS the complete next state: the
-    sum-merge sketch twins read the state once, merge it in-plan, and
-    re-emit every key — routing that through the keyed upsert would
-    re-read the same parquet a second time and run a per-key winner
-    election whose old side is provably fully overridden, doubling
-    the fixed per-batch state I/O for nothing. Callers that do NOT
-    carry every stored key (the Bloom/HLL twins emit only touched
-    keys) must keep using `upsert_parquet` — this function drops any
-    key absent from ``df``.
+    For writers whose frame already IS the complete next state: every
+    sketch twin reads the state once, merges it in-plan, and re-emits
+    every key — routing that through the keyed upsert would re-read
+    the same parquet a second time and run a per-key winner election
+    whose old side is provably fully overridden, doubling the fixed
+    per-batch state I/O for nothing. Callers that do NOT carry every
+    stored key (e.g. the retention/zonemap PAIR tables, which emit
+    only the batch's touched keys) must keep using `upsert_parquet`
+    — this function drops any key absent from ``df``.
     """
     spark = df.sparkSession
     fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, path)

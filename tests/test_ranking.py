@@ -401,3 +401,29 @@ def test_grouped_multi_metric_ntiles_matches_window_forms(spark, rows):
         want_df = want_df.withColumn(f"b{i}", F.ntile(3).over(w))
     want = {r.id: (r.g, r.b0, r.b1) for r in want_df.collect()}
     assert got == want
+
+
+def test_grouped_multi_metric_ntiles_null_groups_survive(spark):
+    """NULL group values must rank in their own partition (the ANSI
+    window semantics), not silently vanish — the struct-wrapped
+    ranking key is what makes the internal joins null-safe."""
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_multi_metric_ntiles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 3, None), (1, 1, None), (2, 2, "a"), (3, 5, "a"), (4, 4, None)],
+        "id long, v long, g string",
+    )
+    got = {
+        r.id: (r.g, r.bv)
+        for r in grouped_multi_metric_ntiles(
+            df, 2, [F.col("v")], ["g"], "id", ["bv"], num_partitions=3
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want = {
+        r.id: (r.g, r.bv)
+        for r in df.withColumn("bv", F.ntile(2).over(w)).collect()
+    }
+    assert got == want and len(got) == 5

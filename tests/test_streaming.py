@@ -2232,3 +2232,27 @@ def test_twin_markers_reject_checkpoint_reset(spark, tmp_path):
     assert merge_zonemap_batch(ev, stats, users, batch_id=5) is False
     with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
         merge_zonemap_batch(ev, stats, users, batch_id=4)
+
+    # the guard is hand-copied into every twin — pin all of them
+    from real_time_data_pipeline_spark.streaming.bloom_ingest import (
+        merge_bloom_batch,
+    )
+    from real_time_data_pipeline_spark.streaming.histogram_ingest import (
+        merge_histogram_batch,
+    )
+    from real_time_data_pipeline_spark.streaming.hll_ingest import (
+        merge_hll_batch,
+    )
+
+    bl = str(tmp_path / "bl_state")
+    assert merge_bloom_batch(docs, bl, batch_id=2) is True
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_bloom_batch(docs, bl, batch_id=1)
+    hl = str(tmp_path / "hl_state")
+    assert merge_hll_batch(docs, hl, batch_id=2) is True
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_hll_batch(docs, hl, batch_id=1)
+    hi = str(tmp_path / "hi_state")
+    assert merge_histogram_batch(ev, hi, batch_id=2) is True
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_histogram_batch(ev, hi, batch_id=1)
