@@ -661,3 +661,37 @@ def test_pq_adc_scoring_joins_are_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # codebooks + distance table
+
+
+def test_grouped_multi_metric_ntiles_single_range_exchange(spark):
+    """The grouped k-metric ntile shares ONE range exchange across
+    all k per-group rankings, same as the global form: every
+    rangepartitioning occurrence carries the SAME struct-key sort
+    (the repeats are the persisted cache's subplan printing once per
+    consumer branch)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_multi_metric_ntiles,
+        release_rank_caches,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    out = grouped_multi_metric_ntiles(
+        cust,
+        4,
+        [F.round(F.col("c_acctbal") * 100), F.col("c_custkey") % 7],
+        ["c_mktsegment"],
+        "c_custkey",
+        ["bal_q", "mod_q"],
+    )
+    plan = _plan(out)
+    release_rank_caches()
+    keysets = {
+        re.sub(r"#\d+L?", "", m.group(1))
+        for m in re.finditer(r"rangepartitioning\(([^)]*)\)", plan)
+    }
+    assert len(keysets) == 1, keysets
+    assert "InMemoryTableScan" in plan
