@@ -154,26 +154,7 @@ def exact_ntile(
         df, order_by, rn_col="_gr_rn",
         num_partitions=num_partitions, total_col="_gr_n",
     )
-    rn, n = F.col("_gr_rn"), F.col("_gr_n")
-    quot = F.expr(f"_gr_n div {n_buckets}")
-    rem = n % n_buckets
-    head = rem * (quot + 1)  # rows covered by the (quot+1)-sized buckets
-    bucket = (
-        # more buckets than rows: row i lands alone in bucket i
-        F.when(quot == F.lit(0), rn)
-        .when(
-            rn <= head,
-            F.expr(f"(_gr_rn - 1) div ((_gr_n div {n_buckets}) + 1)") + F.lit(1),
-        )
-        .otherwise(
-            rem
-            + F.expr(
-                f"(_gr_rn - 1 - (_gr_n % {n_buckets}) * ((_gr_n div {n_buckets}) + 1))"
-                f" div (_gr_n div {n_buckets})"
-            )
-            + F.lit(1)
-        )
-    )
+    bucket = _closed_form_ntile("_gr_rn", "_gr_n", n_buckets)
     return (
         ranked.withColumn(out_col, bucket.cast("int")).drop("_gr_rn", "_gr_n")
     )
@@ -209,6 +190,48 @@ def _closed_form_ntile(rn_col: str, n_col: str, n_buckets: int) -> Column:
     )
 
 
+def _validated_long_metrics(
+    df: DataFrame, metrics: "list[Column]"
+) -> "list[Column]":
+    """Resolve each metric against ``df`` (driver-side analysis, no
+    job) and fail LOUDLY unless its type survives a lossless,
+    order-preserving cast to long. The multi-metric ntile helpers sort
+    all k metrics through ONE shared BIGINT key column; a silent
+    ``cast('long')`` of a double/decimal metric would truncate and
+    mis-bucket with no error (the contract previously lived only in
+    the docstring). Integral types (byte/short/int/long) and boolean
+    pass; everything else names the fix in the error — dates become
+    ``datediff(d, '1970-01-01')`` epoch days, money becomes integer
+    cents — so a contract violation fails at plan time, not in the
+    buckets."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    resolved = df.select(
+        *[m.alias(f"_mm_chk_{i}") for i, m in enumerate(metrics)]
+    ).schema
+    for i, field in enumerate(resolved.fields):
+        if not isinstance(
+            field.dataType,
+            (ByteType, ShortType, IntegerType, LongType, BooleanType),
+        ):
+            raise TypeError(
+                f"multi-metric ntile metric #{i} has type "
+                f"{field.dataType.simpleString()}, which does not cast "
+                "losslessly to long; pre-cast it yourself (dates -> "
+                "datediff(col, '1970-01-01') epoch days, money -> "
+                "round(x*100) integer cents, floats -> an explicit "
+                "integer quantization) so the shared sort key cannot "
+                "silently truncate."
+            )
+    return [m.cast("long") for m in metrics]
+
+
 def multi_metric_ntiles(
     df: DataFrame,
     n_buckets: int,
@@ -235,7 +258,9 @@ def multi_metric_ntiles(
     ``metrics`` must be BIGINT-comparable columns (cast dates to epoch
     days, money to integer cents first): all k metrics share one sort
     key column, so their values must survive a lossless cast to long
-    with order preserved. Metrics should be non-NULL — NULLs rank
+    with order preserved — ENFORCED at plan time
+    (`_validated_long_metrics` rejects fractional/date/string metrics
+    with the fix spelled out). Metrics should be non-NULL — NULLs rank
     NULLS-FIRST (Spark ascending default), which matches Spark's own
     ``ntile`` window but NOT a DuckDB oracle's NULLS-LAST default.
     ``key`` must be unique per row — it is the ANSI tie-break that
@@ -255,6 +280,10 @@ def multi_metric_ntiles(
         raise ValueError("metrics and out_cols must pair up")
     carry = carry or []
     k = len(metrics)
+    longs = _validated_long_metrics(df, metrics)
+    # Internal names carry the _mm_ prefix so a caller whose key/carry
+    # columns are named "mid" or "v" can never collide into an
+    # ambiguous-reference AnalysisException.
     exploded = df.select(
         key,
         *carry,
@@ -262,16 +291,16 @@ def multi_metric_ntiles(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("mid"), m.cast("long").alias("v")
+                        F.lit(i).alias("_mm_mid"), m.alias("_mm_v")
                     )
-                    for i, m in enumerate(metrics)
+                    for i, m in enumerate(longs)
                 ]
             )
         ).alias("_mm"),
-    ).select(key, *carry, "_mm.mid", "_mm.v")
+    ).select(key, *carry, "_mm._mm_mid", "_mm._mm_v")
     ranked = global_row_number(
         exploded,
-        ["mid", "v", key],
+        ["_mm_mid", "_mm_v", key],
         rn_col="_mm_rn",
         num_partitions=num_partitions,
         total_col="_mm_total",
@@ -282,7 +311,7 @@ def multi_metric_ntiles(
         # rank within the metric, 1..n (the composite ordering sorts
         # metric 0's rows entirely before metric 1's)
         "_mm_mrn",
-        F.col("_mm_rn") - F.col("mid") * F.col("_mm_n"),
+        F.col("_mm_rn") - F.col("_mm_mid") * F.col("_mm_n"),
     )
     bucket = _closed_form_ntile("_mm_mrn", "_mm_n", n_buckets)
     return (
@@ -290,7 +319,7 @@ def multi_metric_ntiles(
         .groupBy(key, *carry)
         .agg(
             *[
-                F.max(F.when(F.col("mid") == i, F.col("_mm_b"))).alias(oc)
+                F.max(F.when(F.col("_mm_mid") == i, F.col("_mm_b"))).alias(oc)
                 for i, oc in enumerate(out_cols)
             ]
         )
@@ -333,6 +362,9 @@ def grouped_multi_metric_ntiles(
     if len(metrics) != len(out_cols):
         raise ValueError("metrics and out_cols must pair up")
     carry = carry or []
+    longs = _validated_long_metrics(df, metrics)
+    # _mm_-prefixed internals, same collision-proofing as the global
+    # form.
     exploded = df.select(
         *group_by,
         key,
@@ -341,18 +373,18 @@ def grouped_multi_metric_ntiles(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("mid"), m.cast("long").alias("v")
+                        F.lit(i).alias("_mm_mid"), m.alias("_mm_v")
                     )
-                    for i, m in enumerate(metrics)
+                    for i, m in enumerate(longs)
                 ]
             )
         ).alias("_mm"),
-    ).select(*group_by, key, *carry, "_mm.mid", "_mm.v")
-    wrapped = exploded.withColumn("_mm_g", F.struct(*group_by, "mid"))
+    ).select(*group_by, key, *carry, "_mm._mm_mid", "_mm._mm_v")
+    wrapped = exploded.withColumn("_mm_g", F.struct(*group_by, "_mm_mid"))
     ranked = grouped_row_number(
         wrapped,
         ["_mm_g"],
-        ["v", key],
+        ["_mm_v", key],
         rn_col="_mm_rn",
         num_partitions=num_partitions,
         total_col="_mm_n",
@@ -363,7 +395,7 @@ def grouped_multi_metric_ntiles(
         .groupBy(*group_by, key, *carry)
         .agg(
             *[
-                F.max(F.when(F.col("mid") == i, F.col("_mm_b"))).alias(oc)
+                F.max(F.when(F.col("_mm_mid") == i, F.col("_mm_b"))).alias(oc)
                 for i, oc in enumerate(out_cols)
             ]
         )
@@ -452,25 +484,7 @@ def grouped_exact_ntile(
         df, group_by, order_by, rn_col="_gr_rn",
         num_partitions=num_partitions, total_col="_gr_n",
     )
-    rn, n = F.col("_gr_rn"), F.col("_gr_n")
-    quot = F.expr(f"_gr_n div {n_buckets}")
-    rem = n % n_buckets
-    head = rem * (quot + 1)
-    bucket = (
-        F.when(quot == F.lit(0), rn)
-        .when(
-            rn <= head,
-            F.expr(f"(_gr_rn - 1) div ((_gr_n div {n_buckets}) + 1)") + F.lit(1),
-        )
-        .otherwise(
-            rem
-            + F.expr(
-                f"(_gr_rn - 1 - (_gr_n % {n_buckets}) * ((_gr_n div {n_buckets}) + 1))"
-                f" div (_gr_n div {n_buckets})"
-            )
-            + F.lit(1)
-        )
-    )
+    bucket = _closed_form_ntile("_gr_rn", "_gr_n", n_buckets)
     return ranked.withColumn(out_col, bucket.cast("int")).drop("_gr_rn", "_gr_n")
 
 

@@ -45,23 +45,21 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # check window ahead of merely-stale greens. Maintained by hand at
 # edit time; cleared once the next round's gate re-confirms them.
 EDITED_THIS_ROUND: set = {
-    # r9 entries (graph family artifacts, lsh_candidate_efficiency,
-    # yearly_revenue_growth, text_ngram_novelty) cleared after
-    # CORRECTNESS_r09 confirmed all of them green.
-    # r10: the shared novelty first-owner build dropped its inner
-    # (orphaned) materialization (ADVICE r9) — both consumers re-enter
-    # the window
-    "text_ngram_novelty",
-    "text_trigram_novelty_by_source",
-    # r10: two-hop sketch refactored through the callable
-    # two_hop_reach_sketch operator (same expressions, new code path)
-    "graph_two_hop_reach_sketch",
-    # r10 review fixes: NULL-ts exclusion (both engines) in the
-    # growth curve; PQ encode pass reuses the codebook-training
-    # subvector materialization (already in the window as
-    # never-green; listed for bookkeeping)
-    "event_cumulative_new_users",
-    "embed_pq_adc_topk",
+    # r10 entries (novelty pair, two-hop sketch, cumulative-new-users,
+    # PQ/ADC) cleared after CORRECTNESS_r10 confirmed all of them
+    # green.
+    # r11: flipped onto the single-exchange multi_metric_ntiles
+    # operator (measured ~2.3x, bit-identical —
+    # scripts/rfm_single_exchange_experiment.py)
+    "agg_customer_rfm_segments",
+    # r11: exact_ntile / grouped_exact_ntile refactored onto the
+    # shared _closed_form_ntile helper (one copy of the ANSI bucket
+    # formula; same expression tree, new code path) — every
+    # ntile-backed query re-enters the window
+    "agg_rfm_segmentation",
+    "agg_order_value_deciles",
+    "data_temporal_split",
+    "corpus_length_terciles_by_lang",
 }
 
 

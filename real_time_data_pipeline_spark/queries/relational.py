@@ -2521,34 +2521,33 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and revenue mass — the classic CRM cut ("champions" at
     5/5/5, "at-risk big spenders" at 1/·/5).
 
-    All three quintile assignments use `exact_ntile` — bit-identical
-    to ANSI `ntile(5) OVER (ORDER BY metric, custkey)` (the custkey
-    tie-break makes every assignment deterministic) but built on the
-    pid-partitioned global row_number, so the plan contains NO
-    unpartitioned window: three range shuffles over the
-    customer-grain frame (dimension-sized, never fact-sized), then
-    one ≤125-group aggregate. Monetary is exact integer cents.
-
-    A single-exchange variant is measured and pending adoption
-    (`scripts/rfm_single_exchange_experiment.py`): explode the three
-    metrics into one (metric_id, value) frame (dates as epoch days),
-    take ONE global row_number over (metric_id, value, custkey), and
-    the per-metric rank is rn − metric_id·n — bit-identical to this
-    form at sf0.01 and sf0.1 and ~2.3× faster at sf0.1 (3.02 s →
-    1.33 s median of 5). Adoption deferred one round: an
-    implementation edit would re-enter this query into the current
-    external-check window and displace the final slot of the r5
-    cohort rotation.
+    All three quintile assignments come from ONE range exchange via
+    `multi_metric_ntiles` (adopted r11 after the r10 measurement in
+    `scripts/rfm_single_exchange_experiment.py`: ~2.3× over the
+    chained three-pass `exact_ntile` form at sf0.1, bit-identical at
+    sf0.01 and sf0.1): the customer frame explodes into (metric_id,
+    value) rows — recency as epoch days so all metrics share a
+    lossless BIGINT sort key — then ONE global row_number over
+    (metric_id, value, custkey) yields all three rankings, since the
+    composite ordering sorts metric 0's rows entirely before metric
+    1's and the per-metric rank is rn − metric_id·n. The closed-form
+    ANSI bucket arithmetic gives each quintile, and a ≤3-wide
+    conditional pivot restores customer grain. Bit-identical to ANSI
+    `ntile(5) OVER (ORDER BY metric, custkey)` (the custkey tie-break
+    makes every assignment deterministic) with NO unpartitioned
+    window anywhere, then one ≤125-group aggregate. Monetary is exact
+    integer cents.
     """
-    from real_time_data_pipeline_spark.operators.ranking import exact_ntile
+    from real_time_data_pipeline_spark.operators.ranking import (
+        multi_metric_ntiles,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    # Truncate lineage ONCE before the three chained ntile passes:
-    # each exact_ntile references its input in two branches (range
-    # exchange + offset build), so an unmaterialized base would put
-    # ~2^3 copies of the orders aggregate in the plan for Catalyst to
-    # analyze. The customer-grain frame is dimension-sized.
+    # Truncate lineage ONCE before the ntile pass: the operator fans
+    # its exploded frame into two branches (range exchange + offset
+    # build), so an unmaterialized base would be analyzed twice. The
+    # customer-grain frame is dimension-sized.
     c = reliable_materialize(
         orders.groupBy("o_custkey").agg(
             F.max("o_orderdate").alias("last_order"),
@@ -2556,9 +2555,18 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("monetary_cents"),
         )
     )
-    c = exact_ntile(c, 5, ["last_order", "o_custkey"], "r_quintile")
-    c = exact_ntile(c, 5, ["n_orders", "o_custkey"], "f_quintile")
-    c = exact_ntile(c, 5, ["monetary_cents", "o_custkey"], "m_quintile")
+    c = multi_metric_ntiles(
+        c,
+        5,
+        [
+            F.datediff("last_order", F.lit("1970-01-01")),
+            F.col("n_orders"),
+            F.col("monetary_cents"),
+        ],
+        "o_custkey",
+        ["r_quintile", "f_quintile", "m_quintile"],
+        carry=["monetary_cents"],
+    )
     return c.groupBy(
         F.col("r_quintile").cast("long").alias("r_quintile"),
         F.col("f_quintile").cast("long").alias("f_quintile"),

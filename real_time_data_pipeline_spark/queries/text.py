@@ -1853,6 +1853,77 @@ def q_length_terciles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTI_QUINTILE_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), q AS (
+      SELECT lang, n_chars,
+             ntile(5) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS len_quintile,
+             ntile(5) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id)
+               AS tok_quintile
+      FROM d
+    )
+    SELECT lang,
+           CAST(len_quintile AS BIGINT) AS len_quintile,
+           CAST(tok_quintile AS BIGINT) AS tok_quintile,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM q GROUP BY 1, 2, 3
+"""
+
+
+@query("corpus_multi_quintiles_by_lang", oracle=_MULTI_QUINTILE_ORACLE)
+def q_multi_quintiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length × token-count quintile grid — the
+    two-metric CCNet-style cut (`corpus_length_terciles_by_lang` is
+    the one-metric form): every document scored into a within-language
+    quintile on BOTH raw length and whitespace token count, rolled up
+    to the ≤25-cell-per-language grid. The off-diagonal cells are the
+    curation signal (long docs with few tokens = markup/binary junk;
+    short docs with many tokens = fragment spam).
+
+    Scale shape: both quintile assignments come from ONE range
+    exchange via `grouped_multi_metric_ntiles` (the motivating shape
+    in its docstring) — the frame explodes into (lang, metric_id,
+    value) rows, one grouped row_number ranks every (lang, metric)
+    partition run, and the closed-form ANSI bucket arithmetic gives
+    each quintile; chained `grouped_exact_ntile` calls would pay one
+    range shuffle PER metric over the same corpus. Bit-identical to
+    the two windowed oracles (doc_id tie-break); mega-languages span
+    a RUN of partitions, never one task.
+    """
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_multi_metric_ntiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    q = grouped_multi_metric_ntiles(
+        docs,
+        5,
+        [F.col("n_chars"), F.col("n_tokens")],
+        ["lang"],
+        "doc_id",
+        ["len_quintile", "tok_quintile"],
+        carry=["n_chars"],
+    )
+    return q.groupBy(
+        "lang",
+        F.col("len_quintile").cast("long").alias("len_quintile"),
+        F.col("tok_quintile").cast("long").alias("tok_quintile"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 @query(
     "multimodal_shard_plan",
     oracle="""

@@ -616,7 +616,7 @@ def test_multi_metric_ntiles_single_range_exchange(spark):
     k rankings. Chained `exact_ntile` plans k DIFFERENT range
     partitionings (one per metric's sort keys); here every
     rangepartitioning occurrence in the plan must carry the SAME
-    (mid, v, key) key set — the string repeats only because the
+    (_mm_mid, _mm_v, key) key set — the string repeats only because the
     persisted cache's subplan prints once per consumer branch — and
     the data-sized ranking window must be pid-partitioned (the only
     unpartitioned window is the numPartitions-row offsets frame)."""
@@ -633,7 +633,7 @@ def test_multi_metric_ntiles_single_range_exchange(spark):
     out = multi_metric_ntiles(
         cust,
         5,
-        [F.round(F.col("c_acctbal") * 100), F.col("c_nationkey")],
+        [F.round(F.col("c_acctbal") * 100).cast("long"), F.col("c_nationkey")],
         "c_custkey",
         ["bal_q", "nat_q"],
     )
@@ -645,7 +645,7 @@ def test_multi_metric_ntiles_single_range_exchange(spark):
     }
     assert len(keysets) == 1, keysets
     (keys,) = keysets
-    assert "mid" in keys and "c_custkey" in keys
+    assert "_mm_mid" in keys and "c_custkey" in keys
     assert "windowspecdefinition(_gr_pid" in plan  # ranking window is pid-bound
     assert "InMemoryTableScan" in plan  # one shared canonicalized exchange
 
@@ -682,7 +682,7 @@ def test_grouped_multi_metric_ntiles_single_range_exchange(spark):
     out = grouped_multi_metric_ntiles(
         cust,
         4,
-        [F.round(F.col("c_acctbal") * 100), F.col("c_custkey") % 7],
+        [F.round(F.col("c_acctbal") * 100).cast("long"), F.col("c_custkey") % 7],
         ["c_mktsegment"],
         "c_custkey",
         ["bal_q", "mod_q"],

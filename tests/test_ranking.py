@@ -330,6 +330,38 @@ def test_multi_metric_ntiles_carry_and_arity(spark):
         multi_metric_ntiles(df, 2, [F.col("v")], "id", ["a", "b"])
 
 
+def test_multi_metric_ntiles_rejects_lossy_metric_types(spark):
+    """ADVICE r10: a fractional metric silently cast('long') would
+    truncate and mis-bucket with no error. Both multi-metric helpers
+    now fail at plan time with the pre-cast fix named; integral
+    metrics still pass, and internal `_mm_`-prefixed names mean a
+    caller column literally named `mid` or `v` cannot collide."""
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_multi_metric_ntiles,
+        multi_metric_ntiles,
+    )
+
+    df = _frame(spark, [(3, "a"), (1, "b"), (2, "c")])
+    dbl = df.withColumn("score", F.col("v") * 0.5)
+    with pytest.raises(TypeError, match="pre-cast"):
+        multi_metric_ntiles(dbl, 2, [F.col("score")], "id", ["q"])
+    with pytest.raises(TypeError, match="pre-cast"):
+        grouped_multi_metric_ntiles(
+            dbl, 2, [F.col("score")], ["g"], "id", ["q"]
+        )
+    # collision-proofing: caller columns named mid / v both survive
+    clash = df.withColumnRenamed("g", "mid")
+    out = multi_metric_ntiles(
+        clash, 2, [F.col("v")], "id", ["bv"], carry=["mid", "v"],
+        num_partitions=2,
+    )
+    assert {r.id: (r.mid, r.v, r.bv) for r in out.collect()} == {
+        0: ("a", 3, 2),
+        1: ("b", 1, 1),
+        2: ("c", 2, 1),
+    }
+
+
 def test_multi_metric_ntiles_matches_rfm_three_pass(spark):
     """End-to-end against the shipped RFM query's three chained
     `exact_ntile` passes at sf0.001: the r11 adoption target must be
