@@ -51,7 +51,10 @@ from pyspark.sql.streaming import StreamingQuery
 from real_time_data_pipeline_spark.queries.text import BLOOM_BITS, BLOOM_SALTS
 from real_time_data_pipeline_spark.operators.text import hash32, word_shingles
 from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
-from real_time_data_pipeline_spark.streaming.sinks import replace_parquet
+from real_time_data_pipeline_spark.streaming.sinks import (
+    committed_marker_check,
+    replace_parquet,
+)
 
 
 def _bloom_pos(col: Column, salt: str) -> Column:
@@ -97,21 +100,8 @@ def merge_bloom_batch(
             .agg(F.max("bid").alias("last"))
             .first()["last"]
         )
-        if marker is not None:
-            if batch_id == marker:
-                return False  # foreachBatch retry of the committed batch
-            if batch_id < marker:
-                # A batch id BELOW the committed marker cannot be a
-                # retry (foreachBatch re-delivers the same id): the
-                # stream's checkpoint was reset against existing
-                # state. Skipping would silently drop these batches'
-                # data forever; fail loudly instead — delete/repoint
-                # either the state path or the checkpointLocation.
-                raise ValueError(
-                    f"batch_id {batch_id} is below the committed "
-                    f"marker {marker}: checkpoint/state mismatch "
-                    "(fresh checkpointLocation over existing state?)"
-                )
+        if committed_marker_check(marker, batch_id):
+            return False  # foreachBatch retry of the committed batch
         cells = stored.where(F.col("pos") >= 0).select("pos")
     inc = bloom_bit_increments(batch_df, text_col, shingle_n)
     merged = inc if cells is None else cells.unionByName(inc).distinct()

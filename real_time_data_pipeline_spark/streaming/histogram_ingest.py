@@ -58,7 +58,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
-from real_time_data_pipeline_spark.streaming.sinks import replace_parquet
+from real_time_data_pipeline_spark.streaming.sinks import (
+    committed_marker_check,
+    replace_parquet,
+)
 
 LOG2_DIVS = 8  # buckets per factor of 2; relative width 2^(1/8)-1 ~ 9%
 # far below floor(log2(min positive double) * LOG2_DIVS) ~ -8600:
@@ -108,21 +111,8 @@ def merge_histogram_batch(
             .agg(F.max("cnt").alias("last"))
             .first()["last"]
         )
-        if marker is not None:
-            if batch_id == marker:
-                return False  # foreachBatch retry of the committed batch
-            if batch_id < marker:
-                # A batch id BELOW the committed marker cannot be a
-                # retry (foreachBatch re-delivers the same id): the
-                # stream's checkpoint was reset against existing
-                # state. Skipping would silently drop these batches'
-                # data forever; fail loudly instead — delete/repoint
-                # either the state path or the checkpointLocation.
-                raise ValueError(
-                    f"batch_id {batch_id} is below the committed "
-                    f"marker {marker}: checkpoint/state mismatch "
-                    "(fresh checkpointLocation over existing state?)"
-                )
+        if committed_marker_check(marker, batch_id):
+            return False  # foreachBatch retry of the committed batch
         cells = stored.where(F.col("bucket") != _META_BUCKET)
     inc = histogram_increments(batch_df, value_col)
     merged = inc if cells is None else (

@@ -58,7 +58,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from real_time_data_pipeline_spark.operators.text import hash60, words
 from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
-from real_time_data_pipeline_spark.streaming.sinks import replace_parquet
+from real_time_data_pipeline_spark.streaming.sinks import (
+    committed_marker_check,
+    replace_parquet,
+)
 
 HLL_P = 12  # register-index bits
 HLL_M = 1 << HLL_P  # 4096 registers; rsd = 1.04/sqrt(m) ~ 1.6%
@@ -117,21 +120,8 @@ def merge_hll_batch(
             .agg(F.max("rho").alias("last"))
             .first()["last"]
         )
-        if marker is not None:
-            if batch_id == marker:
-                return False  # foreachBatch retry of the committed batch
-            if batch_id < marker:
-                # A batch id BELOW the committed marker cannot be a
-                # retry (foreachBatch re-delivers the same id): the
-                # stream's checkpoint was reset against existing
-                # state. Skipping would silently drop these batches'
-                # data forever; fail loudly instead — delete/repoint
-                # either the state path or the checkpointLocation.
-                raise ValueError(
-                    f"batch_id {batch_id} is below the committed "
-                    f"marker {marker}: checkpoint/state mismatch "
-                    "(fresh checkpointLocation over existing state?)"
-                )
+        if committed_marker_check(marker, batch_id):
+            return False  # foreachBatch retry of the committed batch
         cells = stored.where(F.col("reg") >= 0)
     inc = hll_register_increments(batch_df, text_col)
     merged = inc if cells is None else (

@@ -209,6 +209,38 @@ def replace_parquet(df: DataFrame, path: str) -> None:
     _swap_write(fs, df, path, tmp_path, jpath, jtmp, jold, exists)
 
 
+def committed_marker_check(marker, batch_id: int) -> bool:
+    """The sketch twins' exactly-once contract in ONE place (every
+    twin stores its last-merged foreachBatch batch_id as an in-table
+    marker row): returns True when ``batch_id`` equals the committed
+    ``marker`` — a foreachBatch RETRY of the already-merged batch,
+    which the caller must skip (idempotent either way, but skipping
+    keeps the marker monotone and the write amplification zero) — and
+    False when the batch is new (marker is None or batch_id is
+    ahead).
+
+    A batch id BELOW the committed marker cannot be a retry
+    (foreachBatch re-delivers the same id): the stream's checkpoint
+    was reset against existing state. Skipping would silently drop
+    those batches' data forever, so this raises instead — the
+    operator must delete/repoint either the state path or the
+    checkpointLocation. Previously each twin hand-copied this guard
+    (ADVICE r10); `tests/test_streaming.py`'s
+    checkpoint-reset tests pin the shared contract for all of them.
+    """
+    if marker is None:
+        return False
+    if batch_id == marker:
+        return True
+    if batch_id < marker:
+        raise ValueError(
+            f"batch_id {batch_id} is below the committed "
+            f"marker {marker}: checkpoint/state mismatch "
+            "(fresh checkpointLocation over existing state?)"
+        )
+    return False
+
+
 def _swap_paths(spark: SparkSession, path: str):
     """Resolve the swap-commit sibling paths for ``path`` and run
     crash recovery: a previous commit that died between the two swap

@@ -34,12 +34,15 @@ any chunking of it (sum/min/max linearity), which the parity tests
 assert cell-for-cell.
 
 Parity contract (tests/test_streaming.py): rows with NULL event time
-are EXCLUDED on both sides (a NULL partition value is not a
-partition; the batch registry query only meets such rows in corpora
-that contain them — the driver tables do not). NULL user_id rows
-count toward n_rows but never enter the pair state, matching
-``count(DISTINCT user_id)`` semantics. `read_zonemap` reproduces the
-`data_partition_zonemap` registry frame column-for-column.
+are EXCLUDED from this twin's state (the stream's watermark would
+drop them anyway, and a NULL partition value is not a partition).
+The batch registry query `data_partition_zonemap` does NOT exclude
+them — it emits a NULL part_date group — so on a corpus containing
+NULL-ts rows `read_zonemap` matches the registry frame MINUS that
+one NULL-partition row; on the driver tables (no NULL ts) the two
+are column-for-column identical, which is what the parity test
+asserts. NULL user_id rows count toward n_rows but never enter the
+pair state, matching ``count(DISTINCT user_id)`` semantics.
 
 Reference behavior twinned: the reference's gold job recomputes its
 aggregate from the silver path every trigger
@@ -55,6 +58,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
 from real_time_data_pipeline_spark.streaming.sinks import (
+    committed_marker_check,
     replace_parquet,
     upsert_parquet,
 )
@@ -128,21 +132,8 @@ def merge_zonemap_batch(
             .agg(F.max("n_rows").alias("last"))
             .first()["last"]
         )
-        if marker is not None:
-            if batch_id == marker:
-                return False  # foreachBatch retry of the committed batch
-            if batch_id < marker:
-                # A batch id BELOW the committed marker cannot be a
-                # retry (foreachBatch re-delivers the same id): the
-                # stream's checkpoint was reset against existing
-                # state. Skipping would silently drop these batches'
-                # data forever; fail loudly instead — delete/repoint
-                # either the state path or the checkpointLocation.
-                raise ValueError(
-                    f"batch_id {batch_id} is below the committed "
-                    f"marker {marker}: checkpoint/state mismatch "
-                    "(fresh checkpointLocation over existing state?)"
-                )
+        if committed_marker_check(marker, batch_id):
+            return False  # foreachBatch retry of the committed batch
         cells = stored.where(F.col("part_date") != _META_DATE)
 
     # idempotent half first (see docstring)

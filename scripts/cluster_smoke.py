@@ -49,6 +49,38 @@ DEFAULT_QUERIES = [
 ]
 
 
+class PhaseTimeout(Exception):
+    pass
+
+
+def _run_phase(spark, label: str, fn, timeout_s: float) -> str:
+    """Run one smoke phase under a HARD wall-clock deadline.
+
+    Pin of the r10 kill-loop deadlock class (docs/cluster-smoke.md:
+    the count-based executor wait could deadlock with spark.cores.max
+    saturated; fixed via address-set tracking): a future regression of
+    that shape must FAIL the smoke, not hang it. The phase runs in a
+    daemon thread; on deadline every in-flight Spark job is cancelled
+    (so a stuck stage aborts and the thread can die with it) and a
+    PhaseTimeout propagates to the caller's normal FAIL accounting.
+    """
+    import concurrent.futures
+
+    ex = concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix=f"smoke-{label}"
+    )
+    fut = ex.submit(fn)
+    try:
+        return fut.result(timeout=timeout_s)
+    except concurrent.futures.TimeoutError:
+        spark.sparkContext.cancelAllJobs()
+        raise PhaseTimeout(
+            f"phase exceeded {timeout_s:.0f}s deadline (jobs cancelled)"
+        ) from None
+    finally:
+        ex.shutdown(wait=False)
+
+
 def _spark_home() -> str:
     import pyspark
 
@@ -543,7 +575,12 @@ def main() -> int:
             )
 
         try:
-            status = _artifact_loss_smoke(spark, procs[1:3], _respawn_worker)
+            status = _run_phase(
+                spark,
+                "artifact_executor_loss",
+                lambda: _artifact_loss_smoke(spark, procs[1:3], _respawn_worker),
+                timeout_s=420,
+            )
             print(
                 f"  artifact_executor_loss: {status} "
                 f"({time.perf_counter() - t0:.1f}s)",
@@ -585,90 +622,34 @@ def main() -> int:
                 print(f"  {name}: FAIL {str(exc).splitlines()[0][:200]}", flush=True)
             finally:
                 release_rank_caches()
-        t0 = time.perf_counter()
-        try:
-            status = _streaming_smoke(spark)
-            print(
-                f"  streaming_gold_15m: {status} "
-                f"({time.perf_counter() - t0:.1f}s)",
-                flush=True,
-            )
-        except Exception as exc:  # noqa: BLE001 — report, then fail
-            failures += 1
-            print(
-                f"  streaming_gold_15m: FAIL {str(exc).splitlines()[0][:200]}",
-                flush=True,
-            )
-        t0 = time.perf_counter()
-        try:
-            status = _retention_ingest_smoke(spark)
-            print(
-                f"  retention_ingest: {status} "
-                f"({time.perf_counter() - t0:.1f}s)",
-                flush=True,
-            )
-        except Exception as exc:  # noqa: BLE001 — report, then fail
-            failures += 1
-            print(
-                f"  retention_ingest: FAIL {str(exc).splitlines()[0][:200]}",
-                flush=True,
-            )
-        t0 = time.perf_counter()
-        try:
-            status = _countmin_ingest_smoke(spark)
-            print(
-                f"  countmin_ingest: {status} "
-                f"({time.perf_counter() - t0:.1f}s)",
-                flush=True,
-            )
-        except Exception as exc:  # noqa: BLE001 — report, then fail
-            failures += 1
-            print(
-                f"  countmin_ingest: FAIL {str(exc).splitlines()[0][:200]}",
-                flush=True,
-            )
-        t0 = time.perf_counter()
-        try:
-            status = _hll_ingest_smoke(spark)
-            print(
-                f"  hll_ingest: {status} "
-                f"({time.perf_counter() - t0:.1f}s)",
-                flush=True,
-            )
-        except Exception as exc:  # noqa: BLE001 — report, then fail
-            failures += 1
-            print(
-                f"  hll_ingest: FAIL {str(exc).splitlines()[0][:200]}",
-                flush=True,
-            )
-        t0 = time.perf_counter()
-        try:
-            status = _zonemap_ingest_smoke(spark)
-            print(
-                f"  zonemap_ingest: {status} "
-                f"({time.perf_counter() - t0:.1f}s)",
-                flush=True,
-            )
-        except Exception as exc:  # noqa: BLE001 — report, then fail
-            failures += 1
-            print(
-                f"  zonemap_ingest: FAIL {str(exc).splitlines()[0][:200]}",
-                flush=True,
-            )
-        t0 = time.perf_counter()
-        try:
-            status = _histogram_ingest_smoke(spark)
-            print(
-                f"  histogram_ingest: {status} "
-                f"({time.perf_counter() - t0:.1f}s)",
-                flush=True,
-            )
-        except Exception as exc:  # noqa: BLE001 — report, then fail
-            failures += 1
-            print(
-                f"  histogram_ingest: FAIL {str(exc).splitlines()[0][:200]}",
-                flush=True,
-            )
+        # Streaming-twin phases, each under the same hard deadline
+        # (recorded healthy runs finish in 8-15 s; the 240 s budget is
+        # pure hang insurance, not a perf bound).
+        phases = [
+            ("streaming_gold_15m", _streaming_smoke),
+            ("retention_ingest", _retention_ingest_smoke),
+            ("countmin_ingest", _countmin_ingest_smoke),
+            ("hll_ingest", _hll_ingest_smoke),
+            ("zonemap_ingest", _zonemap_ingest_smoke),
+            ("histogram_ingest", _histogram_ingest_smoke),
+        ]
+        for label, phase_fn in phases:
+            t0 = time.perf_counter()
+            try:
+                status = _run_phase(
+                    spark, label, lambda f=phase_fn: f(spark), timeout_s=240
+                )
+                print(
+                    f"  {label}: {status} "
+                    f"({time.perf_counter() - t0:.1f}s)",
+                    flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001 — report, then fail
+                failures += 1
+                print(
+                    f"  {label}: FAIL {str(exc).splitlines()[0][:200]}",
+                    flush=True,
+                )
         spark.stop()
         print(("OK" if failures == 0 else f"FAILURES: {failures}"), flush=True)
         return 1 if failures else 0

@@ -2233,7 +2233,8 @@ def test_twin_markers_reject_checkpoint_reset(spark, tmp_path):
     with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
         merge_zonemap_batch(ev, stats, users, batch_id=4)
 
-    # the guard is hand-copied into every twin — pin all of them
+    # the guard is the shared sinks.committed_marker_check helper
+    # (ADVICE r10) — still pin every twin's call site
     from real_time_data_pipeline_spark.streaming.bloom_ingest import (
         merge_bloom_batch,
     )
