@@ -387,6 +387,72 @@ def _histogram_ingest_smoke(spark) -> str:
     )
 
 
+def _ivf_ingest_smoke(spark) -> str:
+    """Incremental IVF index maintenance on the real cluster (r11):
+    the embeddings table is replayed as a 3-file stream through the
+    foreachBatch assignment against frozen stride centroids across
+    separate executor JVMs; the maintained (cent_id, src_batch)-
+    partitioned inverted-list state must be row-identical to the
+    one-shot batch build (assignment is a pure per-vector function),
+    and ANN probes served from the maintained state must equal probes
+    over the one-shot state."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        ivf_ingest_sink,
+        ivf_probe_state,
+        ivf_state_build,
+        merge_ivf_batch,
+        read_ivf_state,
+    )
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-ivf-")
+    replay, state, ck = f"{work}/replay", f"{work}/state", f"{work}/ck"
+    os.makedirs(replay)
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    for i in range(3):
+        emb.where(F.pmod("vec_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            os.path.join(replay, f"b{i}.parquet")
+        )
+    stream = file_stream(spark, f"{replay}/*", emb.schema, max_files_per_trigger=1)
+    q = ivf_ingest_sink(stream, state, ck, cents)
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df):
+        return {
+            (r.cent_id, r.nid, r.lo, r.scale, tuple(r.q))
+            for r in df.collect()
+        }
+
+    got = rows(read_ivf_state(spark, state))
+    want = rows(ivf_state_build(emb, cents))
+    assert got == want and len(got) > 0, "inverted lists != batch build"
+    one_shot = f"{work}/oneshot"
+    merge_ivf_batch(emb, one_shot, 0, cents)
+    queries = emb.where(F.col("vec_id") < 5)
+    got_p = {
+        tuple(r)
+        for r in ivf_probe_state(spark, state, queries, cents, k=3).collect()
+    }
+    want_p = {
+        tuple(r)
+        for r in ivf_probe_state(spark, one_shot, queries, cents, k=3).collect()
+    }
+    assert got_p == want_p and len(got_p) > 0, "probe mismatch"
+    n_lists = read_ivf_state(spark, state).select("cent_id").distinct().count()
+    return (
+        f"list-parity ({len(got)} vectors, {n_lists} lists) + "
+        f"probe-parity ({len(got_p)} result rows)"
+    )
+
+
 def _zonemap_ingest_smoke(spark) -> str:
     """Incremental zone-map maintenance on the real cluster (r10): the
     events table is replayed as a 3-file stream through the composite
@@ -632,6 +698,7 @@ def main() -> int:
             ("hll_ingest", _hll_ingest_smoke),
             ("zonemap_ingest", _zonemap_ingest_smoke),
             ("histogram_ingest", _histogram_ingest_smoke),
+            ("ivf_ingest", _ivf_ingest_smoke),
         ]
         for label, phase_fn in phases:
             t0 = time.perf_counter()

@@ -818,3 +818,76 @@ def test_zonemap_merge_invariant_under_batch_split_and_order(
     }
     assert {(r[0], r[6]) for r in got} == want_users
     assert run(list(shuffled)) == got
+
+
+@given(
+    # first component bounded away from 0: zero-norm vectors are
+    # outside the ANN operators' contract (cosine needs |v| > 0)
+    vecs=st.lists(
+        st.tuples(
+            st.floats(min_value=0.5, max_value=3.0, allow_nan=False,
+                      allow_subnormal=False),
+            st.lists(
+                st.floats(min_value=-3.0, max_value=3.0, allow_nan=False,
+                          allow_subnormal=False),
+                min_size=3, max_size=3,
+            ),
+        ).map(lambda t: [t[0], *t[1]]),
+        min_size=2, max_size=16,
+    ),
+    cut=st.integers(0, 15),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_ivf_merge_invariant_under_split_order_and_retry(
+    vecs, cut, data, tmp_path_factory
+):
+    """The streaming IVF inverted-list state must equal the one-shot
+    batch build row-for-row for ANY split of the vectors into
+    micro-batches, ANY arrival order, AND a same-id foreachBatch
+    retry of the final batch — assignment against frozen centroids is
+    a pure per-vector function, and each batch's dynamic partition
+    overwrite replaces exactly its own (cent_id, src_batch)
+    partitions. (A re-ship under a NEW batch id is at-least-once
+    source behavior, handled by upstream dedup + the probe-side
+    collapse, and is deliberately NOT part of this invariant.)"""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        ivf_state_build,
+        merge_ivf_batch,
+        read_ivf_state,
+    )
+
+    emb = _spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = stride_centroids(emb, "vec_id", "embedding", stride=3).localCheckpoint()
+
+    def rows(df):
+        return {
+            (r.cent_id, r.nid, r.lo, r.scale, tuple(r.q)) for r in df.collect()
+        }
+
+    def run(order, retry_last):
+        root = str(tmp_path_factory.mktemp("ivf")) + "/state"
+        k = max(1, min(cut, len(order) - 1)) if len(order) > 1 else 1
+        parts = [order[:k], order[k:]] if order[k:] else [order]
+        for bid, idx in enumerate(parts):
+            batch = emb.where(F.col("vec_id").isin([int(i) for i in idx]))
+            merge_ivf_batch(batch, root, bid, cents)
+        if retry_last:
+            bid = len(parts) - 1
+            batch = emb.where(
+                F.col("vec_id").isin([int(i) for i in parts[-1]])
+            )
+            merge_ivf_batch(batch, root, bid, cents)
+        return rows(read_ivf_state(_spark, root))
+
+    idx = list(range(len(vecs)))
+    want = rows(ivf_state_build(emb, cents))
+    shuffled = data.draw(st.permutations(idx))
+    assert run(idx, retry_last=False) == want
+    assert run(list(shuffled), retry_last=True) == want

@@ -2257,3 +2257,136 @@ def test_twin_markers_reject_checkpoint_reset(spark, tmp_path):
     assert merge_histogram_batch(ev, hi, batch_id=2) is True
     with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
         merge_histogram_batch(ev, hi, batch_id=1)
+
+
+def _ivf_state_rows(spark, path):
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        read_ivf_state,
+    )
+
+    return {
+        (r.cent_id, r.nid, r.lo, r.scale, tuple(r.q))
+        for r in read_ivf_state(spark, path).collect()
+    }
+
+
+def test_ivf_ingest_parity_retry_reset_probe_and_compaction(spark, tmp_path):
+    """Streaming IVF twin: assignment against FROZEN centroids is a
+    pure function of each vector, so replaying the embeddings table
+    in any chunking leaves the inverted-list state row-identical to
+    the one-shot batch build; a foreachBatch retry REPLACES its own
+    (cent_id, src_batch) partitions (idempotent without a marker); a
+    checkpoint reset fails loudly through the shared guard; probes
+    from the maintained state equal probes from the one-shot state;
+    and compaction preserves rows, probes, and the reset guard."""
+    import pytest as _pytest
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        compact_ivf_state,
+        ivf_probe_state,
+        ivf_state_build,
+        merge_ivf_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+
+    state = str(tmp_path / "ivf_state")
+    chunks = [emb.where(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+    for i, ch in enumerate(chunks):
+        assert merge_ivf_batch(ch, state, i, cents) is True
+
+    want = {
+        (r.cent_id, r.nid, r.lo, r.scale, tuple(r.q))
+        for r in ivf_state_build(emb, cents).collect()
+    }
+    assert _ivf_state_rows(spark, state) == want and len(want) > 0
+
+    # retry of the newest batch: partitions REPLACED, state unchanged
+    assert merge_ivf_batch(chunks[2], state, 2, cents) is True
+    assert _ivf_state_rows(spark, state) == want
+
+    # checkpoint reset (batch_id below committed max): loud failure
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_ivf_batch(chunks[0], state, 0, cents)
+
+    # probe parity: maintained state vs one-shot state, same queries
+    one_shot = str(tmp_path / "ivf_oneshot")
+    assert merge_ivf_batch(emb, one_shot, 0, cents) is True
+    queries = emb.where(F.col("vec_id") < 5)
+    got_p = {
+        tuple(r)
+        for r in ivf_probe_state(spark, state, queries, cents, k=3).collect()
+    }
+    want_p = {
+        tuple(r)
+        for r in ivf_probe_state(
+            spark, one_shot, queries, cents, k=3
+        ).collect()
+    }
+    assert got_p == want_p and len(got_p) > 0
+
+    # compaction: rows + probes identical, next live batch still lands
+    compact_ivf_state(spark, state)
+    assert _ivf_state_rows(spark, state) == want
+    assert {
+        tuple(r)
+        for r in ivf_probe_state(spark, state, queries, cents, k=3).collect()
+    } == want_p
+    assert merge_ivf_batch(chunks[0].limit(0), state, 5, cents) is True
+
+
+def test_ivf_ingest_sink_end_to_end(spark, tmp_path):
+    """The foreachBatch sink drains an embeddings file-replay and
+    leaves the same inverted-list state as the one-shot batch build."""
+    import os as _os
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        ivf_ingest_sink,
+        ivf_state_build,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    d = str(tmp_path / "vec_drops")
+    _os.makedirs(d)
+    for i in range(2):
+        emb.where(F.pmod("vec_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            _os.path.join(d, f"drop{i}")
+        )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(d, "*"))
+    )
+    state = str(tmp_path / "ivf_sink_state")
+    q = ivf_ingest_sink(stream, state, str(tmp_path / "ivf_ckpt"), cents)
+    q.processAllAvailable()
+    q.stop()
+    want = {
+        (r.cent_id, r.nid, r.lo, r.scale, tuple(r.q))
+        for r in ivf_state_build(emb, cents).collect()
+    }
+    assert _ivf_state_rows(spark, state) == want and len(want) > 0
