@@ -43,6 +43,20 @@ CANARIES = (
     "tpch_q22_dormant_customers",
 )
 
+# Per-family drift normalizers (VERDICT r10 #4): family totals swing
+# ±20-50% with session position (registry rotation reorders the bench
+# every round), and the TPC-H-only canary set cannot normalize that —
+# TPC-H exercises joins/aggs, not the HOF/Arrow/artifact paths the
+# dedup/embed/text families run. Three additional never-edited queries
+# frozen as of r11, reported in their own "family_canaries" field so
+# "canaries"/"canary_total" keep their r8-r10 meaning unchanged.
+# Additions only: an edited canary stops being a canary.
+FAMILY_CANARIES = (
+    "dedup_exact_groups",   # hash-aggregate dedup path
+    "embed_ann_brute_topk",  # vector HOF + per-query top-k path
+    "text_word_entropy",     # explode/word-stats path
+)
+
 
 def main() -> None:
     from real_time_data_pipeline_spark.session import get_spark
@@ -81,6 +95,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     canaries: dict[str, float] = {}
+    family_canaries: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         try:
             df = spec.fn(spark, SF_DIR)
@@ -88,7 +103,7 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
-            if name in CANARIES:
+            if name in CANARIES or name in FAMILY_CANARIES:
                 runs = [timings[name]]
                 for _ in range(2):
                     t0 = time.perf_counter()
@@ -96,7 +111,8 @@ def main() -> None:
                         "overwrite"
                     ).save()
                     runs.append(round(time.perf_counter() - t0, 3))
-                canaries[name] = sorted(runs)[1]  # median of 3
+                target = canaries if name in CANARIES else family_canaries
+                target[name] = sorted(runs)[1]  # median of 3
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = str(exc).split("\n", 1)[0][:300]
         finally:
@@ -120,6 +136,10 @@ def main() -> None:
         "families": families,
         "canaries": canaries,
         "canary_total": round(sum(canaries.values()), 3),
+        # Per-family drift normalizers (median-of-3, frozen r11):
+        # divide a family's cross-round delta by its canary's ratio
+        # before calling it a regression.
+        "family_canaries": family_canaries,
         # One-time shared-index builds happen during the UNTIMED warm
         # runs (each query is warmed before timing), so this cost sits
         # outside every per-query number; reported so round-over-round

@@ -354,10 +354,10 @@ def grouped_multi_metric_ntiles(
     returns one row per input row (``group_by`` + ``key`` + ``carry``
     + one int bucket per metric). NULL group values are a partition
     of their own, exactly as in the ANSI window: the (group, metric)
-    ranking key is carried as ONE struct column, whose join/grouping
-    semantics treat NULL fields as equal — a plain multi-column
-    equi-join inside the ranking would silently drop NULL-group rows
-    (`grouped_row_number`'s documented restriction).
+    ranking key travels as ONE struct column, whose join/grouping
+    semantics treat NULL fields as equal (and since r11
+    `grouped_row_number` itself keys its internal joins on a struct,
+    so NULL groups survive either way).
     """
     if len(metrics) != len(out_cols):
         raise ValueError("metrics and out_cols must pair up")
@@ -424,47 +424,46 @@ def grouped_row_number(
     ``total_col``: also attach the group's total row count (joined on
     the group key; AQE broadcasts it while groups are few).
 
-    RESTRICTION: group values must be non-NULL — the internal offset
-    and totals joins are plain equi-joins, where NULL keys never
-    match, so NULL-group rows would silently drop (ANSI windows give
-    NULL its own partition). Callers whose group can be NULL should
-    wrap the group columns in ONE struct column first (struct
-    join/grouping semantics treat NULL fields as equal — see
-    `grouped_multi_metric_ntiles`); making these joins null-safe
-    in place is on the r11 backlog.
+    NULL group values are a partition of their own, exactly as in the
+    ANSI window: the internal offset and totals joins key on ONE
+    struct of the group columns (struct join/grouping semantics treat
+    NULL fields as equal), so NULL-group rows rank instead of
+    silently dropping through a plain equi-join whose NULL keys never
+    match (the pre-r11 restriction, now lifted).
     """
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     part = (
-        df.repartitionByRange(n_parts, *[F.col(g) for g in group_by], *order_by)
+        df.withColumn("_gr_g", F.struct(*group_by))
+        .repartitionByRange(n_parts, F.col("_gr_g"), *order_by)
         .withColumn("_gr_pid", F.spark_partition_id())
     )
     part = _persist_tracked(part)  # ONE shared range exchange (see module doc)
-    counts = part.groupBy("_gr_pid", *group_by).agg(
+    counts = part.groupBy("_gr_pid", "_gr_g").agg(
         F.count(F.lit(1)).alias("_gr_c")
     )
     w_off = (
-        Window.partitionBy(*group_by)
+        Window.partitionBy("_gr_g")
         .orderBy("_gr_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = counts.select(
         "_gr_pid",
-        *group_by,
+        "_gr_g",
         F.coalesce(F.sum("_gr_c").over(w_off), F.lit(0)).alias("_gr_off"),
     )
-    w = Window.partitionBy("_gr_pid", *group_by).orderBy(*order_by)
+    w = Window.partitionBy("_gr_pid", "_gr_g").orderBy(*order_by)
     out = (
-        part.join(offs, ["_gr_pid", *group_by])
+        part.join(offs, ["_gr_pid", "_gr_g"])
         .withColumn(rn_col, F.row_number().over(w) + F.col("_gr_off"))
         .drop("_gr_pid", "_gr_off")
     )
     if total_col is not None:
-        totals = counts.groupBy(*group_by).agg(F.sum("_gr_c").alias(total_col))
-        out = out.join(totals, group_by)
-    return out
+        totals = counts.groupBy("_gr_g").agg(F.sum("_gr_c").alias(total_col))
+        out = out.join(totals, ["_gr_g"])
+    return out.drop("_gr_g")
 
 
 def grouped_exact_ntile(
@@ -478,8 +477,9 @@ def grouped_exact_ntile(
     """Exact ANSI ``ntile(n) OVER (PARTITION BY group ORDER BY ...)``
     for groups too large for one task — bit-identical to the windowed
     oracle via the closed-form bucket over (per-group rn, per-group
-    total). Inherits `grouped_row_number`'s non-NULL-group
-    restriction."""
+    total). NULL group values rank as their own partition
+    (`grouped_row_number`'s struct-keyed internals, ANSI
+    semantics)."""
     ranked = grouped_row_number(
         df, group_by, order_by, rn_col="_gr_rn",
         num_partitions=num_partitions, total_col="_gr_n",

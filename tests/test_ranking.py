@@ -459,3 +459,48 @@ def test_grouped_multi_metric_ntiles_null_groups_survive(spark):
         for r in df.withColumn("bv", F.ntile(2).over(w)).collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_grouped_row_number_and_ntile_null_groups_survive(spark):
+    """r11: `grouped_row_number` keys its internal offset/totals joins
+    on ONE struct of the group columns, so NULL groups rank as their
+    own partition (ANSI) instead of dropping through a plain equi-join
+    — the pre-r11 restriction callers had to struct-wrap around."""
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_exact_ntile,
+        grouped_row_number,
+        release_rank_caches,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 3, None), (1, 1, None), (2, 2, "a"), (3, 5, "a"), (4, 4, None)],
+        "id long, v long, g string",
+    )
+    got_rn = {
+        r.id: (r.g, r.rn, r.tot)
+        for r in grouped_row_number(
+            df, ["g"], [F.asc("v"), F.asc("id")],
+            num_partitions=3, total_col="tot",
+        ).collect()
+    }
+    release_rank_caches()
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    wt = Window.partitionBy("g")
+    want_df = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "tot", F.count(F.lit(1)).over(wt)
+    )
+    want_rn = {r.id: (r.g, r.rn, r.tot) for r in want_df.collect()}
+    assert got_rn == want_rn and len(got_rn) == 5
+
+    got_nt = {
+        r.id: (r.g, r.q)
+        for r in grouped_exact_ntile(
+            df, 2, ["g"], [F.asc("v"), F.asc("id")], "q", num_partitions=3
+        ).collect()
+    }
+    release_rank_caches()
+    want_nt = {
+        r.id: (r.g, r.q)
+        for r in df.withColumn("q", F.ntile(2).over(w)).collect()
+    }
+    assert got_nt == want_nt and len(got_nt) == 5
