@@ -695,3 +695,47 @@ def test_grouped_multi_metric_ntiles_single_range_exchange(spark):
     }
     assert len(keysets) == 1, keysets
     assert "InMemoryTableScan" in plan
+
+
+def test_rfm_registry_query_single_range_exchange(spark, sf_dir):
+    """r11 adoption audit: `agg_customer_rfm_segments` must keep the
+    single-exchange shape it flipped to — every rangepartitioning in
+    its plan carries the SAME (_mm_mid, _mm_v, o_custkey) key set
+    (the one shared exchange, printed once per cached-consumer
+    branch), never the three per-metric partitionings of the old
+    chained form."""
+    import re
+
+    from real_time_data_pipeline_spark.operators.ranking import (
+        release_rank_caches,
+    )
+
+    plan = _plan(REGISTRY["agg_customer_rfm_segments"].fn(spark, sf_dir))
+    release_rank_caches()
+    keysets = {
+        re.sub(r"#\d+L?", "", m.group(1))
+        for m in re.finditer(r"rangepartitioning\(([^)]*)\)", plan)
+    }
+    assert len(keysets) == 1, keysets
+    (keys,) = keysets
+    assert "_mm_mid" in keys and "o_custkey" in keys
+    assert "windowspecdefinition(_gr_pid" in plan  # pid-bound ranking window
+
+
+def test_multi_quintile_registry_query_single_range_exchange(spark, sf_dir):
+    """`corpus_multi_quintiles_by_lang` (r11): both per-language
+    quintile metrics must rank through ONE grouped range exchange —
+    a single struct-keyed rangepartitioning key set in the plan."""
+    import re
+
+    from real_time_data_pipeline_spark.operators.ranking import (
+        release_rank_caches,
+    )
+
+    plan = _plan(REGISTRY["corpus_multi_quintiles_by_lang"].fn(spark, sf_dir))
+    release_rank_caches()
+    keysets = {
+        re.sub(r"#\d+L?", "", m.group(1))
+        for m in re.finditer(r"rangepartitioning\(([^)]*)\)", plan)
+    }
+    assert len(keysets) == 1, keysets
