@@ -134,6 +134,30 @@ def _committed_max_batch(spark: SparkSession, state_path: str):
     return None if row is None else row["m"]
 
 
+def commit_partitioned_batch(
+    inc: DataFrame, state_path: str, batch_id: int
+) -> bool:
+    """The structural-idempotency commit shared by the index twins:
+    guard against a checkpoint reset (shared `committed_marker_check`
+    against the committed max src_batch — on `==`, a genuine retry of
+    the newest batch, FALL THROUGH and rewrite, since the previous
+    attempt may have committed only some partitions), then write
+    ``inc`` — which must be a pure deterministic function of the
+    batch — as its (cent_id, src_batch=batch_id) partitions via
+    dynamic overwrite. Returns True when the commit ran."""
+    spark = inc.sparkSession
+    stored_max = _committed_max_batch(spark, state_path)
+    committed_marker_check(stored_max, batch_id)
+    (
+        inc.withColumn("src_batch", F.lit(batch_id).cast("bigint"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cent_id", "src_batch")
+        .parquet(state_path)
+    )
+    return True
+
+
 def merge_ivf_batch(
     batch_df: DataFrame,
     state_path: str,
@@ -148,22 +172,8 @@ def merge_ivf_batch(
     a retry REPLACES its own partitions rather than skipping, since
     the previous attempt may have committed only some of them);
     raises on a checkpoint reset (batch_id below the committed max)."""
-    spark = batch_df.sparkSession
-    stored_max = _committed_max_batch(spark, state_path)
-    # Shared twin guard: raises on batch_id < stored_max (reset).
-    # True means batch_id == stored_max — for THIS twin that is a
-    # retry whose partitions must be rewritten, so fall through.
-    committed_marker_check(stored_max, batch_id)
-    inc = ivf_assignment_increments(
-        batch_df, centroids, id_col, vec_col
-    ).withColumn("src_batch", F.lit(batch_id).cast("bigint"))
-    (
-        inc.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cent_id", "src_batch")
-        .parquet(state_path)
-    )
-    return True
+    inc = ivf_assignment_increments(batch_df, centroids, id_col, vec_col)
+    return commit_partitioned_batch(inc, state_path, batch_id)
 
 
 def read_ivf_state(spark: SparkSession, state_path: str) -> DataFrame:
@@ -179,12 +189,16 @@ def read_ivf_state(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
-def compact_ivf_state(spark: SparkSession, state_path: str) -> None:
-    """Maintenance-window compaction (stream PAUSED): fold every
-    per-batch file set into one src_batch = -1 partition per cent_id.
-    The reserved id keeps the reset guard exact — max(src_batch)
-    becomes -1, so the next live batch (id >= 0) always passes."""
-    state = read_ivf_state(spark, state_path).localCheckpoint()
+def compact_partitioned_state(spark: SparkSession, state_path: str) -> None:
+    """Maintenance-window compaction for ANY (cent_id, src_batch)-
+    partitioned index state (stream PAUSED): fold every per-batch
+    file set into one src_batch = -1 partition per cent_id. The
+    reserved id keeps the reset guard exact — max(src_batch) becomes
+    -1, so the next live batch (id >= 0) always passes. Layout-
+    generic: every non-partition column rides through unchanged."""
+    state = (
+        spark.read.parquet(state_path).drop("src_batch").localCheckpoint()
+    )
     (
         state.withColumn(
             "src_batch", F.lit(_COMPACTED_BATCH).cast("bigint")
@@ -193,6 +207,11 @@ def compact_ivf_state(spark: SparkSession, state_path: str) -> None:
         .partitionBy("cent_id", "src_batch")
         .parquet(state_path)
     )
+
+
+def compact_ivf_state(spark: SparkSession, state_path: str) -> None:
+    """Back-compat alias for the eighth twin's original name."""
+    compact_partitioned_state(spark, state_path)
 
 
 def ivf_probe_state(

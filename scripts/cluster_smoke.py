@@ -453,6 +453,72 @@ def _ivf_ingest_smoke(spark) -> str:
     )
 
 
+def _ivfpq_ingest_smoke(spark) -> str:
+    """Incremental IVF-PQ index maintenance on the real cluster
+    (r11): the embeddings replay through the frozen-centroid coarse
+    assignment AND frozen-codebook PQ encoding across separate
+    executor JVMs; the maintained code state must be row-identical to
+    the one-shot build, and composed IVF+ADC probes from maintained
+    and one-shot state must be equal."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.ivfpq_ingest import (
+        ivfpq_ingest_sink,
+        ivfpq_probe_state,
+        ivfpq_state_build,
+        merge_ivfpq_batch,
+        read_ivfpq_state,
+    )
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-ivfpq-")
+    replay, state, ck = f"{work}/replay", f"{work}/state", f"{work}/ck"
+    os.makedirs(replay)
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    books = pq_codebooks(emb, "vec_id", "embedding").localCheckpoint()
+    for i in range(3):
+        emb.where(F.pmod("vec_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            os.path.join(replay, f"b{i}.parquet")
+        )
+    stream = file_stream(spark, f"{replay}/*", emb.schema, max_files_per_trigger=1)
+    q = ivfpq_ingest_sink(stream, state, ck, cents, books)
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df):
+        return {(r.cent_id, r.nid, tuple(r.codes)) for r in df.collect()}
+
+    got = rows(read_ivfpq_state(spark, state))
+    want = rows(ivfpq_state_build(emb, cents, books))
+    assert got == want and len(got) > 0, "code state != batch build"
+    one_shot = f"{work}/oneshot"
+    merge_ivfpq_batch(emb, one_shot, 0, cents, books)
+    queries = emb.where(F.col("vec_id") < 5)
+    got_p = {
+        tuple(r)
+        for r in ivfpq_probe_state(
+            spark, state, queries, cents, books, k=3
+        ).collect()
+    }
+    want_p = {
+        tuple(r)
+        for r in ivfpq_probe_state(
+            spark, one_shot, queries, cents, books, k=3
+        ).collect()
+    }
+    assert got_p == want_p and len(got_p) > 0, "ADC probe mismatch"
+    return (
+        f"code-parity ({len(got)} vectors x 4 codes) + "
+        f"ADC probe-parity ({len(got_p)} result rows)"
+    )
+
+
 def _zonemap_ingest_smoke(spark) -> str:
     """Incremental zone-map maintenance on the real cluster (r10): the
     events table is replayed as a 3-file stream through the composite
@@ -699,6 +765,7 @@ def main() -> int:
             ("zonemap_ingest", _zonemap_ingest_smoke),
             ("histogram_ingest", _histogram_ingest_smoke),
             ("ivf_ingest", _ivf_ingest_smoke),
+            ("ivfpq_ingest", _ivfpq_ingest_smoke),
         ]
         for label, phase_fn in phases:
             t0 = time.perf_counter()

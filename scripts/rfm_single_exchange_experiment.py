@@ -1,6 +1,13 @@
 """VERDICT r9 #8 experiment: can agg_customer_rfm_segments share ONE
 range exchange across its three quintile passes?
 
+ADOPTED r11: the registry query now IS the single-exchange form, so
+`spec.fn` and `rfm_single_exchange` below run the same shape; the
+script is kept as the historical record of the measurement that
+justified the flip (bit-identical at sf0.01/sf0.1, ~2.3x under
+localCheckpoint conditions, ~1.4x under bench conditions where the
+reliable checkpoint is a shared fixed cost).
+
 Variant: explode each customer into 3 (metric_id, value) rows (dates
 cast to epoch-day so all metrics share a long sort key), take ONE
 global row_number over (metric_id, value, custkey); within metric m

@@ -349,7 +349,9 @@ def test_grouped_ntile_has_no_per_group_funnel(spark, sf_dir):
     assert "ntile" not in plan
     specs = [s for s in plan.split("windowspecdefinition(")[1:]]
     assert specs
-    assert all(s.startswith(("_gr_pid", "lang")) for s in specs)
+    # r11: the group key travels as the _gr_g struct (null-safe
+    # grouped ranks), so the offsets window partitions by it
+    assert all(s.startswith(("_gr_pid", "_gr_g", "lang")) for s in specs)
 
 
 @pytest.mark.parametrize(
@@ -739,3 +741,36 @@ def test_multi_quintile_registry_query_single_range_exchange(spark, sf_dir):
         for m in re.finditer(r"rangepartitioning\(([^)]*)\)", plan)
     }
     assert len(keysets) == 1, keysets
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The maintained-index probe's scale argument: the state scan
+    must read ONLY the probed cent_id partitions — the IN-filter over
+    the (bounded, centroid-grain) probe list shows up as a partition
+    filter on the parquet scan, not a post-scan Filter over all
+    lists."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        ivf_probe_state,
+        merge_ivf_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    state = str(tmp_path / "ivf_prune_state")
+    merge_ivf_batch(emb, state, 0, cents)
+    queries = emb.where(F.col("vec_id") < 3)
+    plan = _plan(ivf_probe_state(spark, state, queries, cents, k=3, nprobe=2))
+    scans = [
+        seg for seg in plan.split("FileScan parquet")[1:] if "cent_id" in seg
+    ]
+    assert scans, plan
+    state_scan = scans[0]
+    part_filters = state_scan.split("PartitionFilters: [", 1)
+    assert len(part_filters) == 2, state_scan
+    assert "cent_id" in part_filters[1].split("]", 1)[0]

@@ -891,3 +891,73 @@ def test_ivf_merge_invariant_under_split_order_and_retry(
     shuffled = data.draw(st.permutations(idx))
     assert run(idx, retry_last=False) == want
     assert run(list(shuffled), retry_last=True) == want
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.floats(min_value=0.5, max_value=3.0, allow_nan=False,
+                      allow_subnormal=False),
+            st.lists(
+                st.floats(min_value=-3.0, max_value=3.0, allow_nan=False,
+                          allow_subnormal=False),
+                min_size=7, max_size=7,
+            ),
+        ).map(lambda t: [t[0], *t[1]]),
+        min_size=3, max_size=12,
+    ),
+    cut=st.integers(0, 11),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_ivfpq_merge_invariant_under_split_order_and_retry(
+    vecs, cut, data, tmp_path_factory
+):
+    """The streaming IVF-PQ code state must equal the one-shot build
+    row-for-row for ANY corpus split, arrival order, and same-id
+    retry: both the coarse assignment and the per-subspace encoding
+    are pure per-vector functions of frozen centroids+codebooks, and
+    the shared partitioned commit replaces exactly its own
+    partitions. (8-dim vectors, m_sub=2 subspaces of 4.)"""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.streaming.ivfpq_ingest import (
+        ivfpq_state_build,
+        merge_ivfpq_batch,
+        read_ivfpq_state,
+    )
+
+    emb = _spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = stride_centroids(emb, "vec_id", "embedding", stride=3).localCheckpoint()
+    books = pq_codebooks(
+        emb, "vec_id", "embedding", m_sub=2, sub_dim=4, stride=3
+    ).localCheckpoint()
+
+    def rows(df):
+        return {(r.cent_id, r.nid, tuple(r.codes)) for r in df.collect()}
+
+    def run(order, retry_last):
+        root = str(tmp_path_factory.mktemp("ivfpq")) + "/state"
+        k = max(1, min(cut, len(order) - 1)) if len(order) > 1 else 1
+        parts = [order[:k], order[k:]] if order[k:] else [order]
+        for bid, idx in enumerate(parts):
+            batch = emb.where(F.col("vec_id").isin([int(i) for i in idx]))
+            merge_ivfpq_batch(batch, root, bid, cents, books, m_sub=2, sub_dim=4)
+        if retry_last:
+            bid = len(parts) - 1
+            batch = emb.where(
+                F.col("vec_id").isin([int(i) for i in parts[-1]])
+            )
+            merge_ivfpq_batch(batch, root, bid, cents, books, m_sub=2, sub_dim=4)
+        return rows(read_ivfpq_state(_spark, root))
+
+    idx = list(range(len(vecs)))
+    want = rows(ivfpq_state_build(emb, cents, books, m_sub=2, sub_dim=4))
+    shuffled = data.draw(st.permutations(idx))
+    assert run(idx, retry_last=False) == want
+    assert run(list(shuffled), retry_last=True) == want

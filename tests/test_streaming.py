@@ -2390,3 +2390,178 @@ def test_ivf_ingest_sink_end_to_end(spark, tmp_path):
         for r in ivf_state_build(emb, cents).collect()
     }
     assert _ivf_state_rows(spark, state) == want and len(want) > 0
+
+
+def test_ivfpq_ingest_parity_retry_reset_and_probe(spark, tmp_path):
+    """Streaming IVF-PQ twin: coarse assignment AND per-subspace PQ
+    encoding against frozen centroids+codebooks are pure per-vector
+    functions, so any chunked replay leaves the code state
+    row-identical to the one-shot build through the shared
+    partitioned idempotent commit; retry replaces, reset raises, and
+    IVF+ADC probes from maintained and one-shot state are equal."""
+    import pytest as _pytest
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.streaming.ivfpq_ingest import (
+        ivfpq_probe_state,
+        ivfpq_state_build,
+        merge_ivfpq_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    books = pq_codebooks(emb, "vec_id", "embedding").localCheckpoint()
+
+    def rows(df):
+        return {(r.cent_id, r.nid, tuple(r.codes)) for r in df.collect()}
+
+    state = str(tmp_path / "ivfpq_state")
+    chunks = [emb.where(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+    for i, ch in enumerate(chunks):
+        assert merge_ivfpq_batch(ch, state, i, cents, books) is True
+
+    from real_time_data_pipeline_spark.streaming.ivfpq_ingest import (
+        read_ivfpq_state,
+    )
+
+    want = rows(ivfpq_state_build(emb, cents, books))
+    got = rows(read_ivfpq_state(spark, state))
+    assert got == want and len(want) > 0
+    # every vector carries exactly m_sub=4 codes
+    assert all(len(codes) == 4 for (_, _, codes) in got)
+
+    # retry of the newest batch: partitions REPLACED, state unchanged
+    assert merge_ivfpq_batch(chunks[2], state, 2, cents, books) is True
+    assert rows(read_ivfpq_state(spark, state)) == want
+
+    # checkpoint reset: loud failure through the shared guard
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_ivfpq_batch(chunks[0], state, 0, cents, books)
+
+    # probe parity: maintained vs one-shot state, same queries
+    one_shot = str(tmp_path / "ivfpq_oneshot")
+    assert merge_ivfpq_batch(emb, one_shot, 0, cents, books) is True
+    queries = emb.where(F.col("vec_id") < 5)
+    got_p = {
+        tuple(r)
+        for r in ivfpq_probe_state(
+            spark, state, queries, cents, books, k=3
+        ).collect()
+    }
+    want_p = {
+        tuple(r)
+        for r in ivfpq_probe_state(
+            spark, one_shot, queries, cents, books, k=3
+        ).collect()
+    }
+    assert got_p == want_p and len(got_p) > 0
+
+
+def test_ivfpq_ingest_sink_end_to_end(spark, tmp_path):
+    """The foreachBatch sink drains an embeddings file-replay and
+    leaves the same code state as the one-shot batch build."""
+    import os as _os
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.streaming.ivfpq_ingest import (
+        ivfpq_ingest_sink,
+        ivfpq_state_build,
+        read_ivfpq_state,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    books = pq_codebooks(emb, "vec_id", "embedding").localCheckpoint()
+    d = str(tmp_path / "vec_drops")
+    _os.makedirs(d)
+    for i in range(2):
+        emb.where(F.pmod("vec_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            _os.path.join(d, f"drop{i}")
+        )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(d, "*"))
+    )
+    state = str(tmp_path / "ivfpq_sink_state")
+    q = ivfpq_ingest_sink(stream, state, str(tmp_path / "ivfpq_ckpt"), cents, books)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.cent_id, r.nid, tuple(r.codes)) for r in read_ivfpq_state(spark, state).collect()}
+    want = {
+        (r.cent_id, r.nid, tuple(r.codes))
+        for r in ivfpq_state_build(emb, cents, books).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_ivfpq_state_compaction_shared_helper(spark, tmp_path):
+    """`compact_partitioned_state` is layout-generic: compacting the
+    ninth twin's code state preserves rows and probes and keeps the
+    reset guard passable for the next live batch."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        compact_partitioned_state,
+    )
+    from real_time_data_pipeline_spark.streaming.ivfpq_ingest import (
+        ivfpq_probe_state,
+        merge_ivfpq_batch,
+        read_ivfpq_state,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    books = pq_codebooks(emb, "vec_id", "embedding").localCheckpoint()
+    state = str(tmp_path / "ivfpq_c")
+    for i, ch in enumerate(
+        emb.where(F.pmod("vec_id", F.lit(2)) == j) for j in range(2)
+    ):
+        merge_ivfpq_batch(ch, state, i, cents, books)
+    before = {
+        (r.cent_id, r.nid, tuple(r.codes))
+        for r in read_ivfpq_state(spark, state).collect()
+    }
+    queries = emb.where(F.col("vec_id") < 3)
+    probes_before = {
+        tuple(r)
+        for r in ivfpq_probe_state(
+            spark, state, queries, cents, books, k=3
+        ).collect()
+    }
+    compact_partitioned_state(spark, state)
+    assert {
+        (r.cent_id, r.nid, tuple(r.codes))
+        for r in read_ivfpq_state(spark, state).collect()
+    } == before
+    assert {
+        tuple(r)
+        for r in ivfpq_probe_state(
+            spark, state, queries, cents, books, k=3
+        ).collect()
+    } == probes_before
+    assert merge_ivfpq_batch(emb.limit(0), state, 7, cents, books) is True
