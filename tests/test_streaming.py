@@ -2565,3 +2565,59 @@ def test_ivfpq_state_compaction_shared_helper(spark, tmp_path):
         ).collect()
     } == probes_before
     assert merge_ivfpq_batch(emb.limit(0), state, 7, cents, books) is True
+
+
+def test_ivf_partial_write_healed_by_retry(spark, tmp_path):
+    """The eighth/ninth twins' crash-window argument, executed: a
+    crash mid-commit can leave a SUBSET of the batch's (cent_id,
+    src_batch) partitions (or rows) on disk. foreachBatch then
+    re-delivers the same batch_id, and the dynamic overwrite rewrites
+    every partition the recomputed (deterministic) increment touches
+    — the state after the retry is exactly the full-batch state, with
+    the corrupt partial gone."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        ivf_assignment_increments,
+        ivf_state_build,
+        merge_ivf_batch,
+        read_ivf_state,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    state = str(tmp_path / "ivf_crash_state")
+    first = emb.where(F.pmod("vec_id", F.lit(2)) == 0)
+    second = emb.where(F.pmod("vec_id", F.lit(2)) == 1)
+    assert merge_ivf_batch(first, state, 0, cents) is True
+
+    # Simulate the crash: batch 1's commit died after writing only a
+    # TRUNCATED sliver of its rows (one centroid's partition, half
+    # its vectors) — committed under src_batch=1 as a real partial
+    # write would be.
+    inc = ivf_assignment_increments(second, cents)
+    some_cent = inc.select("cent_id").first()["cent_id"]
+    partial = (
+        inc.where(F.col("cent_id") == some_cent)
+        .where(F.pmod("nid", F.lit(2)) == 1)
+        .withColumn("src_batch", F.lit(1).cast("bigint"))
+    )
+    (
+        partial.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cent_id", "src_batch")
+        .parquet(state)
+    )
+    assert _ivf_state_rows(spark, state) != {
+        (r.cent_id, r.nid, r.lo, r.scale, tuple(r.q))
+        for r in ivf_state_build(emb, cents).collect()
+    }
+
+    # foreachBatch retry of batch 1 (same id): replaces the partial
+    assert merge_ivf_batch(second, state, 1, cents) is True
+    want = {
+        (r.cent_id, r.nid, r.lo, r.scale, tuple(r.q))
+        for r in ivf_state_build(emb, cents).collect()
+    }
+    assert _ivf_state_rows(spark, state) == want
