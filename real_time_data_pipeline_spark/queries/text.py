@@ -1858,6 +1858,8 @@ _MULTI_QUINTILE_ORACLE = """
       SELECT doc_id, lang, n_chars,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        AND n_chars IS NOT NULL
     ), q AS (
       SELECT lang, n_chars,
              ntile(5) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
@@ -1894,16 +1896,31 @@ def q_multi_quintiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     range shuffle PER metric over the same corpus. Bit-identical to
     the two windowed oracles (doc_id tie-break); mega-languages span
     a RUN of partitions, never one task.
+
+    NULL discipline: rows with NULL doc_id/text/n_chars are excluded
+    on BOTH sides — the multi-metric operator's contract is non-NULL
+    metrics (Spark ranks NULLs first, a DuckDB oracle last, so a NULL
+    metric can never hash-match), and a NULL tie-break id would make
+    the assignment non-deterministic. NULL lang needs no filter:
+    grouped ranking gives it its own partition on both engines.
     """
     from real_time_data_pipeline_spark.operators.ranking import (
         grouped_multi_metric_ntiles,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.size(F.split("text", " ")).alias("n_tokens"),
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
     )
     q = grouped_multi_metric_ntiles(
         docs,

@@ -9,7 +9,7 @@ train and memoize via `queries/artifacts.py`) and appended to a
 cent_id-partitioned inverted-list state that `ivf_probe_state` then
 serves ANN queries from with partition-pruned scans.
 
-Exactly-once WITHOUT a marker — the sixth twin demonstrates the
+Exactly-once WITHOUT a marker — the eighth twin demonstrates the
 STRUCTURAL idempotency mechanism, complementing the marker family:
 assignment against frozen centroids is a pure deterministic function
 of the vector (exact cosine, ties max-cos-then-min-cent_id), so a
@@ -22,7 +22,10 @@ own partitions with the same rows and nothing else. No
 read-modify-write of existing state ever happens, so per-batch cost
 scales with the BATCH, not the table (the marker twins' whole-state
 swap is right for sketch-sized state; an inverted index is
-vector-grain and must never rewrite itself per batch).
+vector-grain and must never rewrite itself per batch). The committed
+max batch id the reset guard needs comes from a DRIVER-SIDE
+partition-directory listing (`_committed_max_batch`), never a data
+scan — O(partition dirs), kept small by compaction.
 
 The one failure the overwrite cannot self-heal is a checkpoint RESET
 against existing state: a fresh checkpoint replays batch ids from 0,
@@ -31,7 +34,9 @@ with new data under recycled ids. The shared guard
 (`sinks.committed_marker_check` against max committed src_batch)
 raises there, same contract as every other twin; on `==` (a genuine
 retry of the newest batch) the merge proceeds — replace, not skip —
-because the retry's partitions may be partial.
+because the retry's partitions may be partial. Any state-read error
+other than plain absence PROPAGATES: swallowing it would silently
+disarm this guard.
 
 Vectors are stored scalar-quantized (`quantize_embedding`, one
 int8-range code per dimension + per-vector lo/scale): ~1/8 the
@@ -49,10 +54,15 @@ the maintained state returns exactly what the same probe computes
 over the one-shot state.
 
 File growth: one file set per (touched cent_id, batch). Run
-`compact_ivf_state` from a maintenance window (stream paused — the
-compaction rewrites the whole table under src_batch = -1, after
-which the reset guard still holds because -1 never collides with a
-real batch id).
+`compact_partitioned_state` from a maintenance window (stream PAUSED
+with its final batch committed): it folds all data rows into one
+src_batch = -1 partition per cent_id through the crash-safe
+staged-rename swap (`sinks._swap_write` — a crash mid-compaction is
+recovered to the pre-compaction state by the next reader/merger),
+and PRESERVES the reset guard by writing a sentinel row under
+(cent_id = -1, src_batch = old max): max(src_batch) is unchanged, so
+a post-compaction checkpoint reset still fails loudly. Readers
+exclude cent_id < 0.
 
 Reference scope note: the reference pipeline (C++-free 440-line
 Kafka->parquet glue, `src/jobs/spark_streaming_job.py`) has no
@@ -69,16 +79,20 @@ from pyspark.sql.streaming import StreamingQuery
 
 from real_time_data_pipeline_spark.operators.similarity import (
     assign_to_centroids,
+    dequantize_embedding,
     dot,
     norm,
     quantize_embedding,
 )
 from real_time_data_pipeline_spark.streaming.sinks import (
+    _hadoop_fs,
+    _swap_paths,
+    _swap_write,
     committed_marker_check,
-    table_exists,
 )
 
 _COMPACTED_BATCH = -1  # src_batch value reserved for compaction output
+_MARKER_CENT = -1  # cent_id reserved for the compaction guard sentinel
 
 
 def ivf_assignment_increments(
@@ -117,21 +131,41 @@ def ivf_state_build(
     return ivf_assignment_increments(corpus, centroids, id_col, vec_col)
 
 
+def _state_exists_recovered(spark: SparkSession, state_path: str) -> bool:
+    """Existence check that FIRST runs the swap-commit crash recovery
+    (`sinks._swap_paths` restores a committed table stranded at
+    ``__old__`` by a compaction that died between its two renames).
+    Every state entry point — merge, read, probe — goes through here,
+    per the swap-commit contract."""
+    return _swap_paths(spark, state_path)[5]
+
+
 def _committed_max_batch(spark: SparkSession, state_path: str):
-    """Max src_batch present in the state (None for no/empty state) —
-    a partition-column-only aggregate, resolved from directory
-    metadata, never a data scan."""
-    if not table_exists(spark, state_path):
+    """Max src_batch present in the state (None for no state) — read
+    from the PARTITION DIRECTORY NAMES via a driver-side Hadoop FS
+    listing, never a Spark job over the data: per-batch guard cost is
+    O(partition dirs) (kept small by compaction), not O(table).
+    Directories whose src_batch segment does not parse are ignored
+    (foreign files can't break the guard toward silence — worst case
+    the max is unaffected; the data rows themselves are untouched)."""
+    if not _state_exists_recovered(spark, state_path):
         return None
-    try:
-        row = (
-            spark.read.parquet(state_path)
-            .agg(F.max("src_batch").alias("m"))
-            .first()
-        )
-    except Exception:  # pragma: no cover — empty dir between batches
-        return None
-    return None if row is None else row["m"]
+    fs, _ = _hadoop_fs(spark, state_path)
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(
+        state_path.rstrip("/") + "/*/src_batch=*"
+    )
+    statuses = fs.globStatus(glob)
+    best = None
+    if statuses is not None:
+        for st in statuses:
+            name = st.getPath().getName()  # "src_batch=<N>"
+            try:
+                val = int(name.split("=", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            best = val if best is None else max(best, val)
+    return best
 
 
 def commit_partitioned_batch(
@@ -177,35 +211,55 @@ def merge_ivf_batch(
 
 
 def read_ivf_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """The committed inverted lists: (cent_id, nid, lo, scale, q)."""
-    if not table_exists(spark, state_path):
+    """The committed inverted lists: (cent_id, nid, lo, scale, q).
+    Runs swap recovery first; the compaction guard sentinel
+    (cent_id = -1) is excluded."""
+    if not _state_exists_recovered(spark, state_path):
         raise FileNotFoundError(f"no IVF state at {state_path}")
-    return spark.read.parquet(state_path).select(
-        F.col("cent_id").cast("bigint"),
-        "nid",
-        "lo",
-        "scale",
-        "q",
+    return (
+        spark.read.parquet(state_path)
+        .where(F.col("cent_id") >= 0)
+        .select(
+            F.col("cent_id").cast("bigint"),
+            "nid",
+            "lo",
+            "scale",
+            "q",
+        )
     )
 
 
 def compact_partitioned_state(spark: SparkSession, state_path: str) -> None:
     """Maintenance-window compaction for ANY (cent_id, src_batch)-
-    partitioned index state (stream PAUSED): fold every per-batch
-    file set into one src_batch = -1 partition per cent_id. The
-    reserved id keeps the reset guard exact — max(src_batch) becomes
-    -1, so the next live batch (id >= 0) always passes. Layout-
-    generic: every non-partition column rides through unchanged."""
-    state = (
-        spark.read.parquet(state_path).drop("src_batch").localCheckpoint()
+    partitioned index state (stream PAUSED with its final batch
+    committed): fold every per-batch file set into one src_batch = -1
+    partition per cent_id, plus ONE sentinel row under
+    (cent_id = -1, src_batch = old max) so max(src_batch) — and with
+    it the checkpoint-reset guard — is exactly what it was before
+    compaction. Committed through the staged-rename swap: a crash at
+    any point leaves either the old state or the compacted one, and
+    the next entry point's recovery restores a half-swapped table.
+    Layout-generic: every non-partition column rides through
+    unchanged (sentinel payload columns are NULL)."""
+    old_max = _committed_max_batch(spark, state_path)
+    if old_max is None:
+        raise FileNotFoundError(f"no index state at {state_path}")
+    data = spark.read.parquet(state_path).drop("src_batch")
+    payload = [f for f in data.schema.fields if f.name != "cent_id"]
+    marker = data.limit(1).select(
+        F.lit(_MARKER_CENT).cast("bigint").alias("cent_id"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
+        F.lit(old_max).cast("bigint").alias("src_batch"),
     )
-    (
-        state.withColumn(
-            "src_batch", F.lit(_COMPACTED_BATCH).cast("bigint")
-        )
-        .write.mode("overwrite")
-        .partitionBy("cent_id", "src_batch")
-        .parquet(state_path)
+    compacted = (
+        data.where(F.col("cent_id") >= 0)
+        .withColumn("src_batch", F.lit(_COMPACTED_BATCH).cast("bigint"))
+        .unionByName(marker)
+    )
+    fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, state_path)
+    _swap_write(
+        fs, compacted, state_path, tmp_path, jpath, jtmp, jold, exists,
+        partition_by=["cent_id", "src_batch"],
     )
 
 
@@ -214,28 +268,21 @@ def compact_ivf_state(spark: SparkSession, state_path: str) -> None:
     compact_partitioned_state(spark, state_path)
 
 
-def ivf_probe_state(
-    spark: SparkSession,
-    state_path: str,
+def probe_lists(
     queries: DataFrame,
     centroids: DataFrame,
-    k: int = 5,
-    nprobe: int = 3,
+    nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """ANN top-k served FROM the maintained state: per query, score
-    the frozen centroids (broadcast), keep the nprobe nearest lists,
-    scan ONLY those cent_id partitions (the probe list is a bounded
-    driver-side collect of <= n_lists values — dimension-sized by
-    construction — handed to the scan as an IN filter so parquet
-    partition pruning drops every other list before any I/O), then
-    exact cosine over the DEQUANTIZED candidates and a per-query
-    top-k window over candidates only.
-
-    Output (query_id, neighbor_id, cos, rk) — `ivf_topk`'s shape, so
-    recall harnesses compare directly.
-    """
+) -> "tuple[DataFrame, list]":
+    """Shared coarse probe selection for the maintained-index probes:
+    per query, score the frozen centroids (broadcast) and keep the
+    nprobe nearest lists. Returns (probes, probed_lists) where
+    ``probes`` is (query_id, qv, nq, cent_id) and ``probed_lists`` is
+    the bounded driver-side distinct list — <= min(|queries|·nprobe,
+    n_centroids) values, centroid-grain by construction — for the
+    partition-pruning IN filter. One definition so the IVF and
+    IVF-PQ probe paths can never drift apart."""
     cents = centroids.withColumn("nc", norm(F.col("cvec")))
     qrows = queries.select(
         F.col(id_col).alias("query_id"),
@@ -255,15 +302,35 @@ def ivf_probe_state(
         .where(F.col("__crk") <= nprobe)
         .drop("__ccos", "__crk")
     )
-    # Bounded collect: distinct probed lists, <= min(|queries|*nprobe,
-    # n_centroids) values — centroid-grain, never corpus-grain.
-    probed_lists = [r["cent_id"] for r in probes.select("cent_id").distinct().collect()]
+    probed = [r["cent_id"] for r in probes.select("cent_id").distinct().collect()]
+    return probes, probed
+
+
+def ivf_probe_state(
+    spark: SparkSession,
+    state_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k served FROM the maintained state: `probe_lists`
+    picks the nprobe nearest lists per query, the state scan reads
+    ONLY those cent_id partitions (parquet partition pruning — plan-
+    audited in tests/test_plans.py), then exact cosine over the
+    DEQUANTIZED candidates and a per-query top-k window over
+    candidates only.
+
+    Output (query_id, neighbor_id, cos, rk) — `ivf_topk`'s shape, so
+    recall harnesses compare directly.
+    """
+    probes, probed = probe_lists(queries, centroids, nprobe, id_col, vec_col)
     state = read_ivf_state(spark, state_path).where(
-        F.col("cent_id").isin(probed_lists)
+        F.col("cent_id").isin(probed) if probed else F.lit(False)
     )
-    cv = F.transform(
-        F.col("q"), lambda c: F.col("lo") + c.cast("double") * F.col("scale")
-    )
+    cv = dequantize_embedding(F.struct("lo", "scale", "q"))
     cand_rows = state.select(
         "cent_id", "nid", cv.alias("cv")
     ).withColumn("nv", norm(F.col("cv")))

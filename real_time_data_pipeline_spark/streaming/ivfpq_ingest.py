@@ -57,11 +57,10 @@ from real_time_data_pipeline_spark.operators.similarity import (
     _pq_qd2,
     _pq_subvectors,
     assign_to_centroids,
-    dot,
-    norm,
 )
 from real_time_data_pipeline_spark.streaming.ivf_ingest import (
     commit_partitioned_batch,
+    probe_lists,
 )
 
 _QUANT = 1_000_000  # must match the codebooks' training quant
@@ -153,13 +152,19 @@ def merge_ivfpq_batch(
 
 
 def read_ivfpq_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """The committed code lists: (cent_id, nid, codes)."""
-    from real_time_data_pipeline_spark.streaming.sinks import table_exists
+    """The committed code lists: (cent_id, nid, codes). Runs swap
+    recovery first; the compaction guard sentinel (cent_id = -1) is
+    excluded."""
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        _state_exists_recovered,
+    )
 
-    if not table_exists(spark, state_path):
+    if not _state_exists_recovered(spark, state_path):
         raise FileNotFoundError(f"no IVF-PQ state at {state_path}")
-    return spark.read.parquet(state_path).select(
-        F.col("cent_id").cast("bigint"), "nid", "codes"
+    return (
+        spark.read.parquet(state_path)
+        .where(F.col("cent_id") >= 0)
+        .select(F.col("cent_id").cast("bigint"), "nid", "codes")
     )
 
 
@@ -183,31 +188,12 @@ def ivfpq_probe_state(
     codebooks (broadcast), candidate score = integer sum of m_sub
     table lookups. Output (query_id, neighbor_id, adc_dist, rk) —
     `pq_adc_topk`'s shape with IVF pruning composed on top."""
-    cents = centroids.withColumn("nc", norm(F.col("cvec")))
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("nq", norm(F.col("qv")))
-    qscored = qrows.crossJoin(F.broadcast(cents)).select(
-        "query_id", "cent_id",
-        (dot(F.col("qv"), F.col("cvec")) / (F.col("nq") * F.col("nc"))).alias(
-            "__ccos"
-        ),
+    probes_full, probed_lists = probe_lists(
+        queries, centroids, nprobe, id_col, vec_col
     )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("__ccos"), F.asc("cent_id")
-    )
-    probes = (
-        qscored.withColumn("__crk", F.row_number().over(wq))
-        .where(F.col("__crk") <= nprobe)
-        .select("query_id", "cent_id")
-    )
-    # Bounded collect: <= min(|queries|*nprobe, n_centroids) values.
-    probed_lists = [
-        r["cent_id"] for r in probes.select("cent_id").distinct().collect()
-    ]
+    probes = probes_full.select("query_id", "cent_id")
     state = read_ivfpq_state(spark, state_path).where(
-        F.col("cent_id").isin(probed_lists)
+        F.col("cent_id").isin(probed_lists) if probed_lists else F.lit(False)
     )
     # Per-query ADC table: (query_id, m, code) -> quantized distance.
     qsubs = _pq_subvectors(queries, id_col, vec_col, m_sub, sub_dim).select(

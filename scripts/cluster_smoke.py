@@ -60,25 +60,36 @@ def _run_phase(spark, label: str, fn, timeout_s: float) -> str:
     the count-based executor wait could deadlock with spark.cores.max
     saturated; fixed via address-set tracking): a future regression of
     that shape must FAIL the smoke, not hang it. The phase runs in a
-    daemon thread; on deadline every in-flight Spark job is cancelled
-    (so a stuck stage aborts and the thread can die with it) and a
-    PhaseTimeout propagates to the caller's normal FAIL accounting.
+    true DAEMON thread — not a ThreadPoolExecutor worker, whose
+    non-daemon thread concurrent.futures joins at interpreter exit,
+    which would turn a phase hung in a pure-Python loop (the exact
+    deadlock class this pins) back into a process that never exits.
+    On deadline every in-flight Spark job is cancelled (so a stuck
+    STAGE aborts and the thread can die with it; a stuck Python loop
+    simply stays abandoned in its daemon thread) and a PhaseTimeout
+    propagates to the caller's normal FAIL accounting.
     """
-    import concurrent.futures
+    import threading
 
-    ex = concurrent.futures.ThreadPoolExecutor(
-        max_workers=1, thread_name_prefix=f"smoke-{label}"
-    )
-    fut = ex.submit(fn)
-    try:
-        return fut.result(timeout=timeout_s)
-    except concurrent.futures.TimeoutError:
+    result: dict = {}
+
+    def _target():
+        try:
+            result["value"] = fn()
+        except BaseException as exc:  # noqa: BLE001 — reraised below
+            result["error"] = exc
+
+    t = threading.Thread(target=_target, name=f"smoke-{label}", daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if t.is_alive():
         spark.sparkContext.cancelAllJobs()
         raise PhaseTimeout(
             f"phase exceeded {timeout_s:.0f}s deadline (jobs cancelled)"
-        ) from None
-    finally:
-        ex.shutdown(wait=False)
+        )
+    if "error" in result:
+        raise result["error"]
+    return result["value"]
 
 
 def _spark_home() -> str:

@@ -2329,13 +2329,17 @@ def test_ivf_ingest_parity_retry_reset_probe_and_compaction(spark, tmp_path):
     }
     assert got_p == want_p and len(got_p) > 0
 
-    # compaction: rows + probes identical, next live batch still lands
+    # compaction: rows + probes identical, next live batch still
+    # lands, and the sentinel row PRESERVES the reset guard (max
+    # src_batch stays 2, so a recycled id still fails loudly)
     compact_ivf_state(spark, state)
     assert _ivf_state_rows(spark, state) == want
     assert {
         tuple(r)
         for r in ivf_probe_state(spark, state, queries, cents, k=3).collect()
     } == want_p
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_ivf_batch(chunks[0], state, 1, cents)
     assert merge_ivf_batch(chunks[0].limit(0), state, 5, cents) is True
 
 
@@ -2564,6 +2568,11 @@ def test_ivfpq_state_compaction_shared_helper(spark, tmp_path):
             spark, state, queries, cents, books, k=3
         ).collect()
     } == probes_before
+    # sentinel preserves the reset guard across compaction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_ivfpq_batch(emb.limit(0), state, 0, cents, books)
     assert merge_ivfpq_batch(emb.limit(0), state, 7, cents, books) is True
 
 
