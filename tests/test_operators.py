@@ -300,6 +300,207 @@ def test_jaccard_max_df_prunes_hot_shingles(spark):
     assert capped == {(1, 2): 1.0}
 
 
+# ---------------------------------------------------------------------------
+# _bucketed_pair_counts: the shared inverted-index core (r12 flip target)
+# ---------------------------------------------------------------------------
+# The helper is not yet called by the registry consumers (the flip marks
+# 13 registry queries implementation-edited — scheduled r12, see README).
+# These tests pin it bit-identical and exchange-identical to the inlined
+# copies NOW, so the r12 flip is a pure refactor with pre-proven output.
+
+
+def _pair_family_corpus(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma delta"),          # subset of 1 and 2
+        (4, "one two three four five six seven"),
+        (5, "one two three four five six eight"),
+        (6, "totally different words entirely here now"),
+        (7, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bucketed_pair_counts_matches_brute_force(spark):
+    from real_time_data_pipeline_spark.operators.similarity import (
+        _bucketed_pair_counts,
+        shingle_postings,
+    )
+
+    df = _pair_family_corpus(spark)
+    texts = {r.doc_id: r.text for r in df.collect()}
+    n = 3
+    sets = {
+        i: {" ".join(ws[j:j + n]) for ws in [t.split()] for j in range(len(ws) - n + 1)}
+        for i, t in texts.items()
+    }
+    inter, counts = _bucketed_pair_counts(
+        shingle_postings(df, "doc_id", "text", n), "doc_id", "shingle", None
+    )
+    want_inter = {
+        (a, b): len(sets[a] & sets[b])
+        for a in sets for b in sets
+        if a < b and sets[a] & sets[b]
+    }
+    assert {(r.id_a, r.id_b): r.inter for r in inter.collect()} == want_inter
+    assert {r.doc_id: r.n_sh for r in counts.collect()} == {
+        i: len(s) for i, s in sets.items()
+    }
+
+
+def test_bucketed_pair_counts_max_df_caps_before_counts(spark):
+    """Denominators must be post-cap: a shingle dropped by max_df must
+    vanish from per-doc counts too, or ratios stop being true Jaccard
+    of the capped sets."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        _bucketed_pair_counts,
+        shingle_postings,
+    )
+
+    hot = "the of and"
+    rows = [(i, f"{hot} unique{i} token{i} word{i}") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inter, counts = _bucketed_pair_counts(
+        shingle_postings(df, "doc_id", "text", 3), "doc_id", "shingle", 3
+    )
+    # every cross-doc shingle contains the hot run (df=7 > 3) → no pairs,
+    # and each doc keeps only its 3 unique-suffix shingles.
+    assert inter.count() == 0
+    assert {r.n_sh for r in counts.collect()} == {3}
+
+
+def _jaccard_via_helper(df, id_col, text_col, n=3, threshold=0.5, max_df=10_000):
+    """Exactly the r12 flip shape for `jaccard_pairs`."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        _bucketed_pair_counts,
+        shingle_postings,
+    )
+
+    inter, counts = _bucketed_pair_counts(
+        shingle_postings(df, id_col, text_col, n), id_col, "shingle", max_df
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _containment_via_helper(df, id_col, text_col, n=3, threshold=0.8, max_df=10_000):
+    from real_time_data_pipeline_spark.operators.similarity import (
+        _bucketed_pair_counts,
+        shingle_postings,
+    )
+
+    inter, counts = _bucketed_pair_counts(
+        shingle_postings(df, id_col, text_col, n), id_col, "shingle", max_df
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("inter") / F.least("n_a", "n_b")
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+def _directional_via_helper(df, id_col, text_col, n=3, threshold=0.9, max_df=10_000):
+    from real_time_data_pipeline_spark.operators.similarity import (
+        _bucketed_pair_counts,
+        shingle_postings,
+    )
+
+    inter, counts = _bucketed_pair_counts(
+        shingle_postings(df, id_col, text_col, n), id_col, "shingle", max_df
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    scored = inter.join(ca, "id_a").join(cb, "id_b")
+    a_in_b = scored.where(F.col("inter") / F.col("n_a") >= threshold).select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    )
+    b_in_a = scored.where(F.col("inter") / F.col("n_b") >= threshold).select(
+        F.col("id_b").alias("src_id"),
+        F.col("id_a").alias("dst_id"),
+        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return a_in_b.unionAll(b_in_a)
+
+
+def _winnowing_via_helper(df, id_col, text_col, k=4, w=4, min_shared=2, max_df=10_000):
+    from real_time_data_pipeline_spark.operators.similarity import (
+        _bucketed_pair_counts,
+        winnowing_postings,
+    )
+
+    inter, _ = _bucketed_pair_counts(
+        winnowing_postings(df, id_col, text_col, k, w),
+        id_col,
+        "fp",
+        max_df,
+        distinct_ids=True,
+        with_counts=False,
+    )
+    return inter.withColumnRenamed("inter", "n_shared").where(
+        F.col("n_shared") >= min_shared
+    )
+
+
+def test_bucketed_pair_counts_equivalent_to_inlined_consumers(spark):
+    """Row-identical to all four inlined copies on a corpus exercising
+    subsets, exact dups, partial overlap and disjoint docs — at a
+    threshold low enough that rounding is load-bearing."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        containment_pairs,
+        directional_containment_pairs,
+        jaccard_pairs,
+        winnowing_pairs,
+    )
+
+    df = _pair_family_corpus(spark)
+    for inlined, helper, kw in [
+        (jaccard_pairs, _jaccard_via_helper, {"threshold": 0.05}),
+        (containment_pairs, _containment_via_helper, {"threshold": 0.3}),
+        (directional_containment_pairs, _directional_via_helper, {"threshold": 0.5}),
+        (winnowing_pairs, _winnowing_via_helper, {"min_shared": 1}),
+    ]:
+        want = sorted(map(tuple, inlined(df, "doc_id", "text", **kw).collect()))
+        got = sorted(map(tuple, helper(df, "doc_id", "text", **kw).collect()))
+        assert got == want, f"{inlined.__name__} diverges from helper form"
+        assert want, f"{inlined.__name__} equivalence corpus produced no rows"
+
+
+def test_bucketed_pair_counts_plan_shape_identical(spark):
+    """The helper form must keep the inlined plans' exchange counts —
+    the r12 flip is forbidden from adding a shuffle."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        jaccard_pairs,
+        winnowing_pairs,
+    )
+    from real_time_data_pipeline_spark.plans import executed_plan
+
+    df = _pair_family_corpus(spark)
+    for inlined, helper, kw in [
+        (jaccard_pairs, _jaccard_via_helper, {"threshold": 0.05}),
+        (winnowing_pairs, _winnowing_via_helper, {"min_shared": 1}),
+    ]:
+        want = executed_plan(inlined(df, "doc_id", "text", **kw))
+        got = executed_plan(helper(df, "doc_id", "text", **kw))
+        for marker in ("Exchange hashpartitioning", "InMemoryTableScan"):
+            assert got.count(marker) == want.count(marker), (
+                f"{inlined.__name__}: {marker} count diverges"
+            )
+
+
 def _union_find_components(edges):
     """Ground truth: Python union-find, label = component minimum."""
     parent = {}
