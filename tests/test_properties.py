@@ -139,6 +139,52 @@ def test_jaccard_pairs_match_python_brute_force(texts):
 
 
 @given(
+    texts=st.lists(
+        st.lists(st.sampled_from("red blue green bolt ring widget small large".split()),
+                 min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    max_df=st.one_of(st.none(), st.integers(min_value=1, max_value=4)),
+)
+@settings(max_examples=8, deadline=None)
+def test_bucketed_pair_counts_brute_force_with_cap(texts, max_df):
+    """`_bucketed_pair_counts` (the r12 flip target for the whole pair
+    family) against a pure-python inverted index under a RANDOM df cap:
+    intersections AND per-doc counts must both be over the post-cap
+    shingle sets — a denominator computed pre-cap would break the
+    family's "true Jaccard of the capped sets" contract."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        _bucketed_pair_counts,
+        shingle_postings,
+    )
+
+    df = _spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    inter, counts = _bucketed_pair_counts(
+        shingle_postings(df, "doc_id", "text", 3), "doc_id", "shingle", max_df
+    )
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i: i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    if max_df is not None:
+        dfreq: dict = {}
+        for s in sh.values():
+            for g in s:
+                dfreq[g] = dfreq.get(g, 0) + 1
+        sh = {i: {g for g in s if dfreq[g] <= max_df} for i, s in sh.items()}
+    want_inter = {
+        (a, b): len(sh[a] & sh[b]) for a in sh for b in sh if a < b and sh[a] & sh[b]
+    }
+    # docs reach the counts frame only through surviving buckets
+    want_counts = {i: len(s) for i, s in sh.items() if s}
+    assert {(r.id_a, r.id_b): r.inter for r in inter.collect()} == want_inter
+    assert {r.doc_id: r.n_sh for r in counts.collect()} == want_counts
+
+
+@given(
     keys=st.lists(st.integers(0, 10**9), min_size=2, max_size=60, unique=True),
     extra=st.lists(st.integers(10**9 + 1, 2 * 10**9), min_size=0, max_size=20, unique=True),
 )
