@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
+from real_time_data_pipeline_spark.operators.materialize import (
+    persist_tracked,
+    reliable_materialize,
+)
 from real_time_data_pipeline_spark.operators.text import hash32, word_shingles
 
 # MinHash parameters (shared with any SQL oracle that reproduces them).
@@ -132,8 +135,6 @@ def _bucketed_pair_counts(
         buckets = buckets.where(F.size("ids") <= max_df)
     counts: DataFrame | None = None
     if with_counts:
-        from real_time_data_pipeline_spark.operators.materialize import persist_tracked
-
         buckets = persist_tracked(buckets)  # feeds counts AND pair expansion
         counts = (
             buckets.select(F.explode("ids").alias(id_col))

@@ -26,3 +26,19 @@ def spark(tmp_path_factory):
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Unpersist `persist_tracked` frames after every test: similarity
+    buckets / ranking range-exchanges otherwise accumulate in executor
+    memory for the whole session (bench and the parity harness release
+    per query; the suite must too). Safe at teardown: the test's final
+    actions have run, lineage recomputes on any later re-collect, and
+    foreachBatch bodies register into their own `cache_scope`, not the
+    global registry. Shared artifacts use `reliable_materialize` and
+    are explicitly unaffected (queries/artifacts.py module doc)."""
+    yield
+    from real_time_data_pipeline_spark.operators.materialize import release_caches
+
+    release_caches()

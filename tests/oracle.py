@@ -30,6 +30,16 @@ TABLES = (
 )
 
 
+def py_word_shingles(text: str, n: int = 3) -> set:
+    """Pure-python oracle for `operators.text.word_shingles` +
+    in-row dedup: the DISTINCT word n-grams of a whitespace-split
+    text (empty for texts shorter than n words). One copy shared by
+    every brute-force similarity oracle in the suite, so a
+    tokenization change needs exactly one oracle edit."""
+    w = text.split()
+    return {" ".join(w[i: i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:

@@ -328,13 +328,12 @@ def test_bucketed_pair_counts_matches_brute_force(spark):
         shingle_postings,
     )
 
+    from tests.oracle import py_word_shingles
+
     df = _pair_family_corpus(spark)
     texts = {r.doc_id: r.text for r in df.collect()}
     n = 3
-    sets = {
-        i: {" ".join(ws[j:j + n]) for ws in [t.split()] for j in range(len(ws) - n + 1)}
-        for i, t in texts.items()
-    }
+    sets = {i: py_word_shingles(t, n) for i, t in texts.items()}
     inter, counts = _bucketed_pair_counts(
         shingle_postings(df, "doc_id", "text", n), "doc_id", "shingle", None
     )
@@ -365,9 +364,10 @@ def test_bucketed_pair_counts_max_df_caps_before_counts(spark):
         shingle_postings(df, "doc_id", "text", 3), "doc_id", "shingle", 3
     )
     # every cross-doc shingle contains the hot run (df=7 > 3) → no pairs,
-    # and each doc keeps only its 3 unique-suffix shingles.
+    # and EACH of the 7 docs keeps exactly its 3 unique-suffix shingles
+    # (a full dict, so a doc silently dropped from counts fails too).
     assert inter.count() == 0
-    assert {r.n_sh for r in counts.collect()} == {3}
+    assert {r.doc_id: r.n_sh for r in counts.collect()} == {i: 3 for i in range(1, 8)}
 
 
 def _jaccard_via_helper(df, id_col, text_col, n=3, threshold=0.5, max_df=10_000):

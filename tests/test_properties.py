@@ -101,11 +101,9 @@ def _bind_spark(spark):
 
 def _py_jaccard_pairs(texts, n=3, threshold=0.5):
     """Pure-python oracle: word n-gram Jaccard over a tiny corpus."""
-    def shingles(t):
-        w = t.split()
-        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+    from tests.oracle import py_word_shingles
 
-    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    sh = {i: py_word_shingles(t, n) for i, t in enumerate(texts)}
     out = {}
     for a in sh:
         for b in sh:
@@ -158,17 +156,14 @@ def test_bucketed_pair_counts_brute_force_with_cap(texts, max_df):
         _bucketed_pair_counts,
         shingle_postings,
     )
+    from tests.oracle import py_word_shingles
 
     df = _spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
     inter, counts = _bucketed_pair_counts(
         shingle_postings(df, "doc_id", "text", 3), "doc_id", "shingle", max_df
     )
 
-    def shingles(t):
-        w = t.split()
-        return {" ".join(w[i: i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
-
-    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    sh = {i: py_word_shingles(t, 3) for i, t in enumerate(texts)}
     if max_df is not None:
         dfreq: dict = {}
         for s in sh.values():
