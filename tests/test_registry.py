@@ -33,6 +33,61 @@ def test_every_query_exposed_with_oracle_keys_subset():
     assert set(o) <= set(q)
 
 
+def test_rotation_bookkeeping_invariants():
+    """The external gate checks only the FIRST 50 registry queries
+    (ordered by `_rotation_rank`), so window discipline is
+    correctness-critical bookkeeping, not style. Three invariants that
+    until now lived only in the round workflow's manual simulation:
+
+    - every `EDITED_THIS_ROUND` entry names a real query — a typo'd
+      entry silently marks NOTHING and the edited query rides its
+      stale-green tier out of the check window;
+    - every edited query sits inside the 50-prefix — otherwise the
+      round ships an implementation change the gate never re-verifies
+      (the window is overfull: drop edits or new queries);
+    - every query the gate has never fully-green-checked, and every
+      latest-round non-green row, sits inside the 50-prefix too.
+    """
+    import glob
+    import json
+    from pathlib import Path
+
+    from real_time_data_pipeline_spark.queries import EDITED_THIS_ROUND
+
+    assert EDITED_THIS_ROUND <= set(REGISTRY), (
+        f"typo'd EDITED_THIS_ROUND entries: {EDITED_THIS_ROUND - set(REGISTRY)}"
+    )
+    prefix = set(list(REGISTRY)[:50])
+    assert EDITED_THIS_ROUND <= prefix, (
+        f"edited queries outside the 50-query gate window: "
+        f"{sorted(EDITED_THIS_ROUND - prefix)}"
+    )
+    root = Path(__file__).resolve().parent.parent
+    rounds = sorted(glob.glob(str(root / "CORRECTNESS_r*.json")))
+    ever_green: set = set()
+    latest_not_green: set = set()
+    for path in rounds:
+        with open(path) as f:
+            data = json.load(f)
+        green = {
+            n
+            for n, row in data.items()
+            if row.get("hash_match") and row.get("rows_match") and row.get("schema_match")
+        }
+        ever_green |= green
+        if path == rounds[-1]:
+            latest_not_green = set(data) - green
+    never_green = set(REGISTRY) - ever_green
+    assert never_green <= prefix, (
+        f"never-externally-green queries outside the window: "
+        f"{sorted(never_green - prefix)}"
+    )
+    assert latest_not_green & set(REGISTRY) <= prefix, (
+        f"latest-round non-green queries outside the window: "
+        f"{sorted(latest_not_green & set(REGISTRY) - prefix)}"
+    )
+
+
 def test_no_oracle_emits_hugeint_output_columns():
     """One-shot audit for the r7 red-query bug class (VERDICT r7 #2).
 
