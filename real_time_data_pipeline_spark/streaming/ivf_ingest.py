@@ -169,7 +169,7 @@ def _committed_max_batch(spark: SparkSession, state_path: str):
 
 
 def commit_partitioned_batch(
-    inc: DataFrame, state_path: str, batch_id: int
+    inc: DataFrame, state_path: str, batch_id: int, key_col: str = "cent_id"
 ) -> bool:
     """The structural-idempotency commit shared by the index twins:
     guard against a checkpoint reset (shared `committed_marker_check`
@@ -177,8 +177,13 @@ def commit_partitioned_batch(
     the newest batch, FALL THROUGH and rewrite, since the previous
     attempt may have committed only some partitions), then write
     ``inc`` — which must be a pure deterministic function of the
-    batch — as its (cent_id, src_batch=batch_id) partitions via
-    dynamic overwrite. Returns True when the commit ran."""
+    batch — as its (key_col, src_batch=batch_id) partitions via
+    dynamic overwrite. Returns True when the commit ran.
+
+    ``key_col`` is the state's partition key: ``cent_id`` for the
+    vector-index twins, ``bkt`` (term hash bucket) for the corpus-
+    stats twin — any non-negative integer key works; negative values
+    are reserved for the compaction sentinel."""
     spark = inc.sparkSession
     stored_max = _committed_max_batch(spark, state_path)
     committed_marker_check(stored_max, batch_id)
@@ -186,7 +191,7 @@ def commit_partitioned_batch(
         inc.withColumn("src_batch", F.lit(batch_id).cast("bigint"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cent_id", "src_batch")
+        .partitionBy(key_col, "src_batch")
         .parquet(state_path)
     )
     return True
@@ -229,12 +234,14 @@ def read_ivf_state(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
-def compact_partitioned_state(spark: SparkSession, state_path: str) -> None:
-    """Maintenance-window compaction for ANY (cent_id, src_batch)-
+def compact_partitioned_state(
+    spark: SparkSession, state_path: str, key_col: str = "cent_id"
+) -> None:
+    """Maintenance-window compaction for ANY (key_col, src_batch)-
     partitioned index state (stream PAUSED with its final batch
     committed): fold every per-batch file set into one src_batch = -1
-    partition per cent_id, plus ONE sentinel row under
-    (cent_id = -1, src_batch = old max) so max(src_batch) — and with
+    partition per key, plus ONE sentinel row under
+    (key_col = -1, src_batch = old max) so max(src_batch) — and with
     it the checkpoint-reset guard — is exactly what it was before
     compaction. Committed through the staged-rename swap: a crash at
     any point leaves either the old state or the compacted one, and
@@ -245,21 +252,21 @@ def compact_partitioned_state(spark: SparkSession, state_path: str) -> None:
     if old_max is None:
         raise FileNotFoundError(f"no index state at {state_path}")
     data = spark.read.parquet(state_path).drop("src_batch")
-    payload = [f for f in data.schema.fields if f.name != "cent_id"]
+    payload = [f for f in data.schema.fields if f.name != key_col]
     marker = data.limit(1).select(
-        F.lit(_MARKER_CENT).cast("bigint").alias("cent_id"),
+        F.lit(_MARKER_CENT).cast("bigint").alias(key_col),
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
         F.lit(old_max).cast("bigint").alias("src_batch"),
     )
     compacted = (
-        data.where(F.col("cent_id") >= 0)
+        data.where(F.col(key_col) >= 0)
         .withColumn("src_batch", F.lit(_COMPACTED_BATCH).cast("bigint"))
         .unionByName(marker)
     )
     fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, state_path)
     _swap_write(
         fs, compacted, state_path, tmp_path, jpath, jtmp, jold, exists,
-        partition_by=["cent_id", "src_batch"],
+        partition_by=[key_col, "src_batch"],
     )
 
 

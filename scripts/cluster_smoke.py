@@ -464,6 +464,69 @@ def _ivf_ingest_smoke(spark) -> str:
     )
 
 
+def _corpusstats_ingest_smoke(spark) -> str:
+    """Incremental corpus term-statistics maintenance on the real
+    cluster (r11, tenth twin): the documents table is replayed as a
+    3-file stream through the foreachBatch additive-delta commit
+    across separate executor JVMs; the summed per-term (df, tf) and
+    corpus scalars must be cell-identical to the one-shot batch
+    build, and the BM25 ranking served from the maintained
+    statistics must equal the oracle-checked `text_bm25_ranking`
+    registry query row-for-row."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        bm25_probe_state,
+        corpus_stats_build,
+        corpus_stats_ingest_sink,
+        read_corpus_scalars,
+        read_term_stats,
+    )
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-cstats-")
+    replay, state, ck = f"{work}/replay", f"{work}/state", f"{work}/ck"
+    os.makedirs(replay)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    for i in range(3):
+        docs.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            os.path.join(replay, f"b{i}.parquet")
+        )
+    stream = file_stream(spark, f"{replay}/*", docs.schema, max_files_per_trigger=1)
+    q = corpus_stats_ingest_sink(stream, state, ck)
+    q.processAllAvailable()
+    q.stop()
+
+    one = corpus_stats_build(docs)
+    want_terms = {
+        (r.term, r.df, r.tf)
+        for r in one.where(F.col("term").isNotNull()).collect()
+    }
+    got_terms = {
+        (r.term, r.df, r.tf) for r in read_term_stats(spark, state).collect()
+    }
+    assert got_terms == want_terms and len(got_terms) > 0, "term stats != batch"
+    w = one.where(F.col("term").isNull()).collect()[0]
+    s = read_corpus_scalars(spark, state).collect()[0]
+    assert (s.n_docs, s.n_tokens) == (w.df, w.tf), "corpus scalars != batch"
+    want_bm = [
+        tuple(r) for r in REGISTRY["text_bm25_ranking"].fn(spark, SF_DIR).collect()
+    ]
+    got_bm = [
+        tuple(r)
+        for r in bm25_probe_state(
+            spark, state, docs, ("spark", "join", "window")
+        ).collect()
+    ]
+    assert got_bm == want_bm and len(got_bm) > 0, "BM25 probe != registry query"
+    return (
+        f"stats-parity ({len(got_terms)} terms, {s.n_docs} docs) + "
+        f"BM25 probe == registry ranking ({len(got_bm)} rows)"
+    )
+
+
 def _ivfpq_ingest_smoke(spark) -> str:
     """Incremental IVF-PQ index maintenance on the real cluster
     (r11): the embeddings replay through the frozen-centroid coarse
@@ -777,6 +840,7 @@ def main() -> int:
             ("histogram_ingest", _histogram_ingest_smoke),
             ("ivf_ingest", _ivf_ingest_smoke),
             ("ivfpq_ingest", _ivfpq_ingest_smoke),
+            ("corpusstats_ingest", _corpusstats_ingest_smoke),
         ]
         for label, phase_fn in phases:
             t0 = time.perf_counter()

@@ -665,6 +665,33 @@ def test_pq_adc_scoring_joins_are_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2  # codebooks + distance table
 
 
+def test_bm25_probe_state_joins_broadcast_and_topk_is_heap(spark, tmp_path):
+    """The corpus-stats twin's probe must keep the batch BM25 query's
+    scale shape: the maintained statistics enter as BROADCAST joins
+    (df rows = |query terms|, scalars = 1 row — never a shuffle join
+    against the per-doc tf), no cartesian blow-up, and the global
+    top-k is a per-partition heap (TakeOrderedAndProject), not a
+    global sort."""
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        bm25_probe_state,
+        merge_corpus_stats_batch,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    state = str(tmp_path / "cs_plan_state")
+    assert merge_corpus_stats_batch(docs, state, 0) is True
+    plan = _plan(
+        bm25_probe_state(spark, state, docs, ("spark", "join", "window"))
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # df join + scalar crossJoin(broadcast) both stay broadcast-side
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_grouped_multi_metric_ntiles_single_range_exchange(spark):
     """The grouped k-metric ntile shares ONE range exchange across
     all k per-group rankings, same as the global form: every

@@ -1002,3 +1002,75 @@ def test_ivfpq_merge_invariant_under_split_order_and_retry(
     shuffled = data.draw(st.permutations(idx))
     assert run(idx, retry_last=False) == want
     assert run(list(shuffled), retry_last=True) == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("red blue green bolt ring widget small large".split()),
+            min_size=0, max_size=10,
+        ).map(" ".join),
+        min_size=2, max_size=10,
+    ),
+    cut=st.integers(0, 9),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_corpus_stats_merge_invariant_under_split_order_and_retry(
+    texts, cut, data, tmp_path_factory
+):
+    """The streaming corpus-statistics state must sum to the one-shot
+    build CELL-FOR-CELL (per-term df/tf and the corpus scalars, exact
+    integers) for ANY split of the documents into micro-batches, ANY
+    arrival order, and a same-id retry of the final batch: each
+    unique document contributes its counts to exactly one batch and
+    addition is associative/commutative, while the retry replaces its
+    own (bkt, src_batch) delta partitions. Empty and sub-batch-empty
+    corpora (all-blank texts) are part of the strategy on purpose —
+    the scalar row must stay correct when a batch contributes zero
+    documents."""
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        corpus_stats_build,
+        merge_corpus_stats_batch,
+        read_corpus_scalars,
+        read_term_stats,
+    )
+
+    docs = _spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def cells(root):
+        terms = {
+            (r.term, r.df, r.tf)
+            for r in read_term_stats(_spark, root).collect()
+        }
+        s = read_corpus_scalars(_spark, root).collect()[0]
+        return terms, (s.n_docs, s.n_tokens)
+
+    def run(order, retry_last):
+        root = str(tmp_path_factory.mktemp("cstats")) + "/state"
+        k = max(1, min(cut, len(order) - 1)) if len(order) > 1 else 1
+        parts = [order[:k], order[k:]] if order[k:] else [order]
+        for bid, idx in enumerate(parts):
+            batch = docs.where(F.col("doc_id").isin([int(i) for i in idx]))
+            merge_corpus_stats_batch(batch, root, bid)
+        if retry_last:
+            bid = len(parts) - 1
+            batch = docs.where(
+                F.col("doc_id").isin([int(i) for i in parts[-1]])
+            )
+            merge_corpus_stats_batch(batch, root, bid)
+        return cells(root)
+
+    one = corpus_stats_build(docs)
+    want_terms = {
+        (r.term, r.df, r.tf)
+        for r in one.where(F.col("term").isNotNull()).collect()
+    }
+    w = one.where(F.col("term").isNull()).collect()[0]
+    want = (want_terms, (w.df, w.tf))
+    idx = list(range(len(texts)))
+    shuffled = data.draw(st.permutations(idx))
+    assert run(idx, retry_last=False) == want
+    assert run(list(shuffled), retry_last=True) == want

@@ -2258,6 +2258,15 @@ def test_twin_markers_reject_checkpoint_reset(spark, tmp_path):
     with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
         merge_histogram_batch(ev, hi, batch_id=1)
 
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        merge_corpus_stats_batch,
+    )
+
+    cs = str(tmp_path / "cs_guard_state")
+    assert merge_corpus_stats_batch(docs, cs, batch_id=2) is True
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_corpus_stats_batch(docs, cs, batch_id=1)
+
 
 def _ivf_state_rows(spark, path):
     from real_time_data_pipeline_spark.streaming.ivf_ingest import (
@@ -2630,3 +2639,131 @@ def test_ivf_partial_write_healed_by_retry(spark, tmp_path):
         for r in ivf_state_build(emb, cents).collect()
     }
     assert _ivf_state_rows(spark, state) == want
+
+
+def _corpus_stats_cells(spark, state):
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        read_corpus_scalars,
+        read_term_stats,
+    )
+
+    terms = {
+        (r.term, r.df, r.tf) for r in read_term_stats(spark, state).collect()
+    }
+    s = read_corpus_scalars(spark, state).collect()[0]
+    return terms, (s.n_docs, s.n_tokens)
+
+
+def test_corpus_stats_ingest_parity_retry_reset_probe_compaction(
+    spark, tmp_path
+):
+    """Tenth twin — streaming corpus term statistics (the BM25/IDF
+    index maintenance the batch `text_bm25_ranking` query recomputes
+    per run): addition is associative/commutative, so replaying the
+    documents table in any chunking sums to the one-shot statistics
+    EXACTLY (integer cells); a foreachBatch retry replaces its own
+    (bkt, src_batch) delta partitions; a checkpoint reset fails
+    loudly; the ADDITIVE compaction folds the deltas to vocabulary
+    size while preserving cells and the reset guard; and the BM25
+    probe over the maintained statistics reproduces the
+    oracle-checked registry ranking row-for-row."""
+    import pytest as _pytest
+
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        bm25_probe_state,
+        compact_corpus_stats,
+        corpus_stats_build,
+        merge_corpus_stats_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    state = str(tmp_path / "cs_state")
+    chunks = [docs.where(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    for i, ch in enumerate(chunks):
+        assert merge_corpus_stats_batch(ch, state, i) is True
+
+    one = corpus_stats_build(docs)
+    want_terms = {
+        (r.term, r.df, r.tf)
+        for r in one.where(F.col("term").isNotNull()).collect()
+    }
+    w = one.where(F.col("term").isNull()).collect()[0]
+    want_scalars = (w.df, w.tf)
+    assert _corpus_stats_cells(spark, state) == (want_terms, want_scalars)
+    assert len(want_terms) > 0 and want_scalars[0] > 0
+
+    # retry of the newest batch: delta partitions REPLACED, cells stable
+    assert merge_corpus_stats_batch(chunks[2], state, 2) is True
+    assert _corpus_stats_cells(spark, state) == (want_terms, want_scalars)
+
+    # checkpoint reset: loud failure through the shared guard
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_corpus_stats_batch(chunks[0], state, 0)
+
+    # BM25 from maintained stats == the oracle-checked batch query
+    want_bm = [tuple(r) for r in REGISTRY["text_bm25_ranking"].fn(spark, sf).collect()]
+    got_bm = [
+        tuple(r)
+        for r in bm25_probe_state(
+            spark, state, docs, ("spark", "join", "window")
+        ).collect()
+    ]
+    assert got_bm == want_bm and len(want_bm) > 0
+
+    # additive compaction: cells identical, guard preserved, next
+    # live batch still lands
+    compact_corpus_stats(spark, state)
+    assert _corpus_stats_cells(spark, state) == (want_terms, want_scalars)
+    assert [
+        tuple(r)
+        for r in bm25_probe_state(
+            spark, state, docs, ("spark", "join", "window")
+        ).collect()
+    ] == want_bm
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_corpus_stats_batch(chunks[0], state, 1)
+    assert merge_corpus_stats_batch(chunks[0].limit(0), state, 5) is True
+
+
+def test_corpus_stats_ingest_sink_end_to_end(spark, tmp_path):
+    """The foreachBatch sink drains a documents file-replay and leaves
+    the same summed statistics as the one-shot batch build."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        corpus_stats_build,
+        corpus_stats_ingest_sink,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "doc_drops")
+    _os.makedirs(d)
+    for i in range(2):
+        docs.where(F.pmod("doc_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            _os.path.join(d, f"drop{i}")
+        )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(d, "*"))
+    )
+    state = str(tmp_path / "cs_sink_state")
+    q = corpus_stats_ingest_sink(stream, state, str(tmp_path / "cs_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    one = corpus_stats_build(docs)
+    want_terms = {
+        (r.term, r.df, r.tf)
+        for r in one.where(F.col("term").isNotNull()).collect()
+    }
+    w = one.where(F.col("term").isNull()).collect()[0]
+    assert _corpus_stats_cells(spark, state) == (want_terms, (w.df, w.tf))
