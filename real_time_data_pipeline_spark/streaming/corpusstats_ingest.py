@@ -77,6 +77,7 @@ from real_time_data_pipeline_spark.streaming.ivf_ingest import (
     commit_partitioned_batch,
 )
 from real_time_data_pipeline_spark.streaming.sinks import (
+    _hadoop_fs,
     _swap_paths,
     _swap_write,
 )
@@ -155,6 +156,26 @@ def corpus_stats_build(
     return corpus_stats_increments(corpus, id_col, text_col, n_buckets)
 
 
+def _live_batch_partitions_exist(
+    spark: SparkSession, state_path: str, batch_id: int
+) -> bool:
+    """True iff any NON-SENTINEL (bkt >= 0) partition directory exists
+    for ``src_batch=batch_id`` — a driver-side FS glob, same cost
+    class as `_committed_max_batch`."""
+    fs, _ = _hadoop_fs(spark, state_path)
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(
+        state_path.rstrip("/") + f"/*/src_batch={batch_id}"
+    )
+    statuses = fs.globStatus(glob)
+    if statuses is None:
+        return False
+    return any(
+        st.getPath().getParent().getName() != f"bkt={_MARKER_CENT}"
+        for st in statuses
+    )
+
+
 def merge_corpus_stats_batch(
     batch_df: DataFrame,
     state_path: str,
@@ -166,7 +187,34 @@ def merge_corpus_stats_batch(
     """Commit one micro-batch's statistics delta as its
     (bkt, src_batch=batch_id) partitions via the shared structural-
     idempotency commit: a retry REPLACES its own partitions with
-    byte-identical rows; a checkpoint reset fails loudly."""
+    byte-identical rows; a checkpoint reset fails loudly.
+
+    One retry window the ROW-PRESERVING index twins tolerate is fatal
+    for ADDITIVE state and is guarded here: if compaction ran against
+    the contract (stream not fully committed — e.g. the state write
+    landed but the streaming engine's own commit log didn't), the
+    newest batch can be redelivered under its old id AFTER its delta
+    partitions were folded into src_batch = -1. The generic
+    ==-fall-through would then dynamic-overwrite partitions that no
+    longer exist — i.e. ADD the batch on top of the fold that already
+    contains it, silently doubling every statistic it touched. So a
+    same-id retry is accepted only while the batch's live delta
+    partitions still exist (a driver-side directory check); after
+    compaction it raises loudly instead of corrupting."""
+    spark = batch_df.sparkSession
+    stored_max = _committed_max_batch(spark, state_path)
+    if (
+        stored_max is not None
+        and batch_id == stored_max
+        and not _live_batch_partitions_exist(spark, state_path, batch_id)
+    ):
+        raise ValueError(
+            f"corpus-stats retry of batch {batch_id} arrived after its "
+            f"delta partitions were compacted away: replaying it would "
+            f"double-count additive state. checkpoint/state mismatch — "
+            f"compaction ran before the stream fully committed; restore "
+            f"the pre-compaction state or rebuild from the corpus."
+        )
     inc = corpus_stats_increments(batch_df, id_col, text_col, n_buckets)
     return commit_partitioned_batch(inc, state_path, batch_id, key_col="bkt")
 
@@ -248,6 +296,27 @@ def compact_corpus_stats(spark: SparkSession, state_path: str) -> None:
     )
 
 
+def _term_buckets(
+    spark: SparkSession, terms: "tuple[str, ...]", n_buckets: int
+) -> "list[int]":
+    """The state buckets the given terms hash into — ONE driver-side
+    row over literals (bounded by |terms|, no table scan), so probe
+    reads can partition-prune to exactly those buckets."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets))
+                .cast("bigint")
+                .alias(f"b{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+        .collect()[0]
+    )
+    return sorted({int(v) for v in row})
+
+
 def bm25_probe_state(
     spark: SparkSession,
     state_path: str,
@@ -258,20 +327,26 @@ def bm25_probe_state(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
 ) -> DataFrame:
     """BM25 top-k served FROM the maintained statistics: candidate
     documents' term frequencies and lengths come from ``corpus`` (the
     accepted documents — per-doc tf is document-local, not state),
     while df / n_docs / avgdl come from the state. Mirrors
     `queries/text.py::q_bm25_ranking` exactly (same tokenizer, filter,
-    k1/b defaults, rounding, tie order), so replaying a corpus into
+    k1/b constants, rounding, tie order), so replaying a corpus into
     the state and probing it reproduces the oracle-checked registry
     ranking — the twin-parity surface.
 
-    Scale shape: term filter BEFORE the tf aggregation, statistics
-    joins broadcast (df rows = |query_terms|, scalars = 1 row), final
-    top-k is a per-partition heap (TakeOrderedAndProject) then a
-    window over only the k survivors.
+    Scale shape: term filter BEFORE the tf aggregation; the state scan
+    partition-prunes to the |query_terms| buckets the terms hash into
+    plus the scalar bucket (`_term_buckets` — this pruning is what the
+    bkt partitioning exists for, mirroring `ivf_probe_state`'s probed-
+    list pruning, and is plan-audited in tests/test_plans.py);
+    statistics enter as broadcast joins (df rows = |query_terms|,
+    scalars = 1 row); the final top-k is a per-partition heap
+    (TakeOrderedAndProject) then a window over only the k survivors.
+    ``n_buckets`` must match the value the state was written with.
     """
     from real_time_data_pipeline_spark.operators.similarity import _fan_out
     from real_time_data_pipeline_spark.operators.text import token_count_ws, words
@@ -287,10 +362,28 @@ def bm25_probe_state(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = read_term_stats(spark, state_path).where(
-        F.col("term").isin(*query_terms)
-    ).select("term", "df")
-    stats = read_corpus_scalars(spark, state_path)
+    pruned = _read_state(spark, state_path).where(
+        F.col("bkt").isin(
+            [*_term_buckets(spark, query_terms, n_buckets),
+             _scalars_bucket(n_buckets)]
+        )
+    )
+    dfreq = (
+        pruned.where(F.col("term").isin(*query_terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = (
+        pruned.where(F.col("term").isNull())
+        .agg(F.sum("df").alias("n_docs"), F.sum("tf").alias("n_tokens"))
+        .select(
+            "n_docs",
+            F.when(
+                F.col("n_docs") > 0,
+                F.col("n_tokens").cast("double") / F.col("n_docs"),
+            ).alias("avgdl"),
+        )
+    )
     idf = F.log(
         F.lit(1)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

@@ -476,6 +476,7 @@ def _corpusstats_ingest_smoke(spark) -> str:
     from pyspark.sql import functions as F
 
     from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.queries.text import BM25_QUERY_TERMS
     from real_time_data_pipeline_spark.sources.tables import load_table
     from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
         bm25_probe_state,
@@ -517,7 +518,7 @@ def _corpusstats_ingest_smoke(spark) -> str:
     got_bm = [
         tuple(r)
         for r in bm25_probe_state(
-            spark, state, docs, ("spark", "join", "window")
+            spark, state, docs, BM25_QUERY_TERMS
         ).collect()
     ]
     assert got_bm == want_bm and len(got_bm) > 0, "BM25 probe != registry query"

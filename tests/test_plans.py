@@ -672,6 +672,7 @@ def test_bm25_probe_state_joins_broadcast_and_topk_is_heap(spark, tmp_path):
     against the per-doc tf), no cartesian blow-up, and the global
     top-k is a per-partition heap (TakeOrderedAndProject), not a
     global sort."""
+    from real_time_data_pipeline_spark.queries.text import BM25_QUERY_TERMS
     from real_time_data_pipeline_spark.sources.tables import load_table
     from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
         bm25_probe_state,
@@ -681,9 +682,12 @@ def test_bm25_probe_state_joins_broadcast_and_topk_is_heap(spark, tmp_path):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     state = str(tmp_path / "cs_plan_state")
     assert merge_corpus_stats_batch(docs, state, 0) is True
-    plan = _plan(
-        bm25_probe_state(spark, state, docs, ("spark", "join", "window"))
-    )
+    import re
+
+    plan = _plan(bm25_probe_state(spark, state, docs, BM25_QUERY_TERMS))
+    # the state scan partition-prunes to the query terms' buckets
+    pfilters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bkt" in f for f in pfilters), pfilters
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     # df join + scalar crossJoin(broadcast) both stay broadcast-side

@@ -2670,6 +2670,7 @@ def test_corpus_stats_ingest_parity_retry_reset_probe_compaction(
     import pytest as _pytest
 
     from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.queries.text import BM25_QUERY_TERMS
     from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
         bm25_probe_state,
         compact_corpus_stats,
@@ -2707,7 +2708,7 @@ def test_corpus_stats_ingest_parity_retry_reset_probe_compaction(
     got_bm = [
         tuple(r)
         for r in bm25_probe_state(
-            spark, state, docs, ("spark", "join", "window")
+            spark, state, docs, BM25_QUERY_TERMS
         ).collect()
     ]
     assert got_bm == want_bm and len(want_bm) > 0
@@ -2719,11 +2720,18 @@ def test_corpus_stats_ingest_parity_retry_reset_probe_compaction(
     assert [
         tuple(r)
         for r in bm25_probe_state(
-            spark, state, docs, ("spark", "join", "window")
+            spark, state, docs, BM25_QUERY_TERMS
         ).collect()
     ] == want_bm
     with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
         merge_corpus_stats_batch(chunks[0], state, 1)
+    # a same-id retry of the newest batch AFTER compaction folded its
+    # delta partitions away must raise, not re-ADD the batch on top
+    # of the fold (the double-count window the row-preserving index
+    # twins tolerate but additive state cannot)
+    with _pytest.raises(ValueError, match="compacted away"):
+        merge_corpus_stats_batch(chunks[2], state, 2)
+    assert _corpus_stats_cells(spark, state) == (want_terms, want_scalars)
     assert merge_corpus_stats_batch(chunks[0].limit(0), state, 5) is True
 
 
