@@ -119,13 +119,11 @@ def _bucketed_pair_counts(
     (`shingle_postings` dedups in-row before the explode).
 
     Extracted per the r10 verdict's duplication finding (~40 lines × 4
-    sites). NOT yet called by the registry consumers: flipping them
-    marks 13 registry queries implementation-edited (measured r11 —
-    see README), which exceeds the r11 rotation-window slack; the
-    mechanical flip is scheduled for r12. Until then the equivalence
+    sites); the consumer flip landed in r12 after the equivalence
     suite (`tests/test_operators.py::test_bucketed_pair_counts_*`)
-    pins this helper bit-identical and exchange-identical to the
-    inlined copies, so the r12 flip cannot change results or plans.
+    pinned the helper bit-identical and exchange-identical to the
+    previously inlined copies — the flip changed call sites, not
+    results or plans.
     """
     collect = F.collect_set if distinct_ids else F.collect_list
     buckets = postings.groupBy(key_col).agg(
@@ -188,46 +186,13 @@ def jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6.
     """
-    # Bucket-collect ONCE and share via tracked persist: Catalyst
-    # does not reuse exchanges across self-join branches here, so the
-    # naive postings self-join recomputes the explode+distinct up to
-    # 4× (a-side, b-side, and both count branches). One shuffle on the
-    # shingle builds the inverted index; pairs expand inside each
-    # bucket; per-doc shingle counts derive from the same buckets, so
-    # the document-frequency cap is a free size() filter on the bucket
-    # rows — no extra aggregate, applied BEFORE the cache. persist
-    # (not localCheckpoint) keeps lineage: executor loss recomputes
-    # instead of failing, and the cache is released per query.
-    sh = shingle_postings(df, id_col, text_col, n)
-    buckets = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    if max_df is not None:
-        buckets = buckets.where(F.size("ids") <= max_df)
-    from real_time_data_pipeline_spark.operators.materialize import persist_tracked
-
-    buckets = persist_tracked(buckets)  # lazy shared cache; executor loss recomputes
-    counts = (
-        buckets.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
-                ),
-            )
-        ),
-        lambda s: s["id_a"] < s["id_b"],
-    )
-    inter = (
-        buckets.where(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Candidate generation + per-doc counts come from the shared
+    # inverted-index core (`_bucketed_pair_counts`): one shuffle on
+    # the shingle, in-bucket pair expansion, post-cap denominators
+    # derived from the SAME persisted buckets (see its docstring for
+    # the full scale rationale).
+    inter, counts = _bucketed_pair_counts(
+        shingle_postings(df, id_col, text_col, n), id_col, "shingle", max_df
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -265,36 +230,8 @@ def containment_pairs(
 
     Output: (id_a, id_b, containment) with id_a < id_b, rounded 6.
     """
-    sh = shingle_postings(df, id_col, text_col, n)
-    buckets = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    if max_df is not None:
-        buckets = buckets.where(F.size("ids") <= max_df)
-    from real_time_data_pipeline_spark.operators.materialize import persist_tracked
-
-    buckets = persist_tracked(buckets)  # feeds counts AND pair expansion; lazy, loss-recomputable
-    counts = (
-        buckets.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
-                ),
-            )
-        ),
-        lambda s: s["id_a"] < s["id_b"],
-    )
-    inter = (
-        buckets.where(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter, counts = _bucketed_pair_counts(
+        shingle_postings(df, id_col, text_col, n), id_col, "shingle", max_df
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -336,36 +273,8 @@ def directional_containment_pairs(
 
     Output: (src_id, dst_id, containment) rounded 6, src ≠ dst.
     """
-    sh = shingle_postings(df, id_col, text_col, n)
-    buckets = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    if max_df is not None:
-        buckets = buckets.where(F.size("ids") <= max_df)
-    from real_time_data_pipeline_spark.operators.materialize import persist_tracked
-
-    buckets = persist_tracked(buckets)  # feeds counts AND pair expansion
-    counts = (
-        buckets.select(F.explode("ids").alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
-                ),
-            )
-        ),
-        lambda s: s["id_a"] < s["id_b"],
-    )
-    inter = (
-        buckets.where(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter, counts = _bucketed_pair_counts(
+        shingle_postings(df, id_col, text_col, n), id_col, "shingle", max_df
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -1524,29 +1433,16 @@ def winnowing_pairs(
 
     Output: (id_a, id_b, n_shared) with id_a < id_b.
     """
-    post = winnowing_postings(df, id_col, text_col, k, w)
-    buckets = post.groupBy("fp").agg(
-        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
+    inter, _ = _bucketed_pair_counts(
+        winnowing_postings(df, id_col, text_col, k, w),
+        id_col,
+        "fp",
+        max_df,
+        distinct_ids=True,  # postings repeat (id, fp); dedup in the bucket build
+        with_counts=False,  # no denominators needed -> no persist, pure one-pass
     )
-    if max_df is not None:
-        buckets = buckets.where(F.size("ids") <= max_df)
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
-                ),
-            )
-        ),
-        lambda s: s["id_a"] < s["id_b"],
-    )
-    return (
-        buckets.where(F.size("ids") >= 2)
-        .select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared)
+    return inter.withColumnRenamed("inter", "n_shared").where(
+        F.col("n_shared") >= min_shared
     )
 
 

@@ -1342,6 +1342,7 @@ def q_fuzzy_blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
            count(DISTINCT user_id) AS n_users
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -1352,12 +1353,19 @@ def q_partition_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     single file. Running it as a query makes the pruning metadata
     itself auditable (stale bounds = broken pruning).
 
+    NULL event times are excluded (r12, closing ADVICE r11 #4): a row
+    with no timestamp belongs to no day partition, so no manifest has
+    a bound for it — and the exclusion makes this frame equal the
+    streaming twin's `read_zonemap` output UNCONDITIONALLY (the twin
+    was already watermark-driven and therefore NULL-ts-free;
+    streaming/zonemap_ingest.py).
+
     Scale shape: one scan, one aggregate keyed by the partition value
     (day cardinality, not data volume); distinct user counts are the
     only wide part and swap to approx_count_distinct at monitoring
     cadence.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("part_date")
     ).agg(

@@ -36,13 +36,12 @@ assert cell-for-cell.
 Parity contract (tests/test_streaming.py): rows with NULL event time
 are EXCLUDED from this twin's state (the stream's watermark would
 drop them anyway, and a NULL partition value is not a partition).
-The batch registry query `data_partition_zonemap` does NOT exclude
-them — it emits a NULL part_date group — so on a corpus containing
-NULL-ts rows `read_zonemap` matches the registry frame MINUS that
-one NULL-partition row; on the driver tables (no NULL ts) the two
-are column-for-column identical, which is what the parity test
-asserts. NULL user_id rows count toward n_rows but never enter the
-pair state, matching ``count(DISTINCT user_id)`` semantics.
+Since r12 the batch registry query `data_partition_zonemap` applies
+the SAME `ts IS NOT NULL` filter (its oracle too), so `read_zonemap`
+equals the registry frame UNCONDITIONALLY — including on corpora
+containing NULL-ts rows, which the parity test exercises directly.
+NULL user_id rows count toward n_rows but never enter the pair
+state, matching ``count(DISTINCT user_id)`` semantics.
 
 Reference behavior twinned: the reference's gold job recomputes its
 aggregate from the silver path every trigger

@@ -301,12 +301,13 @@ def test_jaccard_max_df_prunes_hot_shingles(spark):
 
 
 # ---------------------------------------------------------------------------
-# _bucketed_pair_counts: the shared inverted-index core (r12 flip target)
+# _bucketed_pair_counts: the shared inverted-index core
 # ---------------------------------------------------------------------------
-# The helper is not yet called by the registry consumers (the flip marks
-# 13 registry queries implementation-edited — scheduled r12, see README).
-# These tests pin it bit-identical and exchange-identical to the inlined
-# copies NOW, so the r12 flip is a pure refactor with pre-proven output.
+# The r12 flip landed: jaccard/containment/directional/winnowing all call
+# the helper now. The *_via_helper replicas below are kept as independent
+# reconstructions of each consumer's composition — the equivalence tests
+# pin the production operators against them (and the brute-force oracle),
+# so a future edit to either side that changes rows or plan shape fails.
 
 
 def _pair_family_corpus(spark):

@@ -2155,6 +2155,20 @@ def test_zonemap_ingest_crash_between_writes_and_nulls(spark, tmp_path):
         "2024-03-02": (1, 5, 5, 1),
     }
 
+    # r12 unification (ADVICE r11 #4): the batch registry query now
+    # applies the same `ts IS NOT NULL` contract, so twin == registry
+    # UNCONDITIONALLY — asserted here on a corpus that CONTAINS a
+    # NULL-ts row (the case the old doc-only contract carved out).
+    from real_time_data_pipeline_spark.queries import REGISTRY
+
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    registry_rows = {
+        tuple(r)
+        for r in REGISTRY["data_partition_zonemap"].fn(spark, str(tmp_path)).collect()
+    }
+    twin_rows = {tuple(r) for r in read_zonemap(spark, stats, users).collect()}
+    assert twin_rows == registry_rows
+
 
 def test_zonemap_ingest_sink_end_to_end(spark, tmp_path):
     """The foreachBatch sink drains an events file-replay and leaves
