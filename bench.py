@@ -161,6 +161,26 @@ def main() -> None:
         out["n_errors"] = len(errors)
     print(json.dumps(out))
 
+    # Persist the FULL per-query JSON under docs/bench/ (VERDICT r11
+    # #6): the round driver keeps only the last 2000 chars of stdout,
+    # which has repeatedly truncated away realized per-query numbers.
+    # Append-only, small; label with SPARK_GRAFT_BENCH_TAG when set
+    # (builder runs use e.g. r12_own1), else a timestamp.
+    try:
+        bench_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "docs", "bench"
+        )
+        os.makedirs(bench_dir, exist_ok=True)
+        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or time.strftime(
+            "%Y%m%d_%H%M%S"
+        )
+        path = os.path.join(bench_dir, f"{tag}.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"full bench JSON: {path}", file=sys.stderr)
+    except OSError as exc:  # never let bookkeeping fail the bench
+        print(f"bench persist failed: {exc}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

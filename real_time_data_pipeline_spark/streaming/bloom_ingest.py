@@ -50,7 +50,7 @@ from pyspark.sql.streaming import StreamingQuery
 # bit-identical by construction.
 from real_time_data_pipeline_spark.queries.text import BLOOM_BITS, BLOOM_SALTS
 from real_time_data_pipeline_spark.operators.text import hash32, word_shingles
-from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
+from real_time_data_pipeline_spark.streaming.sinks import read_state as _read_state
 from real_time_data_pipeline_spark.streaming.sinks import (
     committed_marker_check,
     replace_parquet,

@@ -70,20 +70,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from real_time_data_pipeline_spark.streaming.ivf_ingest import (
-    _MARKER_CENT,
-    _committed_max_batch,
-    _state_exists_recovered,
-    commit_partitioned_batch,
-)
 from real_time_data_pipeline_spark.streaming.sinks import (
-    _hadoop_fs,
-    _swap_paths,
-    _swap_write,
+    commit_partitioned_batch,
+    compact_partitioned_state,
+    state_exists_recovered as _state_exists_recovered,
 )
 
 DEFAULT_TERM_BUCKETS = 64  # local-test size; a 100 TB corpus wants O(thousands)
-_COMPACTED_BATCH = -1  # src_batch value for compaction output
 
 
 def _scalars_bucket(n_buckets: int) -> int:
@@ -156,26 +149,6 @@ def corpus_stats_build(
     return corpus_stats_increments(corpus, id_col, text_col, n_buckets)
 
 
-def _live_batch_partitions_exist(
-    spark: SparkSession, state_path: str, batch_id: int
-) -> bool:
-    """True iff any NON-SENTINEL (bkt >= 0) partition directory exists
-    for ``src_batch=batch_id`` — a driver-side FS glob, same cost
-    class as `_committed_max_batch`."""
-    fs, _ = _hadoop_fs(spark, state_path)
-    jvm = spark._jvm
-    glob = jvm.org.apache.hadoop.fs.Path(
-        state_path.rstrip("/") + f"/*/src_batch={batch_id}"
-    )
-    statuses = fs.globStatus(glob)
-    if statuses is None:
-        return False
-    return any(
-        st.getPath().getParent().getName() != f"bkt={_MARKER_CENT}"
-        for st in statuses
-    )
-
-
 def merge_corpus_stats_batch(
     batch_df: DataFrame,
     state_path: str,
@@ -189,32 +162,13 @@ def merge_corpus_stats_batch(
     idempotency commit: a retry REPLACES its own partitions with
     byte-identical rows; a checkpoint reset fails loudly.
 
-    One retry window the ROW-PRESERVING index twins tolerate is fatal
-    for ADDITIVE state and is guarded here: if compaction ran against
-    the contract (stream not fully committed — e.g. the state write
-    landed but the streaming engine's own commit log didn't), the
-    newest batch can be redelivered under its old id AFTER its delta
-    partitions were folded into src_batch = -1. The generic
-    ==-fall-through would then dynamic-overwrite partitions that no
-    longer exist — i.e. ADD the batch on top of the fold that already
-    contains it, silently doubling every statistic it touched. So a
-    same-id retry is accepted only while the batch's live delta
-    partitions still exist (a driver-side directory check); after
-    compaction it raises loudly instead of corrupting."""
-    spark = batch_df.sparkSession
-    stored_max = _committed_max_batch(spark, state_path)
-    if (
-        stored_max is not None
-        and batch_id == stored_max
-        and not _live_batch_partitions_exist(spark, state_path, batch_id)
-    ):
-        raise ValueError(
-            f"corpus-stats retry of batch {batch_id} arrived after its "
-            f"delta partitions were compacted away: replaying it would "
-            f"double-count additive state. checkpoint/state mismatch — "
-            f"compaction ran before the stream fully committed; restore "
-            f"the pre-compaction state or rebuild from the corpus."
-        )
+    The retry window that is FATAL for additive state — a same-id
+    redelivery arriving after compaction folded the batch's delta
+    partitions into src_batch = -1, where a rewrite would ADD the
+    batch on top of the fold that already contains it — is guarded
+    inside `sinks.commit_partitioned_batch` itself since r12
+    (ADVICE r11 #1 moved this module's original guard into the shared
+    commit so the row-preserving index twins get it too)."""
     inc = corpus_stats_increments(batch_df, id_col, text_col, n_buckets)
     return commit_partitioned_batch(inc, state_path, batch_id, key_col="bkt")
 
@@ -265,34 +219,18 @@ def read_corpus_scalars(spark: SparkSession, state_path: str) -> DataFrame:
 
 def compact_corpus_stats(spark: SparkSession, state_path: str) -> None:
     """Maintenance-window compaction, ADDITIVE form (stream PAUSED
-    with its final batch committed): sum every per-batch delta into
-    one row per (bkt, term) — and one summed scalar row — under
-    src_batch = -1, so the state returns to exactly vocabulary size;
-    the sentinel row (bkt = -1, src_batch = old max) preserves the
-    checkpoint-reset guard, and the whole fold commits through the
-    crash-safe staged-rename swap (a crash leaves the old state or
-    the compacted one, never a mix)."""
-    old_max = _committed_max_batch(spark, state_path)
-    if old_max is None:
-        raise FileNotFoundError(f"no corpus-stats state at {state_path}")
-    data = spark.read.parquet(state_path).where(F.col("bkt") >= 0)
-    folded = (
-        data.groupBy("bkt", "term")
-        .agg(F.sum("df").alias("df"), F.sum("tf").alias("tf"))
-        .withColumn("src_batch", F.lit(_COMPACTED_BATCH).cast("bigint"))
-    )
-    sentinel = folded.limit(1).select(
-        F.lit(_MARKER_CENT).cast("bigint").alias("bkt"),
-        F.lit(None).cast("string").alias("term"),
-        F.lit(None).cast("bigint").alias("df"),
-        F.lit(None).cast("bigint").alias("tf"),
-        F.lit(old_max).cast("bigint").alias("src_batch"),
-    )
-    compacted = folded.unionByName(sentinel)
-    fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, state_path)
-    _swap_write(
-        fs, compacted, state_path, tmp_path, jpath, jtmp, jold, exists,
-        partition_by=["bkt", "src_batch"],
+    with its final batch committed): the shared sentinel-preserving
+    crash-safe compaction with this twin's merge algebra passed as
+    the fold — sum every per-batch delta into one row per (bkt, term)
+    (the scalar rows fold the same way: same bkt, NULL term), so the
+    state returns to exactly vocabulary size."""
+    compact_partitioned_state(
+        spark,
+        state_path,
+        key_col="bkt",
+        fold=lambda live: live.groupBy("bkt", "term").agg(
+            F.sum("df").alias("df"), F.sum("tf").alias("tf")
+        ),
     )
 
 
@@ -348,6 +286,11 @@ def bm25_probe_state(
     (TakeOrderedAndProject) then a window over only the k survivors.
     ``n_buckets`` must match the value the state was written with.
     """
+    if not query_terms:
+        # Contract error, raised plainly (ADVICE r11 #2): zero-arg
+        # isin() and an empty _term_buckets projection both fail with
+        # obscure internal exceptions otherwise.
+        raise ValueError("query_terms must be non-empty")
     from real_time_data_pipeline_spark.operators.similarity import _fan_out
     from real_time_data_pipeline_spark.operators.text import token_count_ws, words
 

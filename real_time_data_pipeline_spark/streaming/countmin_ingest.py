@@ -42,7 +42,7 @@ from pyspark.sql.streaming import StreamingQuery
 # the same structure by construction.
 from real_time_data_pipeline_spark.queries.text import CM_SALTS, CM_WIDTH
 from real_time_data_pipeline_spark.operators.text import hash32, words
-from real_time_data_pipeline_spark.streaming.retention_ingest import _read_state
+from real_time_data_pipeline_spark.streaming.sinks import read_state as _read_state
 from real_time_data_pipeline_spark.streaming.sinks import (
     committed_marker_check,
     replace_parquet,

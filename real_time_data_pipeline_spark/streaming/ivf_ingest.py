@@ -34,9 +34,12 @@ with new data under recycled ids. The shared guard
 (`sinks.committed_marker_check` against max committed src_batch)
 raises there, same contract as every other twin; on `==` (a genuine
 retry of the newest batch) the merge proceeds — replace, not skip —
-because the retry's partitions may be partial. Any state-read error
-other than plain absence PROPAGATES: swallowing it would silently
-disarm this guard.
+because the retry's partitions may be partial, UNLESS the batch's
+live partitions were already folded away by compaction, where the
+shared commit raises instead of re-adding folded rows as duplicates
+(ADVICE r11 #1; `sinks.commit_partitioned_batch`). Any state-read
+error other than plain absence PROPAGATES: swallowing it would
+silently disarm this guard.
 
 Vectors are stored scalar-quantized (`quantize_embedding`, one
 int8-range code per dimension + per-vector lo/scale): ~1/8 the
@@ -84,15 +87,16 @@ from real_time_data_pipeline_spark.operators.similarity import (
     norm,
     quantize_embedding,
 )
+# The state scaffolding — swap-recovering existence check, committed-
+# max-batch directory scan, the guarded dynamic-overwrite commit, and
+# the sentinel-preserving compaction — is the SHARED partitioned-twin
+# helper set in sinks.py (extracted r12, VERDICT r11 #5); this module
+# keeps only the IVF-specific pieces (assignment, probes, readers).
 from real_time_data_pipeline_spark.streaming.sinks import (
-    _hadoop_fs,
-    _swap_paths,
-    _swap_write,
-    committed_marker_check,
+    commit_partitioned_batch,
+    compact_partitioned_state,
+    state_exists_recovered as _state_exists_recovered,
 )
-
-_COMPACTED_BATCH = -1  # src_batch value reserved for compaction output
-_MARKER_CENT = -1  # cent_id reserved for the compaction guard sentinel
 
 
 def ivf_assignment_increments(
@@ -129,72 +133,6 @@ def ivf_state_build(
     """The batch twin: the whole corpus assigned in one pass — the
     frame any chunked streaming replay must reproduce row-for-row."""
     return ivf_assignment_increments(corpus, centroids, id_col, vec_col)
-
-
-def _state_exists_recovered(spark: SparkSession, state_path: str) -> bool:
-    """Existence check that FIRST runs the swap-commit crash recovery
-    (`sinks._swap_paths` restores a committed table stranded at
-    ``__old__`` by a compaction that died between its two renames).
-    Every state entry point — merge, read, probe — goes through here,
-    per the swap-commit contract."""
-    return _swap_paths(spark, state_path)[5]
-
-
-def _committed_max_batch(spark: SparkSession, state_path: str):
-    """Max src_batch present in the state (None for no state) — read
-    from the PARTITION DIRECTORY NAMES via a driver-side Hadoop FS
-    listing, never a Spark job over the data: per-batch guard cost is
-    O(partition dirs) (kept small by compaction), not O(table).
-    Directories whose src_batch segment does not parse are ignored
-    (foreign files can't break the guard toward silence — worst case
-    the max is unaffected; the data rows themselves are untouched)."""
-    if not _state_exists_recovered(spark, state_path):
-        return None
-    fs, _ = _hadoop_fs(spark, state_path)
-    jvm = spark._jvm
-    glob = jvm.org.apache.hadoop.fs.Path(
-        state_path.rstrip("/") + "/*/src_batch=*"
-    )
-    statuses = fs.globStatus(glob)
-    best = None
-    if statuses is not None:
-        for st in statuses:
-            name = st.getPath().getName()  # "src_batch=<N>"
-            try:
-                val = int(name.split("=", 1)[1])
-            except (IndexError, ValueError):
-                continue
-            best = val if best is None else max(best, val)
-    return best
-
-
-def commit_partitioned_batch(
-    inc: DataFrame, state_path: str, batch_id: int, key_col: str = "cent_id"
-) -> bool:
-    """The structural-idempotency commit shared by the index twins:
-    guard against a checkpoint reset (shared `committed_marker_check`
-    against the committed max src_batch — on `==`, a genuine retry of
-    the newest batch, FALL THROUGH and rewrite, since the previous
-    attempt may have committed only some partitions), then write
-    ``inc`` — which must be a pure deterministic function of the
-    batch — as its (key_col, src_batch=batch_id) partitions via
-    dynamic overwrite. Returns True when the commit ran.
-
-    ``key_col`` is the state's partition key: ``cent_id`` for the
-    vector-index twins, ``bkt`` (term hash bucket) for the corpus-
-    stats twin — any non-negative integer key works; negative values
-    are reserved for the compaction sentinel."""
-    spark = inc.sparkSession
-    stored_max = _committed_max_batch(spark, state_path)
-    committed_marker_check(stored_max, batch_id)
-    (
-        inc.withColumn("src_batch", F.lit(batch_id).cast("bigint"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(key_col, "src_batch")
-        .parquet(state_path)
-    )
-    return True
 
 
 def merge_ivf_batch(
@@ -234,44 +172,10 @@ def read_ivf_state(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
-def compact_partitioned_state(
-    spark: SparkSession, state_path: str, key_col: str = "cent_id"
-) -> None:
-    """Maintenance-window compaction for ANY (key_col, src_batch)-
-    partitioned index state (stream PAUSED with its final batch
-    committed): fold every per-batch file set into one src_batch = -1
-    partition per key, plus ONE sentinel row under
-    (key_col = -1, src_batch = old max) so max(src_batch) — and with
-    it the checkpoint-reset guard — is exactly what it was before
-    compaction. Committed through the staged-rename swap: a crash at
-    any point leaves either the old state or the compacted one, and
-    the next entry point's recovery restores a half-swapped table.
-    Layout-generic: every non-partition column rides through
-    unchanged (sentinel payload columns are NULL)."""
-    old_max = _committed_max_batch(spark, state_path)
-    if old_max is None:
-        raise FileNotFoundError(f"no index state at {state_path}")
-    data = spark.read.parquet(state_path).drop("src_batch")
-    payload = [f for f in data.schema.fields if f.name != key_col]
-    marker = data.limit(1).select(
-        F.lit(_MARKER_CENT).cast("bigint").alias(key_col),
-        *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
-        F.lit(old_max).cast("bigint").alias("src_batch"),
-    )
-    compacted = (
-        data.where(F.col(key_col) >= 0)
-        .withColumn("src_batch", F.lit(_COMPACTED_BATCH).cast("bigint"))
-        .unionByName(marker)
-    )
-    fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, state_path)
-    _swap_write(
-        fs, compacted, state_path, tmp_path, jpath, jtmp, jold, exists,
-        partition_by=[key_col, "src_batch"],
-    )
-
-
 def compact_ivf_state(spark: SparkSession, state_path: str) -> None:
-    """Back-compat alias for the eighth twin's original name."""
+    """Back-compat alias for the eighth twin's original name (the
+    generic row-preserving compaction lives in
+    `sinks.compact_partitioned_state`)."""
     compact_partitioned_state(spark, state_path)
 
 

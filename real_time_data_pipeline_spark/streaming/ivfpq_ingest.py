@@ -58,9 +58,10 @@ from real_time_data_pipeline_spark.operators.similarity import (
     _pq_subvectors,
     assign_to_centroids,
 )
-from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+from real_time_data_pipeline_spark.streaming.ivf_ingest import probe_lists
+from real_time_data_pipeline_spark.streaming.sinks import (
     commit_partitioned_batch,
-    probe_lists,
+    state_exists_recovered as _state_exists_recovered,
 )
 
 _QUANT = 1_000_000  # must match the codebooks' training quant
@@ -155,10 +156,6 @@ def read_ivfpq_state(spark: SparkSession, state_path: str) -> DataFrame:
     """The committed code lists: (cent_id, nid, codes). Runs swap
     recovery first; the compaction guard sentinel (cent_id = -1) is
     excluded."""
-    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
-        _state_exists_recovered,
-    )
-
     if not _state_exists_recovered(spark, state_path):
         raise FileNotFoundError(f"no IVF-PQ state at {state_path}")
     return (

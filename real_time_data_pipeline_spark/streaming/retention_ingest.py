@@ -38,7 +38,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from real_time_data_pipeline_spark.streaming.sinks import _swap_paths, upsert_parquet
+from real_time_data_pipeline_spark.streaming.sinks import (
+    _swap_paths,
+    read_state as _read_state,  # noqa: F401 — shared reader (moved to sinks r12)
+    upsert_parquet,
+)
 
 
 def _first_seen_path(state_root: str) -> str:
@@ -47,24 +51,6 @@ def _first_seen_path(state_root: str) -> str:
 
 def _activity_path(state_root: str) -> str:
     return os.path.join(state_root, "activity")
-
-
-def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
-    """Crash-recovering read of a swap-committed state table.
-
-    Runs the `_swap_paths` restore first (a commit that died between
-    the two swap renames leaves the committed table at ``__old__`` —
-    every reader of a swap-committed table must recover it, per the
-    sinks contract), then returns None ONLY when the table truly does
-    not exist. Real read failures PROPAGATE: swallowing one here and
-    treating it as "first batch" would let the last-writer-wins
-    upsert overwrite a stored earlier cohort_week with this batch's
-    later one — a silent, permanent cohort re-dating.
-    """
-    _, _, _, _, _, exists = _swap_paths(spark, path)
-    if not exists:
-        return None
-    return spark.read.parquet(path)
 
 
 def merge_retention_batch(batch_df: DataFrame, state_root: str) -> None:

@@ -241,6 +241,207 @@ def committed_marker_check(marker, batch_id: int) -> bool:
     return False
 
 
+# ---------------------------------------------------------------------------
+# Shared twin-state scaffolding (r12, VERDICT r11 #5). Two state layouts
+# exist across the ten streaming twins, and BOTH read their pieces from
+# this one helper set:
+#
+# - whole-state swap twins (the marker family: funnel, sessionization,
+#   distinct, retention, dedup, Count-Min, Bloom, HLL, log-histogram,
+#   zone-map): `read_state` + `committed_marker_check` +
+#   `replace_parquet`/`upsert_parquet`.
+# - (key, src_batch)-partitioned twins (IVF lists, IVF-PQ codes, corpus
+#   statistics): `committed_max_batch` + `commit_partitioned_batch` +
+#   `compact_partitioned_state`, all built on the same swap recovery.
+#
+# Before r12 each partitioned twin re-derived the marker-read /
+# compaction-sentinel / retry-guard logic module-locally and the marker
+# twins imported `_read_state` from retention_ingest (one twin reaching
+# into another's privates).
+# ---------------------------------------------------------------------------
+
+COMPACTED_BATCH = -1  # src_batch value reserved for compaction output
+MARKER_KEY = -1  # partition-key value reserved for the compaction sentinel
+
+
+def read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Crash-recovering read of a swap-committed state table.
+
+    Runs the `_swap_paths` restore first (a commit that died between
+    the two swap renames leaves the committed table at ``__old__`` —
+    every reader of a swap-committed table must recover it, per the
+    sinks contract), then returns None ONLY when the table truly does
+    not exist. Real read failures PROPAGATE: swallowing one and
+    treating it as "first batch" would let a last-writer-wins upsert
+    silently overwrite stored state with this batch's version.
+    """
+    _, _, _, _, _, exists = _swap_paths(spark, path)
+    if not exists:
+        return None
+    return spark.read.parquet(path)
+
+
+def state_exists_recovered(spark: SparkSession, state_path: str) -> bool:
+    """Existence check that FIRST runs the swap-commit crash recovery.
+    Every partitioned-state entry point — merge, read, probe, compact
+    — goes through here, per the swap-commit contract."""
+    return _swap_paths(spark, state_path)[5]
+
+
+def committed_max_batch(spark: SparkSession, state_path: str):
+    """Max src_batch present in a (key, src_batch)-partitioned state
+    (None for no state) — read from the PARTITION DIRECTORY NAMES via
+    a driver-side Hadoop FS listing, never a Spark job over the data:
+    per-batch guard cost is O(partition dirs) (kept small by
+    compaction), not O(table). Directories whose src_batch segment
+    does not parse are ignored (foreign files can't break the guard
+    toward silence — worst case the max is unaffected; the data rows
+    themselves are untouched)."""
+    if not state_exists_recovered(spark, state_path):
+        return None
+    fs, _ = _hadoop_fs(spark, state_path)
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(
+        state_path.rstrip("/") + "/*/src_batch=*"
+    )
+    statuses = fs.globStatus(glob)
+    best = None
+    if statuses is not None:
+        for st in statuses:
+            name = st.getPath().getName()  # "src_batch=<N>"
+            try:
+                val = int(name.split("=", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            best = val if best is None else max(best, val)
+    return best
+
+
+def live_batch_partitions_exist(
+    spark: SparkSession, state_path: str, batch_id: int, key_col: str
+) -> bool:
+    """True iff any NON-SENTINEL (key >= 0) partition directory exists
+    for ``src_batch=batch_id`` — a driver-side FS glob, same cost
+    class as `committed_max_batch`."""
+    fs, _ = _hadoop_fs(spark, state_path)
+    jvm = spark._jvm
+    glob = jvm.org.apache.hadoop.fs.Path(
+        state_path.rstrip("/") + f"/*/src_batch={batch_id}"
+    )
+    statuses = fs.globStatus(glob)
+    if statuses is None:
+        return False
+    return any(
+        st.getPath().getParent().getName() != f"{key_col}={MARKER_KEY}"
+        for st in statuses
+    )
+
+
+def commit_partitioned_batch(
+    inc: DataFrame, state_path: str, batch_id: int, key_col: str = "cent_id"
+) -> bool:
+    """The structural-idempotency commit shared by the partitioned
+    twins: guard against a checkpoint reset (`committed_marker_check`
+    against the committed max src_batch — on `==`, a genuine retry of
+    the newest batch, FALL THROUGH and rewrite, since the previous
+    attempt may have committed only some partitions), then write
+    ``inc`` — which must be a pure deterministic function of the
+    batch — as its (key_col, src_batch=batch_id) partitions via
+    dynamic overwrite. Returns True when the commit ran.
+
+    One retry window the ==-fall-through alone cannot survive is
+    guarded here for EVERY partitioned twin (ADVICE r11 #1): if
+    compaction ran against its contract (stream not fully committed —
+    e.g. the state write landed but the streaming engine's own commit
+    log didn't), the newest batch can be redelivered under its old id
+    AFTER its partitions were folded into src_batch = -1. Rewriting
+    would then ADD the batch on top of the fold that already contains
+    it — duplicate rows for the row-preserving index twins (probes
+    absorb them but `read_*_state` consumers see them and state
+    inflates), silently DOUBLED statistics for the additive
+    corpus-stats twin. So a same-id retry is accepted only while the
+    batch's live delta partitions still exist (a driver-side
+    directory check); after compaction it raises loudly instead of
+    corrupting.
+
+    ``key_col`` is the state's partition key: ``cent_id`` for the
+    vector-index twins, ``bkt`` (term hash bucket) for the corpus-
+    stats twin — any non-negative integer key works; negative values
+    are reserved for the compaction sentinel."""
+    spark = inc.sparkSession
+    stored_max = committed_max_batch(spark, state_path)
+    committed_marker_check(stored_max, batch_id)
+    if (
+        stored_max is not None
+        and batch_id == stored_max
+        and not live_batch_partitions_exist(spark, state_path, batch_id, key_col)
+    ):
+        raise ValueError(
+            f"retry of batch {batch_id} arrived after its partitions "
+            f"were compacted away: replaying it would duplicate "
+            f"(or, for additive state, double-count) already-folded "
+            f"rows. checkpoint/state mismatch — compaction ran before "
+            f"the stream fully committed; restore the pre-compaction "
+            f"state or rebuild from the corpus."
+        )
+    (
+        inc.withColumn("src_batch", F.lit(batch_id).cast("bigint"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(key_col, "src_batch")
+        .parquet(state_path)
+    )
+    return True
+
+
+def compact_partitioned_state(
+    spark: SparkSession,
+    state_path: str,
+    key_col: str = "cent_id",
+    fold=None,
+) -> None:
+    """Maintenance-window compaction for ANY (key_col, src_batch)-
+    partitioned index state (stream PAUSED with its final batch
+    committed): fold every per-batch file set into src_batch = -1
+    partitions, plus ONE sentinel row under
+    (key_col = -1, src_batch = old max) so max(src_batch) — and with
+    it the checkpoint-reset guard — is exactly what it was before
+    compaction. Committed through the staged-rename swap: a crash at
+    any point leaves either the old state or the compacted one, and
+    the next entry point's recovery restores a half-swapped table.
+
+    ``fold`` chooses the merge algebra: None preserves rows verbatim
+    (the index twins' layout — every non-partition column rides
+    through unchanged); an additive twin passes a callable applied to
+    the src_batch-stripped live rows (e.g. the corpus-stats
+    per-(bkt, term) sum), and the sentinel's payload columns are
+    NULLed against the FOLDED schema."""
+    old_max = committed_max_batch(spark, state_path)
+    if old_max is None:
+        raise FileNotFoundError(f"no index state at {state_path}")
+    data = spark.read.parquet(state_path).drop("src_batch")
+    live = data.where(F.col(key_col) >= 0)
+    if fold is not None:
+        live = fold(live)
+    payload = [f for f in live.schema.fields if f.name != key_col]
+    # Sentinel from a constant one-row frame, NOT live.limit(1): a
+    # state whose live half is empty (e.g. re-compacting an already
+    # fully-compacted guard-only state) must still keep its guard.
+    marker = spark.range(1).select(
+        F.lit(MARKER_KEY).cast("bigint").alias(key_col),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
+        F.lit(old_max).cast("bigint").alias("src_batch"),
+    )
+    compacted = live.withColumn(
+        "src_batch", F.lit(COMPACTED_BATCH).cast("bigint")
+    ).unionByName(marker)
+    fs, jpath, jtmp, jold, tmp_path, exists = _swap_paths(spark, state_path)
+    _swap_write(
+        fs, compacted, state_path, tmp_path, jpath, jtmp, jold, exists,
+        partition_by=[key_col, "src_batch"],
+    )
+
+
 def _swap_paths(spark: SparkSession, path: str):
     """Resolve the swap-commit sibling paths for ``path`` and run
     crash recovery: a previous commit that died between the two swap

@@ -64,28 +64,41 @@ def _run_phase(spark, label: str, fn, timeout_s: float) -> str:
     non-daemon thread concurrent.futures joins at interpreter exit,
     which would turn a phase hung in a pure-Python loop (the exact
     deadlock class this pins) back into a process that never exits.
-    On deadline every in-flight Spark job is cancelled (so a stuck
-    STAGE aborts and the thread can die with it; a stuck Python loop
-    simply stays abandoned in its daemon thread) and a PhaseTimeout
-    propagates to the caller's normal FAIL accounting.
+
+    Cancellation is scoped PER PHASE (ADVICE r11 #3): the phase
+    thread runs under its own job group, and on deadline only THAT
+    group is cancelled — never `cancelAllJobs`, which could kill a
+    subsequent phase's jobs if the abandoned daemon thread raced the
+    timeout handler. An abandoned thread that keeps submitting work
+    keeps submitting into its own (already-cancelled, interrupt-on-
+    cancel) group, so later phases' results stay clean; the timeout
+    message still names the abandoned thread so a later-phase failure
+    can be read in that light.
     """
     import threading
 
     result: dict = {}
+    group = f"smoke-{label}"
 
     def _target():
         try:
+            # Job-group is thread-local in the Py4J-backed context,
+            # so set it INSIDE the phase thread; interruptOnCancel
+            # makes a cancel abort running tasks, not just queued.
+            spark.sparkContext.setJobGroup(group, label, interruptOnCancel=True)
             result["value"] = fn()
         except BaseException as exc:  # noqa: BLE001 — reraised below
             result["error"] = exc
 
-    t = threading.Thread(target=_target, name=f"smoke-{label}", daemon=True)
+    t = threading.Thread(target=_target, name=group, daemon=True)
     t.start()
     t.join(timeout=timeout_s)
     if t.is_alive():
-        spark.sparkContext.cancelAllJobs()
+        spark.sparkContext.cancelJobGroup(group)
         raise PhaseTimeout(
-            f"phase exceeded {timeout_s:.0f}s deadline (jobs cancelled)"
+            f"phase exceeded {timeout_s:.0f}s deadline (job group "
+            f"{group!r} cancelled; its daemon thread is abandoned — "
+            f"read any later-phase failure in that light)"
         )
     if "error" in result:
         raise result["error"]
@@ -461,6 +474,125 @@ def _ivf_ingest_smoke(spark) -> str:
     return (
         f"list-parity ({len(got)} vectors, {n_lists} lists) + "
         f"probe-parity ({len(got_p)} result rows)"
+    )
+
+
+def _ivf_compaction_loss_smoke(spark, live_workers, respawn) -> str:
+    """Twin-state compaction under executor loss (VERDICT r11 #7):
+    the one partitioned-twin failure mode only single-JVM pytest
+    exercised before r12, run on the real cluster in two halves.
+
+    Half 1 — worker killed WHILE `compact_partitioned_state` writes
+    its staged `__tmp__` table. Two legitimate outcomes, both
+    asserted: the write's tasks re-schedule onto the survivor and the
+    compaction COMPLETES; or the retries race onto the dying executor
+    before deregistration and the job ABORTS — the staged-rename
+    contract's "crash mid-compaction" case, where the committed state
+    must be bit-intact (the swap never exposes a partial table) and a
+    RE-RUN compaction on the recovered cluster must succeed. Either
+    way the rows and the reset guard (max src_batch via the sentinel)
+    are asserted unchanged after every step; a hang or corruption
+    fails the phase.
+
+    Half 2 — the staged-rename crash window, DETERMINISTIC: a
+    compaction that dies between its two renames leaves the committed
+    table at ``__old__`` (simulated with exactly that rename); the
+    next state entry point must restore it (sinks swap recovery) with
+    rows and guard intact, and a NEXT live batch must still land.
+
+    Frozen centroids are held as a driver-side frame (collect +
+    recreate), NOT a localCheckpoint — this phase kills an executor,
+    which would take localCheckpoint blocks with it.
+    """
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        merge_ivf_batch,
+        read_ivf_state,
+    )
+    from real_time_data_pipeline_spark.streaming.sinks import (
+        committed_max_batch,
+        compact_partitioned_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-ivfcomp-")
+    state = f"{work}/state"
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents_src = stride_centroids(emb, "vec_id", "embedding")
+    cents = spark.createDataFrame(cents_src.collect(), cents_src.schema)
+    chunks = [emb.where(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+    for i, ch in enumerate(chunks):
+        assert merge_ivf_batch(ch, state, i, cents) is True
+
+    def rows():
+        return {
+            (r.cent_id, r.nid, r.lo, r.scale, tuple(r.q))
+            for r in read_ivf_state(spark, state).collect()
+        }
+
+    want = rows()
+    assert want, "empty pre-compaction state"
+
+    outcome: dict = {}
+
+    def _compact():
+        try:
+            compact_partitioned_state(spark, state)
+        except BaseException as exc:  # noqa: BLE001 — reraised below
+            outcome["error"] = exc
+
+    t = threading.Thread(target=_compact, name="smoke-compact", daemon=True)
+    t.start()
+    time.sleep(0.2)  # let the staged write start before the kill
+    before = _executor_addrs(spark)
+    w = live_workers[0]
+    respawn()  # standby takes the freed cores once the kill lands
+    w.terminate()
+    w.wait(timeout=30)
+    t.join(timeout=180)
+    assert not t.is_alive(), "compaction hung after executor loss"
+    # Wait out the churn: confirmed loss of a pre-kill executor, then
+    # a replacement registering on the freed cores (address SETS, not
+    # counts — the artifact-loss phase's lesson).
+    deadline = time.time() + 60
+    while time.time() < deadline and not (before - _executor_addrs(spark)):
+        time.sleep(1.0)
+    lost = bool(before - _executor_addrs(spark))
+    deadline = time.time() + 90
+    while time.time() < deadline and not (_executor_addrs(spark) - before):
+        time.sleep(1.0)
+    if "error" in outcome:
+        # The kill aborted the staged write — the crash case. The
+        # committed state must be untouched (the swap exposes old or
+        # new, never partial) and compaction must succeed on re-run.
+        assert rows() == want, "aborted compaction corrupted the state"
+        assert committed_max_batch(spark, state) == 2, "reset guard lost"
+        compact_partitioned_state(spark, state)
+        first = "aborted mid-write, state intact, re-run compacted"
+    else:
+        first = "completed on the surviving executor"
+    assert rows() == want, "compaction corrupted rows under executor loss"
+    assert committed_max_batch(spark, state) == 2, "reset guard lost"
+
+    # half 2: crash-between-renames window, then recovery on next read
+    os.rename(state, state + "__old__")
+    assert rows() == want, "swap recovery did not restore the state"
+    assert committed_max_batch(spark, state) == 2
+    assert merge_ivf_batch(chunks[0].limit(0), state, 5, cents) is True
+
+    deadline = time.time() + 90
+    while time.time() < deadline and _count_executors(spark) < 2:
+        time.sleep(1.0)
+    return (
+        f"compaction under worker kill: {first} (executor loss "
+        f"{'confirmed' if lost else 'raced past the write'}; "
+        f"{len(want)} rows, guard intact) + staged-rename recovery"
     )
 
 
@@ -860,6 +992,30 @@ def main() -> int:
                     f"  {label}: FAIL {str(exc).splitlines()[0][:200]}",
                     flush=True,
                 )
+        # Compaction-under-executor-loss LAST (it kills a worker;
+        # running it after the twin phases keeps their results clean
+        # even if re-registration is slow).
+        t0 = time.perf_counter()
+        try:
+            live = [p for p in procs[1:] if p.poll() is None]
+            status = _run_phase(
+                spark,
+                "ivf_compaction_executor_loss",
+                lambda: _ivf_compaction_loss_smoke(spark, live, _respawn_worker),
+                timeout_s=420,
+            )
+            print(
+                f"  ivf_compaction_executor_loss: {status} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — report, then fail
+            failures += 1
+            print(
+                "  ivf_compaction_executor_loss: FAIL "
+                f"{str(exc).splitlines()[0][:200]}",
+                flush=True,
+            )
         spark.stop()
         print(("OK" if failures == 0 else f"FAILURES: {failures}"), flush=True)
         return 1 if failures else 0

@@ -2363,6 +2363,13 @@ def test_ivf_ingest_parity_retry_reset_probe_and_compaction(spark, tmp_path):
     } == want_p
     with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
         merge_ivf_batch(chunks[0], state, 1, cents)
+    # a same-id retry of the newest batch AFTER compaction folded its
+    # partitions raises for the ROW-PRESERVING twins too since r12
+    # (ADVICE r11 #1: previously documented as benign-but-inflating;
+    # now the shared commit fails loudly for every partitioned twin)
+    with _pytest.raises(ValueError, match="compacted away"):
+        merge_ivf_batch(chunks[2], state, 2, cents)
+    assert _ivf_state_rows(spark, state) == want  # nothing duplicated
     assert merge_ivf_batch(chunks[0].limit(0), state, 5, cents) is True
 
 
@@ -2747,6 +2754,40 @@ def test_corpus_stats_ingest_parity_retry_reset_probe_compaction(
         merge_corpus_stats_batch(chunks[2], state, 2)
     assert _corpus_stats_cells(spark, state) == (want_terms, want_scalars)
     assert merge_corpus_stats_batch(chunks[0].limit(0), state, 5) is True
+
+    # empty query_terms is a CONTRACT error, raised plainly
+    # (ADVICE r11 #2) instead of an obscure zero-arg isin failure
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_probe_state(spark, state, docs, ())
+
+
+def test_compact_partitioned_state_recompaction_keeps_guard(spark, tmp_path):
+    """Re-compacting an already-compacted state must PRESERVE the
+    reset-guard sentinel even though no live src_batch partitions
+    remain to derive it from — the sentinel row is built from a
+    constant frame, not from live.limit(1)."""
+    import pytest as _pytest
+
+    from real_time_data_pipeline_spark.streaming.sinks import (
+        commit_partitioned_batch,
+        committed_max_batch,
+        compact_partitioned_state,
+    )
+
+    state = str(tmp_path / "recompact_state")
+    inc = spark.createDataFrame([(0, 1), (1, 2)], "cent_id long, nid long")
+    assert commit_partitioned_batch(inc, state, 3) is True
+    compact_partitioned_state(spark, state)
+    assert committed_max_batch(spark, state) == 3
+    compact_partitioned_state(spark, state)  # fold of a fold: no-op rows
+    assert committed_max_batch(spark, state) == 3  # guard survives
+    rows = {
+        (r.cent_id, r.nid)
+        for r in spark.read.parquet(state).where(F.col("cent_id") >= 0).collect()
+    }
+    assert rows == {(0, 1), (1, 2)}
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        commit_partitioned_batch(inc, state, 1)
 
 
 def test_corpus_stats_ingest_sink_end_to_end(spark, tmp_path):
