@@ -225,3 +225,51 @@ def redaction_counts(col: Column | str) -> dict[str, Column]:
         f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
         for name, pat in REDACT_PATTERNS.items()
     }
+
+
+def bm25_scored(
+    tf: "DataFrame",
+    d: "DataFrame",
+    dfreq: "DataFrame",
+    stats: "DataFrame",
+    k1: float = 1.2,
+    b: float = 0.75,
+    term_col: str = "term",
+) -> "DataFrame":
+    """One copy of the BM25 scoring composition (the fold the
+    corpus-stats twin promised): per-document summed
+    Robertson/Sparck-Jones idf x saturated tf, from the four
+    sufficient-statistics frames the two call sites assemble
+    differently —
+
+    - ``tf``: (doc_id, <term_col>, tf) per-doc term frequencies of
+      the QUERY terms only (filter-before-aggregate is the caller's
+      scale obligation);
+    - ``d``: (doc_id, dl) document lengths;
+    - ``dfreq``: (<term_col>, df) document frequencies — from the
+      corpus (batch query) or the maintained state (streaming probe);
+    - ``stats``: one row (n_docs, avgdl) — same two sources.
+
+    Returns (doc_id, bm25) with the score rounded to 6 (both callers
+    rank on the rounded value, so batch/probe/oracle ties break
+    identically). dfreq and stats enter as broadcast joins: |query
+    terms| rows and 1 row — the shuffle is only the tf aggregation
+    the caller already paid.
+    """
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), term_col)
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 6).alias("bm25"))
+    )

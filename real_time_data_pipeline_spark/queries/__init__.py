@@ -80,6 +80,10 @@ EDITED_THIS_ROUND: set = {
     # the query and its oracle now filter `ts IS NOT NULL`
     # (ADVICE r11 #4 / VERDICT r11 next-round #4).
     "data_partition_zonemap",
+    # r12: scoring composition folded onto the shared
+    # `operators.text.bm25_scored` (the one-copy fold the corpus-stats
+    # twin docstring promised; same expression tree, new code path).
+    "text_bm25_ranking",
 }
 
 

@@ -1367,8 +1367,31 @@ def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus vocabulary), df and corpus stats are tiny broadcast
     aggregates, and the final top-20 is a per-partition heap
     (TakeOrderedAndProject) over docs that matched at least one term.
+
+    Since r12 the scoring composition is the shared
+    `operators.text.bm25_scored` — one copy of the idf/saturation
+    formula serving this query, the streaming corpus-stats probe
+    (`streaming/corpusstats_ingest.py::bm25_probe_state`, which
+    replaces only the dfreq/stats inputs with maintained state), and
+    the hybrid-retrieval fusion query.
     """
+    scored = _bm25_corpus_scored(spark, sf_dir)
+    order = [F.desc("bm25"), F.asc("doc_id")]
+    # Heap top-k (TakeOrderedAndProject) then rank the 20 survivors:
+    # the window input is bounded by the limit, not the match set.
+    top = scored.orderBy(*order).limit(20)
+    return (
+        top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+        .select("doc_id", "bm25", "rk")
+    )
+
+
+def _bm25_corpus_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for BM25_QUERY_TERMS with every statistic from
+    the corpus itself — the sufficient-statistics assembly shared by
+    `text_bm25_ranking` and `retrieval_hybrid_rrf`."""
     from real_time_data_pipeline_spark.operators.similarity import _fan_out
+    from real_time_data_pipeline_spark.operators.text import bm25_scored
 
     docs = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     d = docs.select("doc_id", token_count_ws("text").alias("dl"))
@@ -1385,34 +1408,143 @@ def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(reliable_materialize)  # feeds both df-agg and the score join
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    return bm25_scored(
+        tf, d, dfreq, stats, k1=BM25_K1, b=BM25_B, term_col="word"
     )
-    term = (
-        idf
-        * F.col("tf")
-        * (BM25_K1 + 1)
-        / (
-            F.col("tf")
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        )
+
+
+# Reciprocal-rank-fusion constants: the standard k=60 damping
+# (Cormack/Clarke/Buettcher), list depth 50 per retriever, and a fixed
+# query — BM25_QUERY_TERMS on the lexical side, vector 0's embedding on
+# the dense side (documents.doc_id and embeddings.vec_id share the id
+# space in the driver tables).
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_QUERY_VEC_ID = 0
+
+_RRF_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+      FROM documents WHERE length(trim(text)) > 0
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl * 1.0) AS avgdl FROM d
+    ), w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM w
+      WHERE word IN {BM25_QUERY_TERMS!r}
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT word, count(*) AS df FROM tf GROUP BY 1
+    ), bm AS (
+      SELECT tf.doc_id,
+             round(sum(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * ({BM25_K1} + 1)
+                 / (tf.tf + {BM25_K1}
+                    * (1 - {BM25_B} + {BM25_B} * d.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN dfreq USING (word) JOIN d USING (doc_id) CROSS JOIN stats
+      GROUP BY 1
+    ), bmrank AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bm
+      ) WHERE r <= {RRF_DEPTH}
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {RRF_QUERY_VEC_ID}
+    ), cosrank AS (
+      SELECT doc_id, r FROM (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.qv)
+                          DESC, c.vec_id
+               ) AS r
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> {RRF_QUERY_VEC_ID}
+      ) WHERE r <= {RRF_DEPTH}
+    ), fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             round(coalesce(1.0 / ({RRF_K} + b.r), 0)
+                   + coalesce(1.0 / ({RRF_K} + c.r), 0), 6) AS rrf,
+             b.r AS lex_rank, c.r AS vec_rank
+      FROM bmrank b FULL OUTER JOIN cosrank c ON b.doc_id = c.doc_id
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "word")
-        .join(d, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(term), 6).alias("bm25"))
+    SELECT doc_id, rrf, lex_rank, vec_rank, rk FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    ) WHERE rk <= 20
+"""
+
+
+@query("retrieval_hybrid_rrf", oracle=_RRF_ORACLE)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    ranking and the exact-cosine dense ranking for one fixed query,
+    fused as sum(1 / (60 + rank)) over the lists that retrieved each
+    document — the standard way a RAG/data-curation stack combines a
+    term index and an embedding index without score calibration
+    (ranks are scale-free, so no per-retriever normalization).
+    New r12: composes the shared `bm25_scored` operator (lexical
+    side) with the `ann_brute_topk`-style broadcast cosine (dense
+    side).
+
+    Scale shape: each retriever contributes only its TOP-``RRF_DEPTH``
+    list via a per-partition heap (TakeOrderedAndProject) — the rank
+    windows and the full-outer fusion join run over <= 2·depth rows,
+    never the corpus; the corpus-sized work is exactly the two
+    retrievers' own scans (term-filtered postings, one broadcast-query
+    vector pass). At production scale the dense side swaps to the
+    IVF/PQ probes without touching the fusion.
+
+    Output: (doc_id, rrf, lex_rank, vec_rank, rk) top-20; NULL rank
+    means that retriever did not surface the doc within depth.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import dot, norm
+
+    bm_order = [F.desc("bm25"), F.asc("doc_id")]
+    bmrank = (
+        _bm25_corpus_scored(spark, sf_dir)
+        .orderBy(*bm_order)
+        .limit(RRF_DEPTH)
+        .withColumn("lex_rank", F.row_number().over(Window.orderBy(*bm_order)))
+        .select("doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
     )
-    order = [F.desc("bm25"), F.asc("doc_id")]
-    # Heap top-k (TakeOrderedAndProject) then rank the 20 survivors:
-    # the window input is bounded by the limit, not the match set.
-    top = scored.orderBy(*order).limit(20)
-    return (
-        top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
-        .select("doc_id", "bm25", "rk")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+        .withColumn("nq", norm(F.col("qv")))
     )
+    cand = emb.where(F.col("vec_id") != RRF_QUERY_VEC_ID).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * norm(F.col("cv")))
+    cos_order = [F.desc("cos"), F.asc("doc_id")]
+    vecrank = (
+        cand.crossJoin(F.broadcast(qv))
+        .select("doc_id", cos.alias("cos"))
+        .orderBy(*cos_order)
+        .limit(RRF_DEPTH)
+        .withColumn("vec_rank", F.row_number().over(Window.orderBy(*cos_order)))
+        .select("doc_id", F.col("vec_rank").cast("long").alias("vec_rank"))
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    fused = bmrank.join(vecrank, "doc_id", "full_outer").select(
+        "doc_id", rrf.alias("rrf"), "lex_rank", "vec_rank"
+    )
+    out_order = [F.desc("rrf"), F.asc("doc_id")]
+    top = fused.orderBy(*out_order).limit(20)
+    return top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(*out_order))
+    ).select("doc_id", "rrf", "lex_rank", "vec_rank", "rk")
 
 
 _ZIPF_ORACLE = """

@@ -270,11 +270,13 @@ def bm25_probe_state(
     """BM25 top-k served FROM the maintained statistics: candidate
     documents' term frequencies and lengths come from ``corpus`` (the
     accepted documents — per-doc tf is document-local, not state),
-    while df / n_docs / avgdl come from the state. Mirrors
-    `queries/text.py::q_bm25_ranking` exactly (same tokenizer, filter,
-    k1/b constants, rounding, tie order), so replaying a corpus into
-    the state and probing it reproduces the oracle-checked registry
-    ranking — the twin-parity surface.
+    while df / n_docs / avgdl come from the state. The scoring
+    composition IS `operators.text.bm25_scored` — the same single
+    copy `queries/text.py::q_bm25_ranking` calls (the fold this
+    module promised in r11; same tokenizer, filter, k1/b constants,
+    rounding, tie order) — so replaying a corpus into the state and
+    probing it reproduces the oracle-checked registry ranking by
+    construction of everything except the statistics source.
 
     Scale shape: term filter BEFORE the tf aggregation; the state scan
     partition-prunes to the |query_terms| buckets the terms hash into
@@ -292,7 +294,11 @@ def bm25_probe_state(
         # obscure internal exceptions otherwise.
         raise ValueError("query_terms must be non-empty")
     from real_time_data_pipeline_spark.operators.similarity import _fan_out
-    from real_time_data_pipeline_spark.operators.text import token_count_ws, words
+    from real_time_data_pipeline_spark.operators.text import (
+        bm25_scored,
+        token_count_ws,
+        words,
+    )
 
     docs = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
@@ -327,23 +333,7 @@ def bm25_probe_state(
             ).alias("avgdl"),
         )
     )
-    idf = F.log(
-        F.lit(1)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    term = (
-        idf
-        * F.col("tf")
-        * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(d, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(term), 6).alias("bm25"))
-    )
+    scored = bm25_scored(tf, d, dfreq, stats, k1=k1, b=b, term_col="term")
     order = [F.desc("bm25"), F.asc("doc_id")]
     top = scored.orderBy(*order).limit(k)
     return (

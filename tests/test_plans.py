@@ -355,7 +355,13 @@ def test_grouped_ntile_has_no_per_group_funnel(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["join_market_basket_pairs", "text_tfidf_top_terms", "text_bm25_ranking"]
+    "name",
+    [
+        "join_market_basket_pairs",
+        "text_tfidf_top_terms",
+        "text_bm25_ranking",
+        "retrieval_hybrid_rrf",
+    ],
 )
 def test_global_topk_queries_rank_after_heap_limit(spark, sf_dir, name):
     """Global top-k must be per-partition heaps (TakeOrderedAndProject),
@@ -374,6 +380,10 @@ def test_global_topk_queries_rank_after_heap_limit(spark, sf_dir, name):
 _BOUNDED_GLOBAL_WINDOWS = {
     "text_tfidf_top_terms": "rank over <=50 rows above TakeOrderedAndProject",
     "text_bm25_ranking": "rank over <=20 rows above TakeOrderedAndProject",
+    "retrieval_hybrid_rrf": (
+        "three rank windows, each over <=RRF_DEPTH(50)/<=20 rows above "
+        "their own TakeOrderedAndProject heaps"
+    ),
     "join_market_basket_pairs": "rank over <=20 rows above TakeOrderedAndProject",
     "text_countmin_heavy_hitters": "rank over <=10 rows above TakeOrderedAndProject",
     "event_session_paths": "rank over <=15 rows above TakeOrderedAndProject",
