@@ -1389,7 +1389,19 @@ def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_corpus_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for BM25_QUERY_TERMS with every statistic from
     the corpus itself — the sufficient-statistics assembly shared by
-    `text_bm25_ranking` and `retrieval_hybrid_rrf`."""
+    `text_bm25_ranking` and `retrieval_hybrid_rrf`, memoized as a
+    session-shared artifact (two registry queries consume the
+    identical match-set-sized frame; the corpus scan + tf aggregation
+    runs once per session, per the repo's index-build convention)."""
+    from real_time_data_pipeline_spark.queries.artifacts import _shared_artifact
+
+    return _shared_artifact(
+        spark, sf_dir, "bm25_scored_default",
+        lambda: _bm25_corpus_scored_build(spark, sf_dir),
+    )
+
+
+def _bm25_corpus_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_pipeline_spark.operators.similarity import _fan_out
     from real_time_data_pipeline_spark.operators.text import bm25_scored
 

@@ -65,15 +65,20 @@ def _run_phase(spark, label: str, fn, timeout_s: float) -> str:
     which would turn a phase hung in a pure-Python loop (the exact
     deadlock class this pins) back into a process that never exits.
 
-    Cancellation is scoped PER PHASE (ADVICE r11 #3): the phase
-    thread runs under its own job group, and on deadline only THAT
-    group is cancelled — never `cancelAllJobs`, which could kill a
-    subsequent phase's jobs if the abandoned daemon thread raced the
-    timeout handler. An abandoned thread that keeps submitting work
-    keeps submitting into its own (already-cancelled, interrupt-on-
-    cancel) group, so later phases' results stay clean; the timeout
-    message still names the abandoned thread so a later-phase failure
-    can be read in that light.
+    Cancellation on deadline (ADVICE r11 #3, stated precisely): the
+    phase thread runs under its own job group
+    (`setJobGroup(interruptOnCancel=True)` is thread-local under
+    pinned-thread PySpark), and the handler first cancels THAT group
+    — killing the hung phase's own in-flight jobs by name — then
+    calls `cancelAllJobs()` as the sweep for work the group cannot
+    reach (jobs submitted by the phase's NESTED threads or by a
+    streaming engine's micro-batch thread, which carry no group). The
+    sweep is safe at this instant because phases run strictly
+    sequentially: no later phase has submitted anything yet. What
+    neither call can stop is the abandoned daemon thread SUBMITTING
+    NEW jobs afterwards — so the timeout is recorded in `_ABANDONED`
+    and every later phase failure is annotated with it, letting a
+    reader attribute interference instead of chasing a phantom.
     """
     import threading
 
@@ -95,14 +100,29 @@ def _run_phase(spark, label: str, fn, timeout_s: float) -> str:
     t.join(timeout=timeout_s)
     if t.is_alive():
         spark.sparkContext.cancelJobGroup(group)
+        spark.sparkContext.cancelAllJobs()  # nested/stream threads have no group
+        _ABANDONED.append(label)
         raise PhaseTimeout(
             f"phase exceeded {timeout_s:.0f}s deadline (job group "
-            f"{group!r} cancelled; its daemon thread is abandoned — "
-            f"read any later-phase failure in that light)"
+            f"{group!r} + all in-flight jobs cancelled; its daemon "
+            f"thread is abandoned and may still submit work)"
         )
     if "error" in result:
         raise result["error"]
     return result["value"]
+
+
+# Labels of phases whose deadline expired: their abandoned daemon
+# threads share the SparkSession, so later failures are annotated.
+_ABANDONED: list = []
+
+
+def _taint_note() -> str:
+    return (
+        f" [abandoned phase threads live: {','.join(_ABANDONED)}]"
+        if _ABANDONED
+        else ""
+    )
 
 
 def _spark_home() -> str:
@@ -521,6 +541,11 @@ def _ivf_compaction_loss_smoke(spark, live_workers, respawn) -> str:
         compact_partitioned_state,
     )
 
+    if not live_workers:
+        raise RuntimeError(
+            "no live worker process to kill — earlier phases lost or "
+            "failed to respawn workers; cannot exercise executor loss"
+        )
     work = tempfile.mkdtemp(prefix="rtdp-smoke-ivfcomp-")
     state = f"{work}/state"
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
@@ -543,6 +568,12 @@ def _ivf_compaction_loss_smoke(spark, live_workers, respawn) -> str:
 
     def _compact():
         try:
+            # own job group: the phase deadline's group-cancel can
+            # reach this nested thread's jobs too (groups are
+            # thread-local; without this the jobs carry none)
+            spark.sparkContext.setJobGroup(
+                "smoke-ivf_compaction_executor_loss", "compact", True
+            )
             compact_partitioned_state(spark, state)
         except BaseException as exc:  # noqa: BLE001 — reraised below
             outcome["error"] = exc
@@ -928,7 +959,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — report, then fail
             failures += 1
             print(
-                f"  artifact_executor_loss: FAIL {str(exc).splitlines()[0][:200]}",
+                f"  artifact_executor_loss: FAIL {str(exc).splitlines()[0][:200]}{_taint_note()}",
                 flush=True,
             )
         spark.sparkContext.setCheckpointDir(ckpt)  # shared FS on one box
@@ -958,7 +989,10 @@ def main() -> int:
                 )
             except Exception as exc:  # noqa: BLE001 — report all, then fail
                 failures += 1
-                print(f"  {name}: FAIL {str(exc).splitlines()[0][:200]}", flush=True)
+                print(
+                    f"  {name}: FAIL {str(exc).splitlines()[0][:200]}{_taint_note()}",
+                    flush=True,
+                )
             finally:
                 release_rank_caches()
         # Streaming-twin phases, each under the same hard deadline
@@ -989,7 +1023,7 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001 — report, then fail
                 failures += 1
                 print(
-                    f"  {label}: FAIL {str(exc).splitlines()[0][:200]}",
+                    f"  {label}: FAIL {str(exc).splitlines()[0][:200]}{_taint_note()}",
                     flush=True,
                 )
         # Compaction-under-executor-loss LAST (it kills a worker;
@@ -1013,7 +1047,7 @@ def main() -> int:
             failures += 1
             print(
                 "  ivf_compaction_executor_loss: FAIL "
-                f"{str(exc).splitlines()[0][:200]}",
+                f"{str(exc).splitlines()[0][:200]}{_taint_note()}",
                 flush=True,
             )
         spark.stop()
