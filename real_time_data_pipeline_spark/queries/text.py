@@ -1514,17 +1514,28 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, rrf, lex_rank, vec_rank, rk) top-20; NULL rank
     means that retriever did not surface the doc within depth.
     """
+    return rrf_fused(
+        _bm25_corpus_scored(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+def rrf_fused(bm_scored: DataFrame, emb: DataFrame) -> DataFrame:
+    """The fusion composition shared by `retrieval_hybrid_rrf` and the
+    maintained-state probe (`streaming/corpusstats_ingest.py::
+    hybrid_rrf_probe_state`, which swaps only the source of
+    ``bm_scored``): rank each retriever's heap top-``RRF_DEPTH``,
+    full-outer join the two bounded lists, score sum(1/(RRF_K+rank)),
+    emit the top-20 with ranks."""
     from real_time_data_pipeline_spark.operators.similarity import dot, norm
 
     bm_order = [F.desc("bm25"), F.asc("doc_id")]
     bmrank = (
-        _bm25_corpus_scored(spark, sf_dir)
-        .orderBy(*bm_order)
+        bm_scored.orderBy(*bm_order)
         .limit(RRF_DEPTH)
         .withColumn("lex_rank", F.row_number().over(Window.orderBy(*bm_order)))
         .select("doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
     )
-    emb = load_table(spark, sf_dir, "embeddings")
     qv = (
         emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID)
         .select(F.col("embedding").cast("array<double>").alias("qv"))

@@ -50,13 +50,16 @@ Parity contract (tests/test_streaming.py + hypothesis property):
 replaying the documents table through `merge_corpus_stats_batch` in
 ANY chunking, with newest-batch redeliveries, leaves
 `read_term_stats` / `read_corpus_scalars` cell-identical to the
-one-shot `corpus_stats_build`, and `bm25_probe_state` over the
+one-shot `corpus_stats_build`; `bm25_probe_state` over the
 maintained statistics reproduces the oracle-checked
-`text_bm25_ranking` registry query row-for-row. The probe reuses the
-batch query's exact term pipeline (same `words` tokenization, same
-document filter, same k1/b constants and rounding); when
-`text_bm25_ranking` next rotates into an editable window, both
-scorers should fold onto one shared helper.
+`text_bm25_ranking` registry query row-for-row; and
+`hybrid_rrf_probe_state` reproduces the `retrieval_hybrid_rrf`
+fusion row-for-row with the lexical statistics served from state.
+Both probes and both batch queries share ONE scoring/fusion
+composition (`operators.text.bm25_scored` +
+`queries.text.rrf_fused` — the fold this module's r11 docstring
+promised, landed r12), so parity holds by construction of everything
+except the statistics source.
 
 Reference scope note: the reference pipeline
 (`src/jobs/spark_streaming_job.py`, 440 lines of Kafka->parquet glue)
@@ -288,6 +291,34 @@ def bm25_probe_state(
     (TakeOrderedAndProject) then a window over only the k survivors.
     ``n_buckets`` must match the value the state was written with.
     """
+    scored = bm25_scored_from_state(
+        spark, state_path, corpus, query_terms,
+        k1=k1, b=b, id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+    )
+    order = [F.desc("bm25"), F.asc("doc_id")]
+    top = scored.orderBy(*order).limit(k)
+    return (
+        top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+        .select("doc_id", "bm25", "rk")
+    )
+
+
+def bm25_scored_from_state(
+    spark: SparkSession,
+    state_path: str,
+    corpus: DataFrame,
+    query_terms: "tuple[str, ...]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """(doc_id, bm25) with df / n_docs / avgdl from the MAINTAINED
+    statistics — the scored frame `bm25_probe_state` tops and
+    `hybrid_rrf_probe_state` fuses. Identical to the batch query's
+    `_bm25_corpus_scored` in everything but the statistics source
+    (both call the one `operators.text.bm25_scored` composition)."""
     if not query_terms:
         # Contract error, raised plainly (ADVICE r11 #2): zero-arg
         # isin() and an empty _term_buckets projection both fail with
@@ -333,12 +364,44 @@ def bm25_probe_state(
             ).alias("avgdl"),
         )
     )
-    scored = bm25_scored(tf, d, dfreq, stats, k1=k1, b=b, term_col="term")
-    order = [F.desc("bm25"), F.asc("doc_id")]
-    top = scored.orderBy(*order).limit(k)
-    return (
-        top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
-        .select("doc_id", "bm25", "rk")
+    return bm25_scored(tf, d, dfreq, stats, k1=k1, b=b, term_col="term")
+
+
+def hybrid_rrf_probe_state(
+    spark: SparkSession,
+    state_path: str,
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    query_terms: "tuple[str, ...]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """Hybrid reciprocal-rank fusion served with the LEXICAL side's
+    statistics from the maintained state: the twin of the
+    `retrieval_hybrid_rrf` registry query, reproducing it row-for-row
+    when the state was built from ``corpus`` (the fusion composition
+    is the shared `queries.text.rrf_fused`; the dense side stays the
+    exact-cosine ranking over ``embeddings`` — the IVF twins'
+    quantized probes trade exactly that rank-exactness for footprint,
+    so a maintained-dense variant composes `ivf_probe_state` instead
+    and is recall-checked, not row-pinned).
+
+    Scale shape: identical to the registry query except the df/avgdl
+    lookups are partition-pruned state reads instead of corpus
+    aggregates — the probe never rescans the corpus for statistics.
+    """
+    from real_time_data_pipeline_spark.queries.text import rrf_fused
+
+    return rrf_fused(
+        bm25_scored_from_state(
+            spark, state_path, corpus, query_terms,
+            k1=k1, b=b, id_col=id_col, text_col=text_col,
+            n_buckets=n_buckets,
+        ),
+        embeddings,
     )
 
 

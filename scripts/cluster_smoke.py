@@ -685,9 +685,28 @@ def _corpusstats_ingest_smoke(spark) -> str:
         ).collect()
     ]
     assert got_bm == want_bm and len(got_bm) > 0, "BM25 probe != registry query"
+    # hybrid RRF from the maintained lexical statistics (r12): the
+    # shared fusion must reproduce the registry query row-for-row
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        hybrid_rrf_probe_state,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    want_h = [
+        tuple(r)
+        for r in REGISTRY["retrieval_hybrid_rrf"].fn(spark, SF_DIR).collect()
+    ]
+    got_h = [
+        tuple(r)
+        for r in hybrid_rrf_probe_state(
+            spark, state, docs, emb, BM25_QUERY_TERMS
+        ).collect()
+    ]
+    assert got_h == want_h and len(got_h) > 0, "hybrid probe != registry query"
     return (
         f"stats-parity ({len(got_terms)} terms, {s.n_docs} docs) + "
-        f"BM25 probe == registry ranking ({len(got_bm)} rows)"
+        f"BM25 probe == registry ranking ({len(got_bm)} rows) + "
+        f"hybrid-RRF probe == registry fusion ({len(got_h)} rows)"
     )
 
 

@@ -2760,6 +2760,28 @@ def test_corpus_stats_ingest_parity_retry_reset_probe_compaction(
     with _pytest.raises(ValueError, match="non-empty"):
         bm25_probe_state(spark, state, docs, ())
 
+    # hybrid RRF from maintained statistics == the oracle-checked
+    # registry fusion, row for row (the lexical side's df/avgdl come
+    # from the state, the fusion is the shared rrf_fused composition)
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.queries.text import BM25_QUERY_TERMS
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        hybrid_rrf_probe_state,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    got_h = [
+        tuple(r)
+        for r in hybrid_rrf_probe_state(
+            spark, state, docs, emb, BM25_QUERY_TERMS
+        ).collect()
+    ]
+    want_h = [
+        tuple(r)
+        for r in REGISTRY["retrieval_hybrid_rrf"].fn(spark, sf).collect()
+    ]
+    assert got_h == want_h and len(got_h) == 20
+
 
 def test_compact_partitioned_state_recompaction_keeps_guard(spark, tmp_path):
     """Re-compacting an already-compacted state must PRESERVE the
