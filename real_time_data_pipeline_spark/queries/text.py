@@ -1529,13 +1529,6 @@ def rrf_fused(bm_scored: DataFrame, emb: DataFrame) -> DataFrame:
     emit the top-20 with ranks."""
     from real_time_data_pipeline_spark.operators.similarity import dot, norm
 
-    bm_order = [F.desc("bm25"), F.asc("doc_id")]
-    bmrank = (
-        bm_scored.orderBy(*bm_order)
-        .limit(RRF_DEPTH)
-        .withColumn("lex_rank", F.row_number().over(Window.orderBy(*bm_order)))
-        .select("doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
-    )
     qv = (
         emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID)
         .select(F.col("embedding").cast("array<double>").alias("qv"))
@@ -1555,6 +1548,27 @@ def rrf_fused(bm_scored: DataFrame, emb: DataFrame) -> DataFrame:
         .withColumn("vec_rank", F.row_number().over(Window.orderBy(*cos_order)))
         .select("doc_id", F.col("vec_rank").cast("long").alias("vec_rank"))
     )
+    return rrf_fuse_ranked(rrf_lex_ranked(bm_scored), vecrank)
+
+
+def rrf_lex_ranked(bm_scored: DataFrame) -> DataFrame:
+    """(doc_id, lex_rank) — the lexical retriever's heap
+    top-``RRF_DEPTH`` list from a (doc_id, bm25) scored frame."""
+    bm_order = [F.desc("bm25"), F.asc("doc_id")]
+    return (
+        bm_scored.orderBy(*bm_order)
+        .limit(RRF_DEPTH)
+        .withColumn("lex_rank", F.row_number().over(Window.orderBy(*bm_order)))
+        .select("doc_id", F.col("lex_rank").cast("long").alias("lex_rank"))
+    )
+
+
+def rrf_fuse_ranked(bmrank: DataFrame, vecrank: DataFrame) -> DataFrame:
+    """Fuse two bounded ranked lists — (doc_id, lex_rank) and
+    (doc_id, vec_rank) — by reciprocal-rank sum. Retriever-agnostic:
+    the exact-cosine query, the maintained-state probe, and the
+    IVF-served variant all end here, so swapping a retriever can
+    never change the fusion semantics."""
     rrf = F.round(
         F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
         + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)),

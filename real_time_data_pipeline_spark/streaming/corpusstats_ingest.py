@@ -405,6 +405,66 @@ def hybrid_rrf_probe_state(
     )
 
 
+def hybrid_rrf_probe_ivf(
+    spark: SparkSession,
+    stats_path: str,
+    ivf_state_path: str,
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    centroids: DataFrame,
+    query_terms: "tuple[str, ...]",
+    nprobe: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """Hybrid RRF with BOTH sides served from maintained state: the
+    lexical ranks from the corpus-stats state, the dense ranks from
+    the IVF twin's partition-pruned quantized probe
+    (`ivf_ingest.ivf_probe_state`) — the full production shape, where
+    neither retriever rescans its corpus.
+
+    This variant is RECALL-CHECKED against the exact fusion, not
+    row-pinned: quantized IVF cosine ranks can differ from exact
+    ranks (that footprint-for-exactness trade is the IVF tier's
+    reason to exist), so the right contract is overlap@k against
+    `hybrid_rrf_probe_state`/`retrieval_hybrid_rrf`, asserted in
+    tests with the measured bound. The fusion itself is the shared
+    `rrf_fuse_ranked`, so only the dense list's CONTENT differs.
+
+    ``queries_df`` must contain the single query vector row (vec_id =
+    the fixed fusion query); the probe's depth comes from
+    `queries.text.RRF_DEPTH` so the two variants fuse equally-deep
+    lists.
+    """
+    from real_time_data_pipeline_spark.queries.text import (
+        RRF_DEPTH,
+        rrf_fuse_ranked,
+        rrf_lex_ranked,
+    )
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        ivf_probe_state,
+    )
+
+    lex = rrf_lex_ranked(
+        bm25_scored_from_state(
+            spark, stats_path, corpus, query_terms,
+            k1=k1, b=b, id_col=id_col, text_col=text_col,
+            n_buckets=n_buckets,
+        )
+    )
+    dense = ivf_probe_state(
+        spark, ivf_state_path, queries_df, centroids,
+        k=RRF_DEPTH, nprobe=nprobe,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").cast("long").alias("vec_rank"),
+    )
+    return rrf_fuse_ranked(lex, dense)
+
+
 def corpus_stats_ingest_sink(
     df: DataFrame,
     state_path: str,

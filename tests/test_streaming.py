@@ -2783,6 +2783,55 @@ def test_corpus_stats_ingest_parity_retry_reset_probe_compaction(
     assert got_h == want_h and len(got_h) == 20
 
 
+def test_hybrid_rrf_probe_ivf_recall(spark, tmp_path):
+    """The fully-maintained hybrid (lexical ranks from corpus-stats
+    state, dense ranks from the quantized IVF probe) is RECALL-checked
+    against the exact fusion, not row-pinned: IVF quantization trades
+    rank-exactness for footprint by design. Measured overlap@20 on
+    this corpus is 0.85-0.90 across nprobe 2-5; the bound asserts the
+    floor with margin. The lexical side is exact, so every doc the two
+    variants share must carry the IDENTICAL lex_rank."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.queries.text import (
+        BM25_QUERY_TERMS,
+        RRF_QUERY_VEC_ID,
+    )
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        hybrid_rrf_probe_ivf,
+        merge_corpus_stats_batch,
+    )
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        merge_ivf_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    cs, ivf = str(tmp_path / "hy_cs"), str(tmp_path / "hy_ivf")
+    assert merge_corpus_stats_batch(docs, cs, 0) is True
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    assert merge_ivf_batch(emb, ivf, 0, cents) is True
+    qdf = emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID)
+    got = {
+        r.doc_id: r.lex_rank
+        for r in hybrid_rrf_probe_ivf(
+            spark, cs, ivf, docs, qdf, cents, BM25_QUERY_TERMS, nprobe=3
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.lex_rank
+        for r in REGISTRY["retrieval_hybrid_rrf"].fn(spark, sf).collect()
+    }
+    assert len(got) == 20 and len(want) == 20
+    shared = set(got) & set(want)
+    assert len(shared) / 20 >= 0.75, f"overlap@20 {len(shared)/20} below floor"
+    for doc in shared:
+        assert got[doc] == want[doc], f"lex_rank drifted for doc {doc}"
+
+
 def test_compact_partitioned_state_recompaction_keeps_guard(spark, tmp_path):
     """Re-compacting an already-compacted state must PRESERVE the
     reset-guard sentinel even though no live src_batch partitions
