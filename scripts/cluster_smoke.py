@@ -645,6 +645,7 @@ def _corpusstats_ingest_smoke(spark) -> str:
         bm25_probe_state,
         corpus_stats_build,
         corpus_stats_ingest_sink,
+        hybrid_rrf_probe_state,
         read_corpus_scalars,
         read_term_stats,
     )
@@ -687,10 +688,6 @@ def _corpusstats_ingest_smoke(spark) -> str:
     assert got_bm == want_bm and len(got_bm) > 0, "BM25 probe != registry query"
     # hybrid RRF from the maintained lexical statistics (r12): the
     # shared fusion must reproduce the registry query row-for-row
-    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
-        hybrid_rrf_probe_state,
-    )
-
     emb = load_table(spark, SF_DIR, "embeddings")
     want_h = [
         tuple(r)

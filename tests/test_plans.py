@@ -307,10 +307,20 @@ def test_knn_vote_corpus_never_shuffled(spark, sf_dir):
 def test_bm25_postings_filtered_before_aggregation(spark, sf_dir):
     """The query-term filter must run before the tf aggregation so the
     shuffle carries only matching postings, and scoring stays in
-    codegen (no Python fallback)."""
-    plan = _plan(REGISTRY["text_bm25_ranking"].fn(spark, sf_dir))
+    codegen (no Python fallback). Audited on the BUILD plan
+    (`_bm25_corpus_scored_build`) — the registry query consumes the
+    session-memoized artifact (r12), whose plan is a materialized
+    scan and hides the build shape this test exists to pin."""
+    from real_time_data_pipeline_spark.queries.text import (
+        _bm25_corpus_scored_build,
+    )
+
+    plan = _plan(_bm25_corpus_scored_build(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final tf agg
+    # and the consumer plan stays Python-free too
+    cplan = _plan(REGISTRY["text_bm25_ranking"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in cplan and "ArrowEvalPython" not in cplan
 
 
 def test_gapfill_joins_calendar_sized_tables(spark, sf_dir):

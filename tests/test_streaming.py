@@ -2763,8 +2763,6 @@ def test_corpus_stats_ingest_parity_retry_reset_probe_compaction(
     # hybrid RRF from maintained statistics == the oracle-checked
     # registry fusion, row for row (the lexical side's df/avgdl come
     # from the state, the fusion is the shared rrf_fused composition)
-    from real_time_data_pipeline_spark.queries import REGISTRY
-    from real_time_data_pipeline_spark.queries.text import BM25_QUERY_TERMS
     from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
         hybrid_rrf_probe_state,
     )
