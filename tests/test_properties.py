@@ -1074,3 +1074,135 @@ def test_corpus_stats_merge_invariant_under_split_order_and_retry(
     shuffled = data.draw(st.permutations(idx))
     assert run(idx, retry_last=False) == want
     assert run(list(shuffled), retry_last=True) == want
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring + RRF fusion (r12): pure-python oracles over generated data
+# ---------------------------------------------------------------------------
+
+
+def _py_bm25(docs: dict, query_terms, k1=1.2, b=0.75) -> dict:
+    """Pure-python BM25 oracle: docs = {doc_id: text}. Mirrors the
+    whitespace tokenizer, the blank-doc filter, and rounding."""
+    import math as _m
+
+    toks = {
+        i: t.split() for i, t in docs.items() if t.strip()
+    }
+    if not toks:
+        return {}
+    n_docs = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n_docs
+    out = {}
+    for i, ws in toks.items():
+        score = 0.0
+        for q in set(query_terms):
+            tf = ws.count(q)
+            if not tf:
+                continue
+            df = sum(1 for w2 in toks.values() if q in w2)
+            idf = _m.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+            dl = len(ws)
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        if score:
+            out[i] = round(score, 6)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "join", "window", "alpha", "beta", "gamma"]),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bm25_scored_matches_python_oracle(texts):
+    """`operators.text.bm25_scored` (the single scoring composition
+    behind the batch query, the streaming probe, and the fusion)
+    equals a from-scratch python BM25 on generated corpora, including
+    blank documents and zero-match corpora."""
+    from real_time_data_pipeline_spark.operators.text import (
+        bm25_scored,
+        token_count_ws,
+        words,
+    )
+
+    terms = ("spark", "join", "window")
+    df = _spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    docs = df.where(F.length(F.trim("text")) > 0)
+    d = docs.select("doc_id", token_count_ws("text").alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(words("text")).alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scored(tf, d, dfreq, stats).collect()
+    }
+    want = _py_bm25({i: t for i, t in enumerate(texts)}, terms)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lex=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=1, max_value=50),
+        max_size=15,
+    ),
+    vec=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=1, max_value=50),
+        max_size=15,
+    ),
+)
+def test_rrf_fuse_ranked_matches_python_oracle(lex, vec):
+    """`rrf_fuse_ranked` (the retriever-agnostic fusion every hybrid
+    variant ends in) equals the textbook reciprocal-rank sum on
+    arbitrary bounded ranked lists — docs in one list only, both
+    lists, or neither; ties broken by rounded score then doc_id."""
+    from real_time_data_pipeline_spark.queries.text import (
+        RRF_K,
+        rrf_fuse_ranked,
+    )
+
+    bm = _spark.createDataFrame(
+        [(k, v) for k, v in lex.items()] or [(None, None)],
+        "doc_id long, lex_rank long",
+    ).where(F.col("doc_id").isNotNull())
+    vc = _spark.createDataFrame(
+        [(k, v) for k, v in vec.items()] or [(None, None)],
+        "doc_id long, vec_rank long",
+    ).where(F.col("doc_id").isNotNull())
+    got = [
+        (r.doc_id, r.rrf, r.lex_rank, r.vec_rank, r.rk)
+        for r in rrf_fuse_ranked(bm, vc).collect()
+    ]
+    scores = {
+        d: round(
+            (1.0 / (RRF_K + lex[d]) if d in lex else 0.0)
+            + (1.0 / (RRF_K + vec[d]) if d in vec else 0.0),
+            6,
+        )
+        for d in set(lex) | set(vec)
+    }
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [
+        (d, s, lex.get(d), vec.get(d), i + 1)
+        for i, (d, s) in enumerate(ranked)
+    ]
+    assert got == want
