@@ -44,47 +44,10 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # green rows predate the edit, so they must re-enter the external
 # check window ahead of merely-stale greens. Maintained by hand at
 # edit time; cleared once the next round's gate re-confirms them.
-EDITED_THIS_ROUND: set = {
-    # r11 entries (RFM single-exchange flip + _closed_form_ntile
-    # refactor ×4) cleared after CORRECTNESS_r11 confirmed all five
-    # green.
-    #
-    # r12: the inverted-index consumer flip — jaccard_pairs /
-    # containment_pairs / directional_containment_pairs /
-    # winnowing_pairs now call the shared `_bucketed_pair_counts`
-    # core (pre-proven bit- and exchange-identical by
-    # tests/test_operators.py::test_bucketed_pair_counts_*). Marked:
-    # every registry query whose plan reaches those operators,
-    # directly or through the shared jaccard-pairs / dedup-clusters
-    # artifact frames (the full reachability set measured this round
-    # is 17, a superset of r11's 13-query estimate — the clusters-
-    # derived consumers were undercounted there).
-    "dedup_ngram_jaccard_pairs",
-    "dedup_directional_containment",
-    "dedup_containment_pairs",
-    "dedup_cluster_assignment_star",
-    "dedup_winnowing_pairs",
-    "dedup_minhash_estimate",
-    "dedup_incremental_batch",
-    "data_near_dup_split_leakage",
-    "dedup_threshold_sensitivity",
-    "dedup_lsh_candidate_efficiency",
-    "corpus_cross_source_dup",
-    "dedup_cluster_assignment",
-    "dedup_keep_one",
-    "data_leakage_safe_split",
-    "dedup_cluster_size_distribution",
-    "corpus_effective_tokens_by_source",
-    "corpus_training_ready",
-    # r12: NULL-ts contract unified with the streaming zonemap twin —
-    # the query and its oracle now filter `ts IS NOT NULL`
-    # (ADVICE r11 #4 / VERDICT r11 next-round #4).
-    "data_partition_zonemap",
-    # r12: scoring composition folded onto the shared
-    # `operators.text.bm25_scored` (the one-copy fold the corpus-stats
-    # twin docstring promised; same expression tree, new code path).
-    "text_bm25_ranking",
-}
+# r12 entries (17-query inverted-index consumer-flip reachability
+# set + data_partition_zonemap + text_bm25_ranking) cleared after
+# CORRECTNESS_r12 confirmed all nineteen green.
+EDITED_THIS_ROUND: set = set()
 
 
 def _rotation_rank() -> "dict[str, tuple]":
