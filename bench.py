@@ -47,14 +47,21 @@ CANARIES = (
 # ±20-50% with session position (registry rotation reorders the bench
 # every round), and the TPC-H-only canary set cannot normalize that —
 # TPC-H exercises joins/aggs, not the HOF/Arrow/artifact paths the
-# dedup/embed/text families run. Three additional never-edited queries
-# frozen as of r11, reported in their own "family_canaries" field so
-# "canaries"/"canary_total" keep their r8-r10 meaning unchanged.
+# dedup/embed/text families run. Three queries frozen as of r11;
+# r12's dedup adjudication showed a single ~0.2 s canary swings ±20%
+# round-to-round and cannot arbitrate a ±5% family drift (VERDICT r12
+# #4), so r13 adds a SECOND frozen query per family (distinct code
+# path, longer runtime) — cross-round family comparisons now have a
+# two-point normalizer. Reported in "family_canaries" so
+# "canaries"/"canary_total" keep their r8-r12 meaning unchanged.
 # Additions only: an edited canary stops being a canary.
 FAMILY_CANARIES = (
-    "dedup_exact_groups",   # hash-aggregate dedup path
-    "embed_ann_brute_topk",  # vector HOF + per-query top-k path
-    "text_word_entropy",     # explode/word-stats path
+    "dedup_exact_groups",       # hash-aggregate dedup path (r11)
+    "embed_ann_brute_topk",     # vector HOF + per-query top-k path (r11)
+    "text_word_entropy",        # explode/word-stats path (r11)
+    "dedup_minhash_estimate",   # minhash-signature/artifact path (r13)
+    "embed_ann_ivf_topk",       # centroid broadcast + probe-pruned join (r13)
+    "text_token_counts",        # tokenizer/regex column-expression path (r13)
 )
 
 
@@ -104,15 +111,18 @@ def main() -> None:
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
             if name in CANARIES or name in FAMILY_CANARIES:
+                # Median-of-5 (VERDICT r12 #4; was median-of-3 through
+                # r12): the dedup adjudication showed 3 runs of a 0.2 s
+                # query leave ±20% round-to-round noise on the canary.
                 runs = [timings[name]]
-                for _ in range(2):
+                for _ in range(4):
                     t0 = time.perf_counter()
                     spec.fn(spark, SF_DIR).write.format("noop").mode(
                         "overwrite"
                     ).save()
                     runs.append(round(time.perf_counter() - t0, 3))
                 target = canaries if name in CANARIES else family_canaries
-                target[name] = sorted(runs)[1]  # median of 3
+                target[name] = sorted(runs)[2]  # median of 5
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = str(exc).split("\n", 1)[0][:300]
         finally:
@@ -125,6 +135,7 @@ def main() -> None:
         families[name.split("_")[0]] = round(families.get(name.split("_")[0], 0.0) + sec, 3)
 
     from real_time_data_pipeline_spark.queries.artifacts import (
+        shared_artifact_build_breakdown,
         shared_artifact_build_seconds,
     )
 
@@ -149,6 +160,10 @@ def main() -> None:
         # timings drift with session position; normalize with the
         # canaries, judge per-query.
         "artifact_build_s": round(shared_artifact_build_seconds(), 3),
+        # Per-artifact attribution of the line above (VERDICT r12 #2):
+        # growth in the aggregate names its artifact instead of
+        # hiding behind "cold JIT vs new artifact vs drift".
+        "artifact_build_breakdown": shared_artifact_build_breakdown(),
         "n_queries": len(timings),
         "sf": SF_DIR,
     }
@@ -164,16 +179,16 @@ def main() -> None:
     # Persist the FULL per-query JSON under docs/bench/ (VERDICT r11
     # #6): the round driver keeps only the last 2000 chars of stdout,
     # which has repeatedly truncated away realized per-query numbers.
-    # Append-only, small; label with SPARK_GRAFT_BENCH_TAG when set
-    # (builder runs use e.g. r12_own1), else a timestamp.
+    # Tagged runs (SPARK_GRAFT_BENCH_TAG, e.g. r13_own1) get their own
+    # curated file; untagged/casual runs overwrite a single
+    # gitignored latest.json instead of accumulating timestamp-named
+    # clutter in the tracked directory (ADVICE r12 #3).
     try:
         bench_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "docs", "bench"
         )
         os.makedirs(bench_dir, exist_ok=True)
-        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or time.strftime(
-            "%Y%m%d_%H%M%S"
-        )
+        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or "latest"
         path = os.path.join(bench_dir, f"{tag}.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)

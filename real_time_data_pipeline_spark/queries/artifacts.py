@@ -15,17 +15,21 @@ materialized (checkpoint files when a checkpoint dir is set, local
 blocks otherwise), NOT tracked persists: the cache-leak registry
 stays empty and `release_caches` is unaffected.
 
-Footprint contract: the artifacts are deliberately FEW and, with one
-exception, DIMENSION-sized (centroids, nation/part edge lists,
+Footprint contract: the artifacts are deliberately FEW and, with two
+exceptions, DIMENSION-sized (centroids, nation/part edge lists,
 component labels — thousands of rows regardless of corpus size). The
-exception is the novelty first-owner attribution
-(queries/text.py::_novelty_attributed_shared): POSTINGS-sized, one
+exceptions: the novelty first-owner attribution
+(queries/text.py::_novelty_attributed_shared) is POSTINGS-sized, one
 row per distinct (doc, 3-gram), i.e. proportional to corpus token
-count. At 100 TB that artifact is a deliberate index-build trade —
-pay one materialization so two reports share it — and deployments
-that cannot afford the pinned blocks should point the session at a
-reliable checkpoint dir (spilling it to shared storage rather than
-executor memory).
+count; and the BM25 scored frame
+(queries/text.py::_bm25_corpus_scored, artifact
+``bm25_scored_default``) is MATCH-SET-sized — one row per document
+matching any of the default query's terms, corpus-proportional in
+the worst case of a stopword-bearing query. At 100 TB those two are
+deliberate index-build trades — pay one materialization so multiple
+reports share it — and deployments that cannot afford the pinned
+blocks should point the session at a reliable checkpoint dir
+(spilling them to shared storage rather than executor memory).
 
 Introduced for the embed/dedup families in r8
 (queries/similarity.py); factored out in r9 so the graph family can
@@ -52,8 +56,11 @@ _SHARED_LOCK = threading.RLock()
 # first, so per-query timings shift with execution order (the bench
 # registry order rotates every round); this counter lets a harness
 # report the order-dependent build share separately instead of
-# misreading it as a per-query regression.
+# misreading it as a per-query regression. The per-artifact map
+# (VERDICT r12 #2) attributes growth in the aggregate to a named
+# build rather than leaving it a cold-JIT-vs-new-artifact hypothesis.
 _BUILD_SECONDS = 0.0
+_BUILD_SECONDS_BY_ARTIFACT: "dict[str, float]" = {}
 
 
 def _best_effort_delete_dir(spark, path: str) -> None:
@@ -107,7 +114,11 @@ def _shared_artifact(spark, sf_dir, what, build):
                 global _BUILD_SECONDS
                 t0 = time.perf_counter()
                 df = reliable_materialize(build())
-                _BUILD_SECONDS += time.perf_counter() - t0
+                elapsed = time.perf_counter() - t0
+                _BUILD_SECONDS += elapsed
+                _BUILD_SECONDS_BY_ARTIFACT[what] = round(
+                    _BUILD_SECONDS_BY_ARTIFACT.get(what, 0.0) + elapsed, 3
+                )
                 entry = (df, spark.sparkContext.getCheckpointDir())
                 _SHARED_ARTIFACTS[key] = entry
     return entry[0]
@@ -117,6 +128,16 @@ def shared_artifact_build_seconds() -> float:
     """Total wall-clock seconds this process has spent in one-time
     shared-artifact builds (see _BUILD_SECONDS note)."""
     return _BUILD_SECONDS
+
+
+def shared_artifact_build_breakdown() -> "dict[str, float]":
+    """Per-artifact build seconds (artifact name → wall-clock s).
+
+    Sums to ``shared_artifact_build_seconds()`` up to rounding. An
+    artifact rebuilt across session restarts in one process
+    accumulates; within one session each name appears once.
+    """
+    return dict(_BUILD_SECONDS_BY_ARTIFACT)
 
 
 def clear_shared_artifacts() -> None:
