@@ -47,7 +47,17 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # r12 entries (17-query inverted-index consumer-flip reachability
 # set + data_partition_zonemap + text_bm25_ranking) cleared after
 # CORRECTNESS_r12 confirmed all nineteen green.
-EDITED_THIS_ROUND: set = set()
+EDITED_THIS_ROUND: set = {
+    # r13: dense-retriever ranks on cosine ROUNDED to 6dp, both Spark
+    # and oracle sides (ADVICE r12 #1 — deterministic tie order by
+    # construction). Only registry consumer of rrf_fused.
+    "retrieval_hybrid_rrf",
+    # r13: explicit F.broadcast on 1-row/constant crossJoin frames
+    # (VERDICT r12 #6 plan hygiene; values unchanged by construction,
+    # re-gated anyway per the window discipline).
+    "text_vocab_coverage_curve",
+    "funnel_conversion",
+}
 
 
 def _rotation_rank() -> "dict[str, tuple]":

@@ -73,8 +73,8 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))))
     )
 
 

@@ -1471,7 +1471,8 @@ _RRF_ORACLE = f"""
       SELECT doc_id, r FROM (
         SELECT c.vec_id AS doc_id,
                row_number() OVER (
-                 ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.qv)
+                 ORDER BY round(
+                   list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6)
                           DESC, c.vec_id
                ) AS r
         FROM embeddings c CROSS JOIN q
@@ -1538,7 +1539,15 @@ def rrf_fused(bm_scored: DataFrame, emb: DataFrame) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )
-    cos = dot(F.col("qv"), F.col("cv")) / (F.col("nq") * norm(F.col("cv")))
+    # Rank on the cosine ROUNDED to 6 decimals (matching the bm25
+    # convention): the oracle ranks via DuckDB's
+    # list_cosine_similarity, and ulp-level cross-engine differences
+    # between two near-equal cosines could otherwise flip adjacent
+    # ranks at list boundaries — rounding makes batch/oracle
+    # tie-breaking deterministic by construction (ADVICE r12 #1).
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("nq") * norm(F.col("cv"))), 6
+    )
     cos_order = [F.desc("cos"), F.asc("doc_id")]
     vecrank = (
         cand.crossJoin(F.broadcast(qv))
@@ -2499,7 +2508,7 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ks = F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("k")
     per_k = ranked.select("n", "rk").crossJoin(
-        ranked.sparkSession.range(1).select(ks)
+        F.broadcast(ranked.sparkSession.range(1).select(ks))
     )
     return (
         per_k.groupBy("k")
