@@ -59,9 +59,9 @@ FAMILY_CANARIES = (
     "dedup_exact_groups",       # hash-aggregate dedup path (r11)
     "embed_ann_brute_topk",     # vector HOF + per-query top-k path (r11)
     "text_word_entropy",        # explode/word-stats path (r11)
-    "dedup_minhash_estimate",   # minhash-signature/artifact path (r13)
-    "embed_ann_ivf_topk",       # centroid broadcast + probe-pruned join (r13)
-    "text_token_counts",        # tokenizer/regex column-expression path (r13)
+    "dedup_minhash_estimate",     # minhash-signature/artifact path (r13)
+    "embed_cosine_neardup_pairs",  # LSH-bucketed cosine pair path (r13)
+    "text_token_counts",          # tokenizer/regex column-expression path (r13)
 )
 
 

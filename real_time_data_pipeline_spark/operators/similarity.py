@@ -996,15 +996,38 @@ def connected_components_star(
     )
 
 
+# Codebook-size bound shared by every stride-seeded index family
+# (IVF / k-means centroid count, PQ per-subspace codewords): seeding
+# takes each stride-th id BELOW stride*k_max, so the codebook stays a
+# FIXED size at any corpus scale instead of growing ~n/stride. The
+# unbounded form made the corpus x codebook assignment join quadratic
+# in corpus size — caught empirically by the r13 scaling curve
+# (embed_pq_adc_topk x3->x10 leg exponent 1.31 against a documented
+# linear bound) — while real IVF/PQ deployments always fix nlist /
+# codebook size up front. Test corpora (max vec_id 1999 at sf0.1) sit
+# far below stride*k_max for every family, so small-SF results are
+# bit-identical with or without the cap; production tunes k_max per
+# corpus (it is a plain argument on every seeded operator).
+CENTROID_K_MAX = 256
+
+
 def stride_centroids(
-    corpus: DataFrame, id_col: str, vec_col: str, stride: int = 29
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stride: int = 29,
+    k_max: int = CENTROID_K_MAX,
 ) -> DataFrame:
-    """Deterministic seed centroids: every ``stride``-th corpus id.
+    """Deterministic seed centroids: every ``stride``-th corpus id
+    below ``stride * k_max`` (at most ``k_max`` seeds — see
+    CENTROID_K_MAX for why the count must not scale with the corpus).
 
     (cent_id, cvec) — the zero-training IVF baseline, and the seed set
     for `kmeans_centroids`.
     """
-    return corpus.where((F.col(id_col) % stride) == 0).select(
+    return corpus.where(
+        ((F.col(id_col) % stride) == 0) & (F.col(id_col) < stride * k_max)
+    ).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
 
@@ -1608,10 +1631,13 @@ def pq_codebooks(
     stride: int = 63,
     iters: int = 1,
     quant: int = 1_000_000,
+    k_max: int = CENTROID_K_MAX,
 ) -> DataFrame:
     """Deterministic product-quantization codebooks: an independent
     small k-means per SUBSPACE (every ``stride``-th vector's
-    subvector seeds subspace m's codebook; fixed Lloyd iterations).
+    subvector below ``stride * k_max`` seeds subspace m's codebook —
+    at most ``k_max`` codewords, the fixed PQ codebook size; fixed
+    Lloyd iterations).
 
     PQ is the memory-side ANN index family (IVF prunes WHICH vectors
     to score; PQ compresses HOW each vector is scored): a D-dim float
@@ -1635,7 +1661,7 @@ def pq_codebooks(
     Output: (m, cent_id, cvec: array<double>).
     """
     return _pq_train(
-        corpus, id_col, vec_col, m_sub, sub_dim, stride, iters, quant
+        corpus, id_col, vec_col, m_sub, sub_dim, stride, iters, quant, k_max
     )[0]
 
 
@@ -1648,6 +1674,7 @@ def _pq_train(
     stride: int,
     iters: int,
     quant: int,
+    k_max: int = CENTROID_K_MAX,
 ) -> "tuple[DataFrame, DataFrame]":
     """(codebooks, materialized subvector frame) — the frame is
     returned so the encode pass (`pq_adc_topk`) reuses the SAME
@@ -1662,7 +1689,11 @@ def _pq_train(
         )
     )
     cents = (
-        subs.where(F.col("nid") % stride == 0)
+        # k_max-capped seeding (see CENTROID_K_MAX): at most k_max
+        # codewords per subspace, never n/stride.
+        subs.where(
+            (F.col("nid") % stride == 0) & (F.col("nid") < stride * k_max)
+        )
         .select("m", F.col("nid").alias("cent_id"), F.col("s").alias("cvec"))
     )
     comp = F.col("ssum").cast("double") / (F.lit(float(quant)) * F.col("n").cast("double"))
@@ -1706,6 +1737,7 @@ def pq_adc_topk(
     iters: int = 1,
     quant: int = 1_000_000,
     codebooks: DataFrame | None = None,
+    k_max: int = CENTROID_K_MAX,
 ) -> DataFrame:
     """PQ search with Asymmetric Distance Computation (ADC): encode
     the corpus as per-subspace codes, precompute each query's distance
@@ -1740,7 +1772,7 @@ def pq_adc_topk(
         # corpus × m_sub fan-out (the query's dominant scan) is paid
         # once, not twice
         cents, corpus_subs = _pq_train(
-            corpus, id_col, vec_col, m_sub, sub_dim, stride, iters, quant
+            corpus, id_col, vec_col, m_sub, sub_dim, stride, iters, quant, k_max
         )
     scored = corpus_subs.join(F.broadcast(cents), "m").select(
         "nid", "m", "cent_id", _pq_qd2(F.col("s"), F.col("cvec"), quant).alias("qd2")

@@ -57,6 +57,24 @@ EDITED_THIS_ROUND: set = {
     # re-gated anyway per the window discipline).
     "text_vocab_coverage_curve",
     "funnel_conversion",
+    # r13: CENTROID_K_MAX seed cap on every stride-seeded index family
+    # (IVF / k-means / PQ) — the r13 scaling curve measured
+    # embed_pq_adc_topk's x3->x10 leg at exponent 1.31 against a
+    # documented linear bound; root cause was codebook size growing
+    # ~n/stride, making the assignment join quadratic. The cap is
+    # inactive at test scale (max vec_id 1999 << stride*256), so
+    # values are bit-identical — re-gated anyway. Reachability: every
+    # query whose plan seeds centroids/codebooks, directly or through
+    # the shared kmeans artifacts (measured from the call graph).
+    "embed_ann_ivf_kmeans_topk",
+    "embed_ann_ivf_topk",
+    "embed_ann_kmeans_recall",
+    "embed_ann_probe_sweep",
+    "embed_ann_recall",
+    "embed_centroid_label_purity",
+    "embed_ivf_list_imbalance",
+    "embed_pq_adc_topk",
+    "embed_semdedup_prune",
 }
 
 

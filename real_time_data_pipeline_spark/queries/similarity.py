@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
 from real_time_data_pipeline_spark.operators.similarity import (
+    CENTROID_K_MAX,
     ann_brute_topk,
     containment_pairs,
     cosine_neardup_pairs,
@@ -547,6 +548,100 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_QUALITY_ORACLE = _CLUSTERS_ORACLE.replace(
+    "SELECT node AS id_a, min(r) AS cluster_id FROM reach GROUP BY node",
+    f"""clusters AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ), jscore AS (
+      SELECT p.id_a, round(p.inter * 1.0 / (ca.n + cb.n - p.inter), 6) AS j
+      FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+        JOIN cnts ca ON p.id_a = ca.doc_id
+        JOIN cnts cb ON p.id_b = cb.doc_id
+      WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
+    ), msum AS (
+      SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.node
+      GROUP BY 1
+    ), esum AS (
+      SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+             round(avg(j.j), 6) AS mean_jaccard,
+             round(min(j.j), 6) AS min_jaccard
+      FROM jscore j JOIN clusters c ON c.node = j.id_a
+      GROUP BY 1
+    )
+    SELECT m.cluster_id, m.n_docs, e.n_edges,
+           round(e.n_edges * 2.0 / (m.n_docs * (m.n_docs - 1)), 6) AS density,
+           e.mean_jaccard, e.min_jaccard, m.sum_chars,
+           k.n_chars AS keeper_chars,
+           m.sum_chars - k.n_chars AS chars_saved
+    FROM msum m JOIN esum e USING (cluster_id)
+      JOIN documents k ON k.doc_id = m.cluster_id""",
+).replace("    )\n    clusters AS", "    ), clusters AS")
+
+
+@query("dedup_cluster_quality", oracle=_CLUSTER_QUALITY_ORACLE)
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quality readout for the dedup pipeline (r13): for
+    every near-dup cluster, its size, detected edge count, edge
+    DENSITY (n_edges / C(n_docs,2) — 1.0 means every pair was directly
+    detected; low density flags clusters merged by transitive
+    chaining, the over-merge failure mode a curation reviewer audits
+    first), the mean/min edge Jaccard (min is the weakest link holding
+    the cluster together), and the char-savings accounting of keep-one
+    dedup (sum_chars across members vs the canonical keeper's chars).
+
+    Scale shape: consumes the session-shared edge list and cluster
+    assignment (both memoized, dimension-sized artifacts) — the only
+    new work is two cluster-key aggregations and a broadcast-sized
+    join back to documents for the keeper row. No new corpus scan,
+    no window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _dedup_clusters_shared(spark, sf_dir)
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
+    members = clusters.join(
+        docs, clusters["id_a"] == docs["doc_id"]
+    ).select("cluster_id", "n_chars")
+    msum = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    esum = (
+        pairs.join(clusters, "id_a")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        )
+    )
+    keeper = docs.select(
+        F.col("doc_id").alias("cluster_id"), F.col("n_chars").alias("keeper_chars")
+    )
+    return (
+        msum.join(esum, "cluster_id")
+        .join(keeper, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_docs",
+            "n_edges",
+            F.round(
+                F.col("n_edges") * 2.0 / (F.col("n_docs") * (F.col("n_docs") - 1)), 6
+            ).alias("density"),
+            "mean_jaccard",
+            "min_jaccard",
+            "sum_chars",
+            "keeper_chars",
+            (F.col("sum_chars") - F.col("keeper_chars")).alias("chars_saved"),
+        )
+    )
+
+
 _KEEP_ONE_ORACLE = (
     _CLUSTERS_ORACLE.replace(
         "SELECT node AS id_a, min(r) AS cluster_id FROM reach GROUP BY node",
@@ -637,7 +732,9 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_ORACLE = """
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
-      FROM embeddings WHERE vec_id % 29 = 0
+      -- 7424 = 29 * CENTROID_K_MAX(256): the seed cap mirrored from
+      -- operators.similarity.stride_centroids
+      FROM embeddings WHERE vec_id % 29 = 0 AND vec_id < 7424
     ), assign AS (
       SELECT vec_id AS nid, embedding, cent_id FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
@@ -692,7 +789,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(iters: int = 2, stride: int = 29, quant: int = 1_000_000) -> str:
+def _kmeans_oracle(
+    iters: int = 2,
+    stride: int = 29,
+    quant: int = 1_000_000,
+    k_max: int = CENTROID_K_MAX,
+) -> str:
     """Unrolled-CTE replay of the deterministic Lloyd iterations.
 
     Each round = one assignment (row_number over exact cosine, ties on
@@ -704,7 +806,8 @@ def _kmeans_oracle(iters: int = 2, stride: int = 29, quant: int = 1_000_000) -> 
     parts = [
         f"""cents0 AS (
       SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
-      FROM embeddings WHERE vec_id % {stride} = 0
+      FROM embeddings
+      WHERE vec_id % {stride} = 0 AND vec_id < {stride * k_max}
     )""",
         f"""qrows AS (
       SELECT vec_id AS nid, embedding::DOUBLE[] AS v,
@@ -3212,7 +3315,8 @@ _PQ_ADC_ORACLE = f"""
       SELECT vec_id AS nid, m, (embedding::DOUBLE[])[m*16+1 : m*16+16] AS s
       FROM embeddings, ms
     ),
-    cents0 AS (SELECT m, nid AS cent_id, s AS cvec FROM sub WHERE nid % 63 = 0),
+    cents0 AS (SELECT m, nid AS cent_id, s AS cvec FROM sub
+               WHERE nid % 63 = 0 AND nid < {63 * CENTROID_K_MAX}),
     assign0 AS (
       SELECT nid, m, s, cent_id FROM (
         SELECT sub.nid, sub.m, sub.s, c.cent_id,

@@ -1560,6 +1560,84 @@ def rrf_fused(bm_scored: DataFrame, emb: DataFrame) -> DataFrame:
     return rrf_fuse_ranked(rrf_lex_ranked(bm_scored), vecrank)
 
 
+_RERANK_ORACLE = _RRF_ORACLE.replace(
+    "SELECT doc_id, rrf, lex_rank, vec_rank, rk FROM (",
+    """, top20 AS (
+      SELECT doc_id, rrf FROM (""",
+).replace(
+    ") WHERE rk <= 20",
+    f""") WHERE rk <= 20
+    ), rer AS (
+      SELECT t.doc_id, t.rrf,
+             round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6)
+               AS cos
+      FROM top20 t
+        LEFT JOIN embeddings c ON c.vec_id = t.doc_id
+                                  AND c.vec_id <> {RRF_QUERY_VEC_ID}
+        CROSS JOIN q
+    )
+    SELECT doc_id, rrf, cos,
+           CAST(row_number() OVER (ORDER BY cos DESC NULLS LAST, doc_id)
+                AS BIGINT) AS rerank
+    FROM rer""",
+)
+
+
+@query("retrieval_rerank_cosine", oracle=_RERANK_ORACLE)
+def q_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with a rerank pass (r13): the hybrid-RRF
+    top-20 is the CANDIDATE GENERATION stage; each candidate is then
+    re-scored by exact query-document cosine and re-ranked on the
+    fresh score. This is the standard cross-encoder serving shape
+    with the expensive scorer slot filled by an embedding dot product
+    — the candidate list is rank-bounded (20 rows), so ANY per-pair
+    scorer fits in the rerank slot at production scale; the plumbing
+    (bounded candidate frame, broadcast rerank join, NULL policy for
+    unscorable candidates) is what this query pins.
+
+    Candidates the dense index cannot score (no embedding row — the
+    lexical retriever surfaces docs outside the embedded subset) keep
+    cos = NULL and sort after every scored candidate
+    (desc_nulls_last), tie-broken by doc_id on both engines.
+
+    Scale shape: candidate generation is the audited hybrid fusion
+    (heap top-k per retriever); the rerank join BROADCASTS the 20-row
+    candidate list against the embeddings scan (right-outer, so all
+    20 survive), and the final rank window runs over exactly 20 rows.
+    """
+    from real_time_data_pipeline_spark.operators.similarity import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = rrf_fused(_bm25_corpus_scored(spark, sf_dir), emb).select(
+        "doc_id", "rrf"
+    )
+    qv = (
+        emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+        .withColumn("nq", norm(F.col("qv")))
+    )
+    vecs = emb.where(F.col("vec_id") != RRF_QUERY_VEC_ID).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("nq") * norm(F.col("cv"))), 6
+    )
+    scored = (
+        vecs.join(F.broadcast(cand), "doc_id", "right_outer")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "rrf",
+            F.when(F.col("cv").isNotNull(), cos).alias("cos"),
+        )
+    )
+    order = [F.desc_nulls_last("cos"), F.asc("doc_id")]
+    return scored.withColumn(
+        "rerank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    ).select("doc_id", "rrf", "cos", "rerank")
+
+
 def rrf_lex_ranked(bm_scored: DataFrame) -> DataFrame:
     """(doc_id, lex_rank) — the lexical retriever's heap
     top-``RRF_DEPTH`` list from a (doc_id, bm25) scored frame."""

@@ -707,6 +707,80 @@ def _corpusstats_ingest_smoke(spark) -> str:
     )
 
 
+def _hybrid_ivf_smoke(spark) -> str:
+    """Fully-maintained hybrid retrieval on the real cluster (r13,
+    VERDICT r12 #5): lexical ranks served from the corpus-stats state,
+    dense ranks from the IVF twin's partition-pruned quantized probe —
+    the production shape where NEITHER retriever rescans its corpus —
+    with both states maintained incrementally across separate executor
+    JVMs. The variant is recall-contracted, not row-pinned (IVF
+    quantization trades rank-exactness for footprint by design):
+    overlap@20 against the oracle-checked registry fusion must clear
+    the 0.75 floor (measured 0.85-0.90 in the single-JVM suite), and
+    every doc the two variants share must carry the IDENTICAL
+    lex_rank — the lexical side is exact, so any drift there is a
+    state-maintenance bug, not quantization."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.queries import REGISTRY
+    from real_time_data_pipeline_spark.queries.text import (
+        BM25_QUERY_TERMS,
+        RRF_QUERY_VEC_ID,
+    )
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        hybrid_rrf_probe_ivf,
+        merge_corpus_stats_batch,
+    )
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        merge_ivf_batch,
+    )
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-hybrid-")
+    cs, ivf = f"{work}/cs", f"{work}/ivf"
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for i in range(2):
+        assert (
+            merge_corpus_stats_batch(
+                docs.where(F.pmod("doc_id", F.lit(2)) == i), cs, i
+            )
+            is True
+        )
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    for i in range(2):
+        assert (
+            merge_ivf_batch(
+                emb.where(F.pmod("vec_id", F.lit(2)) == i), ivf, i, cents
+            )
+            is True
+        )
+    qdf = emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID)
+    got = {
+        r.doc_id: r.lex_rank
+        for r in hybrid_rrf_probe_ivf(
+            spark, cs, ivf, docs, qdf, cents, BM25_QUERY_TERMS, nprobe=3
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.lex_rank
+        for r in REGISTRY["retrieval_hybrid_rrf"].fn(spark, SF_DIR).collect()
+    }
+    assert len(got) == 20 and len(want) == 20, "fusion lists not depth-20"
+    shared = set(got) & set(want)
+    overlap = len(shared) / 20
+    assert overlap >= 0.75, f"overlap@20 {overlap} below the 0.75 floor"
+    drift = [d for d in shared if got[d] != want[d]]
+    assert not drift, f"lex_rank drifted for docs {drift}"
+    return (
+        f"maintained-hybrid overlap@20={overlap:.2f} (floor 0.75); "
+        f"{len(shared)} shared docs lex_rank-identical"
+    )
+
+
 def _ivfpq_ingest_smoke(spark) -> str:
     """Incremental IVF-PQ index maintenance on the real cluster
     (r11): the embeddings replay through the frozen-centroid coarse
@@ -1024,6 +1098,7 @@ def main() -> int:
             ("ivf_ingest", _ivf_ingest_smoke),
             ("ivfpq_ingest", _ivfpq_ingest_smoke),
             ("corpusstats_ingest", _corpusstats_ingest_smoke),
+            ("hybrid_rrf_ivf", _hybrid_ivf_smoke),
         ]
         for label, phase_fn in phases:
             t0 = time.perf_counter()

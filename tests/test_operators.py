@@ -847,3 +847,44 @@ def test_shared_artifact_memo_evicts_foreign_app_ids(spark, sf_dir):
     assert n_before >= 1
     clear_shared_artifacts()
     assert len(_SHARED_ARTIFACTS) == 0
+
+
+def test_stride_seeding_is_k_max_capped(spark):
+    """CENTROID_K_MAX (r13): the stride-seeded index families must
+    produce a FIXED-size codebook at any corpus scale — the unbounded
+    form grew seeds ~n/stride, which the r13 scaling curve measured as
+    a superlinear assignment join (embed_pq_adc_topk x3->x10 exponent
+    1.31 against a documented linear bound). Below the cap the seed
+    set is IDENTICAL to the uncapped form, so every sf0.001-0.1
+    oracle value is unchanged by construction."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        CENTROID_K_MAX,
+        pq_codebooks,
+        stride_centroids,
+    )
+
+    big = spark.range(0, 10_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(4)]).alias("embedding"),
+    )
+    # corpus far above stride*k_max: seed count pins at k_max
+    capped = stride_centroids(big, "vec_id", "embedding", stride=5, k_max=7)
+    assert capped.count() == 7
+    assert capped.agg(F.max("cent_id")).collect()[0][0] == 30  # 5 * (7-1)
+    # corpus below the cap: identical to the uncapped stride rule
+    small = big.where(F.col("vec_id") < 40)
+    ids = sorted(
+        r.cent_id
+        for r in stride_centroids(small, "vec_id", "embedding", stride=5).collect()
+    )
+    assert ids == [0, 5, 10, 15, 20, 25, 30, 35]
+    # PQ: per-subspace codeword count pins at k_max too
+    cb = pq_codebooks(
+        big, "vec_id", "embedding", m_sub=2, sub_dim=2, stride=5, k_max=3
+    )
+    per_m = {
+        r.m: r.n
+        for r in cb.groupBy("m").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_m and all(n <= 3 for n in per_m.values()), per_m
+    assert CENTROID_K_MAX == 256

@@ -394,6 +394,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
         "three rank windows, each over <=RRF_DEPTH(50)/<=20 rows above "
         "their own TakeOrderedAndProject heaps"
     ),
+    "retrieval_rerank_cosine": (
+        "rerank window over exactly the 20-row candidate list from the "
+        "hybrid fusion's TakeOrderedAndProject heaps"
+    ),
     "join_market_basket_pairs": "rank over <=20 rows above TakeOrderedAndProject",
     "text_countmin_heavy_hitters": "rank over <=10 rows above TakeOrderedAndProject",
     "event_session_paths": "rank over <=15 rows above TakeOrderedAndProject",
