@@ -888,3 +888,36 @@ def test_stride_seeding_is_k_max_capped(spark):
     }
     assert per_m and all(n <= 3 for n in per_m.values()), per_m
     assert CENTROID_K_MAX == 256
+
+
+def test_artifact_build_breakdown_sums_to_total(spark, sf_dir):
+    """`shared_artifact_build_breakdown` (r13, VERDICT r12 #2) must
+    attribute every build second to a named artifact: per-name cells
+    appear on first build, accumulate nothing on memo hits, and the
+    map sums to `shared_artifact_build_seconds` up to rounding."""
+    from real_time_data_pipeline_spark.queries.artifacts import (
+        _SHARED_ARTIFACTS,
+        _shared_artifact,
+        shared_artifact_build_breakdown,
+        shared_artifact_build_seconds,
+    )
+
+    before_total = shared_artifact_build_seconds()
+    before_map = shared_artifact_build_breakdown()
+    _shared_artifact(spark, sf_dir, "__bd_test", lambda: spark.range(3))
+    _shared_artifact(spark, sf_dir, "__bd_test", lambda: spark.range(3))
+    after_map = shared_artifact_build_breakdown()
+    assert "__bd_test" in after_map
+    cell = after_map["__bd_test"] - before_map.get("__bd_test", 0.0)
+    total_delta = shared_artifact_build_seconds() - before_total
+    assert cell > 0
+    # one build only (memo hit adds nothing), and the named cell is
+    # the whole delta up to the map's 3-decimal rounding
+    assert abs(total_delta - cell) < 0.002
+    # the full map reconciles with the aggregate counter whenever the
+    # process has not crossed a session restart (same-session builds)
+    assert abs(sum(after_map.values()) - shared_artifact_build_seconds()) < 0.01 * max(
+        1, len(after_map)
+    )
+    for k in [k for k in _SHARED_ARTIFACTS if k[2] == "__bd_test"]:
+        del _SHARED_ARTIFACTS[k]
