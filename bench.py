@@ -59,9 +59,12 @@ FAMILY_CANARIES = (
     "dedup_exact_groups",       # hash-aggregate dedup path (r11)
     "embed_ann_brute_topk",     # vector HOF + per-query top-k path (r11)
     "text_word_entropy",        # explode/word-stats path (r11)
-    "dedup_minhash_estimate",     # minhash-signature/artifact path (r13)
-    "embed_cosine_neardup_pairs",  # LSH-bucketed cosine pair path (r13)
-    "text_token_counts",          # tokenizer/regex column-expression path (r13)
+    # Second canaries chosen ~1-2 s (5-10x the r11 trio): the whole
+    # point of the second point is escaping the 0.2 s noise regime,
+    # so a short query would re-create the problem it fixes.
+    "dedup_simhash_hamming_histogram",  # simhash/Hamming pair path (r13)
+    "embed_cosine_neardup_pairs",       # LSH-bucketed cosine pair path (r13)
+    "text_unigram_surprisal",           # explode + surprisal join path (r13)
 )
 
 

@@ -50,7 +50,9 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 EDITED_THIS_ROUND: set = {
     # r13: dense-retriever ranks on cosine ROUNDED to 6dp, both Spark
     # and oracle sides (ADVICE r12 #1 — deterministic tie order by
-    # construction). Only registry consumer of rrf_fused.
+    # construction). rrf_fused consumers: this query plus the NEW
+    # retrieval_rerank_cosine (never-green, so it enters the window
+    # through the new-query tier rather than this set).
     "retrieval_hybrid_rrf",
     # r13: explicit F.broadcast on 1-row/constant crossJoin frames
     # (VERDICT r12 #6 plan hygiene; values unchanged by construction,

@@ -133,9 +133,14 @@ def shared_artifact_build_seconds() -> float:
 def shared_artifact_build_breakdown() -> "dict[str, float]":
     """Per-artifact build seconds (artifact name → wall-clock s).
 
-    Sums to ``shared_artifact_build_seconds()`` up to rounding. An
-    artifact rebuilt across session restarts in one process
-    accumulates; within one session each name appears once.
+    Sums to ``shared_artifact_build_seconds()`` up to rounding. The
+    map is keyed by NAME only, while the memo keys by (app, sf_dir,
+    name): a name rebuilt for another sf_dir or after a session
+    restart ACCUMULATES into its one cell. For the bench harness —
+    one session, one sf_dir, the attribution this exists for — each
+    cell is exactly one build; a multi-sf_dir process (e.g.
+    scripts/scaling_curve.py) reads each cell as that artifact's
+    total build time across its corpora.
     """
     return dict(_BUILD_SECONDS_BY_ARTIFACT)
 

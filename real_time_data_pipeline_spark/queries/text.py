@@ -1601,15 +1601,19 @@ def q_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (desc_nulls_last), tie-broken by doc_id on both engines.
 
     Scale shape: candidate generation is the audited hybrid fusion
-    (heap top-k per retriever); the rerank join BROADCASTS the 20-row
-    candidate list against the embeddings scan (right-outer, so all
-    20 survive), and the final rank window runs over exactly 20 rows.
+    (heap top-k per retriever), materialized as a 20-row frame; the
+    corpus is then scanned ONCE, semi-filtered by that broadcast
+    20-row list (BuildRight — a broadcast hint on the PRESERVED side
+    of an outer join is unhonorable, so the outer join happens only
+    between the two bounded frames), and the <=20 matched vectors
+    broadcast back onto the candidate list. The final rank window
+    runs over exactly 20 rows.
     """
     from real_time_data_pipeline_spark.operators.similarity import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = rrf_fused(_bm25_corpus_scored(spark, sf_dir), emb).select(
-        "doc_id", "rrf"
+    cand = reliable_materialize(
+        rrf_fused(_bm25_corpus_scored(spark, sf_dir), emb).select("doc_id", "rrf")
     )
     qv = (
         emb.where(F.col("vec_id") == RRF_QUERY_VEC_ID)
@@ -1623,8 +1627,13 @@ def q_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         dot(F.col("qv"), F.col("cv")) / (F.col("nq") * norm(F.col("cv"))), 6
     )
+    # <=20 vector rows: the corpus-sized side is consumed exactly once,
+    # inner-joined against the broadcast candidate list; candidates
+    # without an embedding drop here and re-enter with cos=NULL via
+    # the bounded left join below.
+    matched = vecs.join(F.broadcast(cand.select("doc_id")), "doc_id")
     scored = (
-        vecs.join(F.broadcast(cand), "doc_id", "right_outer")
+        cand.join(F.broadcast(matched), "doc_id", "left")
         .crossJoin(F.broadcast(qv))
         .select(
             "doc_id",

@@ -237,13 +237,20 @@ def main() -> None:
             )
             for a, b in zip(scales, scales[1:])
         }
+        # Gate on the WORST leg, not the overall exponent: a fixed
+        # 1x-overhead floor dilutes the overall read, so a quadratic
+        # emerging on the high leg can hide under it — exactly what
+        # happened on this harness's first run (pq overall 0.77
+        # "within bound" while the x3->x10 leg read 1.31).
+        worst_leg = max(legs.values())
         results[name] = {
             "seconds": per_scale,
             f"exponent_x{lo}_to_x{hi}": exponent,
             "leg_exponents": legs,
+            "worst_leg_exponent": worst_leg,
             "documented_bound": bound_desc,
             "documented_exponent_max": bound_exp,
-            "within_bound": exponent <= bound_exp + 0.15,  # timing-noise margin
+            "within_bound": worst_leg <= bound_exp + 0.15,  # timing-noise margin
         }
         # Per-query artifact state must not leak across scales the
         # NEXT query also runs at — artifacts key on sf_dir, so they
@@ -265,7 +272,8 @@ def main() -> None:
         "queries": results,
     }
     print(json.dumps(out))
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"wrote {args.out}", file=sys.stderr)
