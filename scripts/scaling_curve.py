@@ -81,6 +81,14 @@ TARGETS = {
     "dedup_directional_containment": ("linear (df-capped pair buckets)", 1.0),
     "embed_pq_adc_topk": ("linear (scan + ADC + heap top-k)", 1.0),
     "contamination_bloom_prefilter": ("linear (broadcast Bloom over candidate grams)", 1.0),
+    # r13 retrieval additions beyond the VERDICT-named five: the
+    # hybrid fusion claims corpus-linear retrievers + corpus-free
+    # fusion (heap top-k lists, bounded windows), and the rerank's
+    # join shape was rebuilt mid-round after review (corpus scanned
+    # once against the broadcast candidate list) — both claims are
+    # worth a measured exponent, not just a plan audit.
+    "retrieval_hybrid_rrf": ("linear (two corpus-scan retrievers, bounded fusion)", 1.0),
+    "retrieval_rerank_cosine": ("linear (fusion + one corpus scan vs broadcast 20-row list)", 1.0),
 }
 
 
