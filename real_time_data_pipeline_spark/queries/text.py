@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
+from real_time_data_pipeline_spark.operators.materialize import (
+    persist_tracked,
+    reliable_materialize,
+)
 from real_time_data_pipeline_spark.operators.text import (
     LANG_STOPWORDS,
     hash60,
@@ -1612,7 +1615,15 @@ def q_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_pipeline_spark.operators.similarity import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = reliable_materialize(
+    # persist_tracked, NOT reliable_materialize: both truncate the
+    # double-consumption (the 20-row candidate list feeds the corpus
+    # semi-filter AND the final left join), but a checkpoint REPLACES
+    # the plan with an opaque RDD scan — hiding the fusion's
+    # TakeOrderedAndProject heaps from the bounded-window plan audit
+    # that proves this query's rank window safe. The persisted plan
+    # keeps the cached child visible, so the boundedness proof stays
+    # machine-checkable.
+    cand = persist_tracked(
         rrf_fused(_bm25_corpus_scored(spark, sf_dir), emb).select("doc_id", "rrf")
     )
     qv = (

@@ -178,8 +178,22 @@ def main() -> None:
     ap.add_argument("--scales", default="1,3,10")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="docs/bench/scaling_r13.json")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the TARGETS map (default: all) — "
+        "lets a follow-up measurement extend the scale range for just "
+        "the queries whose legs ran hottest without re-paying the rest",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    targets = dict(TARGETS)
+    if args.queries:
+        chosen = [q.strip() for q in args.queries.split(",") if q.strip()]
+        unknown = [q for q in chosen if q not in targets]
+        if unknown:
+            ap.error(f"not in TARGETS: {unknown}")
+        targets = {q: targets[q] for q in chosen}
 
     from real_time_data_pipeline_spark.session import get_spark
     from real_time_data_pipeline_spark.queries import REGISTRY
@@ -213,7 +227,7 @@ def main() -> None:
         print(f"scale x{s}: {dirs[s]} {counts[s]}", file=sys.stderr)
 
     results: dict[str, dict] = {}
-    for name, (bound_desc, bound_exp) in TARGETS.items():
+    for name, (bound_desc, bound_exp) in targets.items():
         spec = REGISTRY[name]
         per_scale: dict[str, float] = {}
         for s in scales:
