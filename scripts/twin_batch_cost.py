@@ -1,0 +1,261 @@
+#!/usr/bin/env python
+"""Per-batch cost measurement for the partitioned-index streaming
+twins: the repo's standing claim is that a twin's merge cost scales
+with the BATCH, not the accumulated TABLE (structural idempotency via
+dynamic partition overwrite of only the batch's own partitions; the
+reset guard reads a driver-side partition-dir listing, never state
+data). The r13 scaling harness (`scaling_curve.py`) converted the
+batch queries' complexity claims into measurements; this does the
+same for the streaming side.
+
+Method: feed N equal-sized micro-batches through the twin's public
+merge function against a growing on-disk state and time every commit.
+If the claim holds, the per-batch series is FLAT (up to noise and the
+slow growth of the partition-dir listing the reset guard performs) —
+gated as mean(last 5) / mean(first 5) <= the stated bound. A
+read-modify-write design would instead grow linearly with state and
+blow the gate within the run.
+
+Twins measured (the two with the strongest per-batch claims, one per
+state shape):
+
+* IVF ingest (`streaming/ivf_ingest.merge_ivf_batch`) — row-grain
+  inverted lists, (cent_id, src_batch) dynamic-overwrite partitions.
+  Claimed: per-batch cost ~ batch size (+ O(partition dirs) listing).
+* Corpus-stats ingest (`streaming/corpusstats_ingest.
+  merge_corpus_stats_batch`) — additive term-grain deltas,
+  (bkt, src_batch) partitions. Same claim, additive algebra.
+
+Each twin is also probed mid-run: state-serving reads
+(`ivf_probe_state`, `bm25_probe_state`) are timed at 1/4, 1/2 and
+full state so the read path's growth is REPORTED alongside the write
+path's flatness (probes partition-prune but their probed lists grow
+with the corpus — linear-in-probed-lists is the documented read
+bound, not flatness; no gate, numbers only).
+
+A final compaction is timed and the FIRST post-compaction merge is
+re-measured: compaction must not make the next commit more expensive
+(the sentinel preserves the reset guard without a data scan).
+
+Usage:
+  python scripts/twin_batch_cost.py [--batches 40] \
+      [--out docs/bench/twin_batch_cost_r13.json]
+
+Gate bound: 2.0. The truly-flat ideal is ~1.0; small-second cells on
+a shared box swing +-30% (see the canary README section), and the
+listing grows by one dir per batch, so the gate is set where a
+state-sized read-modify-write (which would read >5x within 40
+batches) cannot pass but box noise cannot fail.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALING_DIR = os.environ.get("RTDP_SCALING_DIR", "/tmp/rtdp_scaling")
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+GATE_RATIO = 2.0
+
+
+def _series_stats(times: list[float]) -> dict:
+    first = times[:5]
+    last = times[-5:]
+    ratio = (sum(last) / len(last)) / (sum(first) / len(first))
+    return {
+        "per_batch_s": [round(t, 3) for t in times],
+        "mean_first5_s": round(sum(first) / len(first), 3),
+        "mean_last5_s": round(sum(last) / len(last), 3),
+        "last5_over_first5": round(ratio, 3),
+        "flat_within_gate": ratio <= GATE_RATIO,
+    }
+
+
+def measure_ivf(spark, emb, n_batches: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        compact_ivf_state,
+        ivf_probe_state,
+        merge_ivf_batch,
+        read_ivf_state,
+    )
+
+    state = tempfile.mkdtemp(prefix="twin_ivf_")
+    shutil.rmtree(state)  # merge creates it
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    total = emb.count()
+    per = total // n_batches
+    # Deterministic equal slices by vec_id rank: batch k gets rows
+    # [k*per, (k+1)*per). localCheckpoint each slice so slicing cost
+    # (a window over the corpus) never pollutes the timed merge.
+    from pyspark.sql import Window
+
+    ranked = emb.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("vec_id")) - 1
+    ).localCheckpoint()
+    probes = emb.orderBy("vec_id").limit(5).localCheckpoint()
+
+    times: list[float] = []
+    probe_reads: dict[str, float] = {}
+    for k in range(n_batches):
+        batch = ranked.where(
+            (F.col("_rk") >= k * per) & (F.col("_rk") < (k + 1) * per)
+        ).drop("_rk").localCheckpoint()
+        t0 = time.perf_counter()
+        merge_ivf_batch(batch, state, k, cents)
+        times.append(time.perf_counter() - t0)
+        if k + 1 in (n_batches // 4, n_batches // 2, n_batches):
+            t0 = time.perf_counter()
+            ivf_probe_state(
+                spark, state, probes, cents, k=10, nprobe=4
+            ).collect()
+            probe_reads[f"after_batch_{k + 1}"] = round(
+                time.perf_counter() - t0, 3
+            )
+        print(f"ivf batch {k}: {times[-1]:.3f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    compact_ivf_state(spark, state)
+    compact_s = time.perf_counter() - t0
+    rows_after = read_ivf_state(spark, state).count()
+    assert rows_after == per * n_batches, (rows_after, per * n_batches)
+    t0 = time.perf_counter()
+    merge_ivf_batch(
+        ranked.where(F.col("_rk") < per)
+        .drop("_rk")
+        .withColumn("vec_id", F.col("vec_id") + 500_000_000),
+        state,
+        n_batches,
+        cents,
+    )
+    post_compact_merge_s = time.perf_counter() - t0
+    out = {
+        "twin": "ivf_ingest",
+        "batch_rows": per,
+        "n_batches": n_batches,
+        **_series_stats(times),
+        "probe_reads_s": probe_reads,
+        "compaction_s": round(compact_s, 3),
+        "first_merge_after_compaction_s": round(post_compact_merge_s, 3),
+    }
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
+def measure_corpus_stats(spark, docs, n_batches: int) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
+        bm25_probe_state,
+        compact_corpus_stats,
+        merge_corpus_stats_batch,
+    )
+
+    state = tempfile.mkdtemp(prefix="twin_cstats_")
+    shutil.rmtree(state)
+    total = docs.count()
+    per = total // n_batches
+    ranked = docs.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("doc_id")) - 1
+    ).localCheckpoint()
+
+    times: list[float] = []
+    probe_reads: dict[str, float] = {}
+    for k in range(n_batches):
+        batch = ranked.where(
+            (F.col("_rk") >= k * per) & (F.col("_rk") < (k + 1) * per)
+        ).drop("_rk").localCheckpoint()
+        t0 = time.perf_counter()
+        merge_corpus_stats_batch(batch, state, k)
+        times.append(time.perf_counter() - t0)
+        if k + 1 in (n_batches // 4, n_batches // 2, n_batches):
+            from real_time_data_pipeline_spark.queries.text import (
+                BM25_QUERY_TERMS,
+            )
+
+            t0 = time.perf_counter()
+            bm25_probe_state(spark, state, docs, BM25_QUERY_TERMS).collect()
+            probe_reads[f"after_batch_{k + 1}"] = round(
+                time.perf_counter() - t0, 3
+            )
+        print(f"cstats batch {k}: {times[-1]:.3f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    compact_corpus_stats(spark, state)
+    compact_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    merge_corpus_stats_batch(
+        ranked.where(F.col("_rk") < per)
+        .drop("_rk")
+        .withColumn("doc_id", F.col("doc_id") + 500_000_000),
+        state,
+        n_batches,
+    )
+    post_compact_merge_s = time.perf_counter() - t0
+    out = {
+        "twin": "corpusstats_ingest",
+        "batch_rows": per,
+        "n_batches": n_batches,
+        **_series_stats(times),
+        "probe_reads_s": probe_reads,
+        "compaction_s": round(compact_s, 3),
+        "first_merge_after_compaction_s": round(post_compact_merge_s, 3),
+    }
+    shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=40)
+    ap.add_argument("--out", default="docs/bench/twin_batch_cost_r13.json")
+    args = ap.parse_args()
+
+    from real_time_data_pipeline_spark.session import get_spark
+    from real_time_data_pipeline_spark.sources.tables import load_table
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="rtdp-twin-cost", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # The 10x scaling corpus when present (20k vectors / 50k docs ->
+    # 40 batches of 500 / 1250), else the sf0.1 tables.
+    x10 = os.path.join(SCALING_DIR, "x10")
+    src = x10 if os.path.exists(os.path.join(x10, "documents.parquet")) else SF_DIR
+    emb = load_table(spark, src, "embeddings")
+    docs = load_table(spark, src, "documents")
+
+    results = [
+        measure_ivf(spark, emb, args.batches),
+        measure_corpus_stats(spark, docs, args.batches),
+    ]
+    out = {
+        "metric": "twin_per_batch_cost",
+        "source_dir": src,
+        "gate": f"mean(last5)/mean(first5) <= {GATE_RATIO}",
+        "twins": {r["twin"]: r for r in results},
+    }
+    print(json.dumps(out))
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {args.out}", file=sys.stderr)
+    ok = all(r["flat_within_gate"] for r in results)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
