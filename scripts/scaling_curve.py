@@ -189,6 +189,10 @@ def main() -> None:
     scales = [int(s) for s in args.scales.split(",")]
     targets = dict(TARGETS)
     if args.queries:
+        if args.out == ap.get_default("out"):
+            # a subset run must not silently overwrite the committed
+            # full-registry artifact the README cites
+            ap.error("--queries requires an explicit --out")
         chosen = [q.strip() for q in args.queries.split(",") if q.strip()]
         unknown = [q for q in chosen if q not in targets]
         if unknown:

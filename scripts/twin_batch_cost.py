@@ -10,11 +10,15 @@ same for the streaming side.
 
 Method: feed N equal-sized micro-batches through the twin's public
 merge function against a growing on-disk state and time every commit.
-If the claim holds, the per-batch series is FLAT (up to noise and the
-slow growth of the partition-dir listing the reset guard performs) —
-gated as mean(last 5) / mean(first 5) <= the stated bound. A
-read-modify-write design would instead grow linearly with state and
-blow the gate within the run.
+One UNTIMED warm-up merge into a throwaway state dir runs first —
+JIT/first-job cost must not inflate the early batches (an inflated
+mean(first 5) deflates the growth ratio and could hide a real
+state-dependent regression under the gate; scaling_curve.py warms the
+same way). If the claim holds, the per-batch series is FLAT (up to
+noise and the slow growth of the partition-dir listing the reset
+guard performs) — gated as mean(last 5) / mean(first 5) <= the stated
+bound. A read-modify-write design would instead grow linearly with
+state and blow the gate within the run.
 
 Twins measured (the two with the strongest per-batch claims, one per
 state shape):
@@ -63,6 +67,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCALING_DIR = os.environ.get("RTDP_SCALING_DIR", "/tmp/rtdp_scaling")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 GATE_RATIO = 2.0
+ID_SHIFT = 500_000_000  # clear of every scaling-shard id range (k*1e7)
 
 
 def _series_stats(times: list[float]) -> dict:
@@ -78,9 +83,90 @@ def _series_stats(times: list[float]) -> dict:
     }
 
 
-def measure_ivf(spark, emb, n_batches: int) -> dict:
+def measure_twin(
+    twin: str,
+    frame,
+    id_col: str,
+    n_batches: int,
+    merge_fn,
+    probe_fn,
+    compact_fn,
+) -> dict:
+    """One twin's measurement: warm-up merge (untimed, throwaway
+    state), n_batches timed merges into a growing state with probes
+    at 1/4, 1/2 and full, then timed compaction + one post-compaction
+    merge. ``merge_fn(batch_df, state_path, batch_id)``,
+    ``probe_fn(state_path)``, ``compact_fn(state_path)`` close over
+    everything twin-specific (centroids, query terms, corpus)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    total = frame.count()
+    per = total // n_batches
+    # Deterministic equal slices by id rank: batch k gets rows
+    # [k*per, (k+1)*per). localCheckpoint each slice so slicing cost
+    # (a window over the corpus) never pollutes the timed merge.
+    ranked = frame.withColumn(
+        "_rk", F.row_number().over(Window.orderBy(id_col)) - 1
+    ).localCheckpoint()
+
+    def slice_of(k: int):
+        return (
+            ranked.where(
+                (F.col("_rk") >= k * per) & (F.col("_rk") < (k + 1) * per)
+            )
+            .drop("_rk")
+            .localCheckpoint()
+        )
+
+    state = tempfile.mkdtemp(prefix=f"twin_{twin}_")
+    warm = tempfile.mkdtemp(prefix=f"twin_{twin}_warm_")
+    shutil.rmtree(state)  # merge creates them
+    shutil.rmtree(warm)
+    try:
+        # Warm-up: same merge shape, throwaway state, untimed.
+        merge_fn(slice_of(0), warm, 0)
+
+        times: list[float] = []
+        probe_reads: dict[str, float] = {}
+        for k in range(n_batches):
+            batch = slice_of(k)
+            t0 = time.perf_counter()
+            merge_fn(batch, state, k)
+            times.append(time.perf_counter() - t0)
+            if k + 1 in (n_batches // 4, n_batches // 2, n_batches):
+                t0 = time.perf_counter()
+                probe_fn(state)
+                probe_reads[f"after_batch_{k + 1}"] = round(
+                    time.perf_counter() - t0, 3
+                )
+            print(f"{twin} batch {k}: {times[-1]:.3f}s", file=sys.stderr)
+
+        t0 = time.perf_counter()
+        compact_fn(state)
+        compact_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        merge_fn(
+            slice_of(0).withColumn(id_col, F.col(id_col) + ID_SHIFT),
+            state,
+            n_batches,
+        )
+        post_compact_merge_s = time.perf_counter() - t0
+        return {
+            "twin": twin,
+            "batch_rows": per,
+            "n_batches": n_batches,
+            **_series_stats(times),
+            "probe_reads_s": probe_reads,
+            "compaction_s": round(compact_s, 3),
+            "first_merge_after_compaction_s": round(post_compact_merge_s, 3),
+        }
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(warm, ignore_errors=True)
+
+
+def measure_ivf(spark, emb, n_batches: int) -> dict:
     from real_time_data_pipeline_spark.operators.similarity import (
         stride_centroids,
     )
@@ -88,133 +174,42 @@ def measure_ivf(spark, emb, n_batches: int) -> dict:
         compact_ivf_state,
         ivf_probe_state,
         merge_ivf_batch,
-        read_ivf_state,
     )
 
-    state = tempfile.mkdtemp(prefix="twin_ivf_")
-    shutil.rmtree(state)  # merge creates it
     cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
-    total = emb.count()
-    per = total // n_batches
-    # Deterministic equal slices by vec_id rank: batch k gets rows
-    # [k*per, (k+1)*per). localCheckpoint each slice so slicing cost
-    # (a window over the corpus) never pollutes the timed merge.
-    from pyspark.sql import Window
-
-    ranked = emb.withColumn(
-        "_rk", F.row_number().over(Window.orderBy("vec_id")) - 1
-    ).localCheckpoint()
     probes = emb.orderBy("vec_id").limit(5).localCheckpoint()
-
-    times: list[float] = []
-    probe_reads: dict[str, float] = {}
-    for k in range(n_batches):
-        batch = ranked.where(
-            (F.col("_rk") >= k * per) & (F.col("_rk") < (k + 1) * per)
-        ).drop("_rk").localCheckpoint()
-        t0 = time.perf_counter()
-        merge_ivf_batch(batch, state, k, cents)
-        times.append(time.perf_counter() - t0)
-        if k + 1 in (n_batches // 4, n_batches // 2, n_batches):
-            t0 = time.perf_counter()
-            ivf_probe_state(
-                spark, state, probes, cents, k=10, nprobe=4
-            ).collect()
-            probe_reads[f"after_batch_{k + 1}"] = round(
-                time.perf_counter() - t0, 3
-            )
-        print(f"ivf batch {k}: {times[-1]:.3f}s", file=sys.stderr)
-
-    t0 = time.perf_counter()
-    compact_ivf_state(spark, state)
-    compact_s = time.perf_counter() - t0
-    rows_after = read_ivf_state(spark, state).count()
-    assert rows_after == per * n_batches, (rows_after, per * n_batches)
-    t0 = time.perf_counter()
-    merge_ivf_batch(
-        ranked.where(F.col("_rk") < per)
-        .drop("_rk")
-        .withColumn("vec_id", F.col("vec_id") + 500_000_000),
-        state,
+    return measure_twin(
+        "ivf_ingest",
+        emb,
+        "vec_id",
         n_batches,
-        cents,
+        merge_fn=lambda b, s, i: merge_ivf_batch(b, s, i, cents),
+        probe_fn=lambda s: ivf_probe_state(
+            spark, s, probes, cents, k=10, nprobe=4
+        ).collect(),
+        compact_fn=lambda s: compact_ivf_state(spark, s),
     )
-    post_compact_merge_s = time.perf_counter() - t0
-    out = {
-        "twin": "ivf_ingest",
-        "batch_rows": per,
-        "n_batches": n_batches,
-        **_series_stats(times),
-        "probe_reads_s": probe_reads,
-        "compaction_s": round(compact_s, 3),
-        "first_merge_after_compaction_s": round(post_compact_merge_s, 3),
-    }
-    shutil.rmtree(state, ignore_errors=True)
-    return out
 
 
 def measure_corpus_stats(spark, docs, n_batches: int) -> dict:
-    from pyspark.sql import functions as F
-    from pyspark.sql import Window
-
+    from real_time_data_pipeline_spark.queries.text import BM25_QUERY_TERMS
     from real_time_data_pipeline_spark.streaming.corpusstats_ingest import (
         bm25_probe_state,
         compact_corpus_stats,
         merge_corpus_stats_batch,
     )
 
-    state = tempfile.mkdtemp(prefix="twin_cstats_")
-    shutil.rmtree(state)
-    total = docs.count()
-    per = total // n_batches
-    ranked = docs.withColumn(
-        "_rk", F.row_number().over(Window.orderBy("doc_id")) - 1
-    ).localCheckpoint()
-
-    times: list[float] = []
-    probe_reads: dict[str, float] = {}
-    for k in range(n_batches):
-        batch = ranked.where(
-            (F.col("_rk") >= k * per) & (F.col("_rk") < (k + 1) * per)
-        ).drop("_rk").localCheckpoint()
-        t0 = time.perf_counter()
-        merge_corpus_stats_batch(batch, state, k)
-        times.append(time.perf_counter() - t0)
-        if k + 1 in (n_batches // 4, n_batches // 2, n_batches):
-            from real_time_data_pipeline_spark.queries.text import (
-                BM25_QUERY_TERMS,
-            )
-
-            t0 = time.perf_counter()
-            bm25_probe_state(spark, state, docs, BM25_QUERY_TERMS).collect()
-            probe_reads[f"after_batch_{k + 1}"] = round(
-                time.perf_counter() - t0, 3
-            )
-        print(f"cstats batch {k}: {times[-1]:.3f}s", file=sys.stderr)
-
-    t0 = time.perf_counter()
-    compact_corpus_stats(spark, state)
-    compact_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    merge_corpus_stats_batch(
-        ranked.where(F.col("_rk") < per)
-        .drop("_rk")
-        .withColumn("doc_id", F.col("doc_id") + 500_000_000),
-        state,
+    return measure_twin(
+        "corpusstats_ingest",
+        docs,
+        "doc_id",
         n_batches,
+        merge_fn=merge_corpus_stats_batch,
+        probe_fn=lambda s: bm25_probe_state(
+            spark, s, docs, BM25_QUERY_TERMS
+        ).collect(),
+        compact_fn=lambda s: compact_corpus_stats(spark, s),
     )
-    post_compact_merge_s = time.perf_counter() - t0
-    out = {
-        "twin": "corpusstats_ingest",
-        "batch_rows": per,
-        "n_batches": n_batches,
-        **_series_stats(times),
-        "probe_reads_s": probe_reads,
-        "compaction_s": round(compact_s, 3),
-        "first_merge_after_compaction_s": round(post_compact_merge_s, 3),
-    }
-    shutil.rmtree(state, ignore_errors=True)
-    return out
 
 
 def main() -> None:
@@ -222,6 +217,10 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=40)
     ap.add_argument("--out", default="docs/bench/twin_batch_cost_r13.json")
     args = ap.parse_args()
+    if args.batches < 10:
+        # first5/last5 must not overlap or the gate is vacuously 1.0,
+        # and the quarter-state probe needs n//4 >= 1
+        ap.error("--batches must be >= 10")
 
     from real_time_data_pipeline_spark.session import get_spark
     from real_time_data_pipeline_spark.sources.tables import load_table
@@ -230,10 +229,20 @@ def main() -> None:
     spark = get_spark(app_name="rtdp-twin-cost", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # The 10x scaling corpus when present (20k vectors / 50k docs ->
-    # 40 batches of 500 / 1250), else the sf0.1 tables.
+    # The 10x scaling corpus when fully present (20k vectors / 50k
+    # docs -> 40 batches of 500 / 1250), else the sf0.1 tables. Both
+    # tables' _SUCCESS markers are required — documents.parquet lands
+    # before embeddings.parquet in build_corpus, so an interrupted
+    # build leaves a dir that must not be trusted.
     x10 = os.path.join(SCALING_DIR, "x10")
-    src = x10 if os.path.exists(os.path.join(x10, "documents.parquet")) else SF_DIR
+    src = (
+        x10
+        if all(
+            os.path.exists(os.path.join(x10, t, "_SUCCESS"))
+            for t in ("documents.parquet", "embeddings.parquet")
+        )
+        else SF_DIR
+    )
     emb = load_table(spark, src, "embeddings")
     docs = load_table(spark, src, "documents")
 
