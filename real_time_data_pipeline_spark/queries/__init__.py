@@ -77,6 +77,13 @@ EDITED_THIS_ROUND: set = {
     "embed_ivf_list_imbalance",
     "embed_pq_adc_topk",
     "embed_semdedup_prune",
+    # r13: the market-basket self-join's shared distinct moved from
+    # checkpoint to persist_tracked (reuse-not-iteration doctrine,
+    # materialize.py module doc; the fact-table scaling run measured
+    # checkpoint-block accumulation inflating repeated 10x runs).
+    # Values identical by construction — re-gated anyway per the
+    # window discipline.
+    "join_market_basket_pairs",
 }
 
 

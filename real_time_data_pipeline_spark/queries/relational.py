@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
+from real_time_data_pipeline_spark.operators.materialize import (
+    persist_tracked,
+    reliable_materialize,
+)
 from real_time_data_pipeline_spark.operators.joins import (
     anti_join,
     asof_join,
@@ -1419,7 +1422,16 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .transform(reliable_materialize)  # one distinct serves both self-join sides
+        # one distinct serves both self-join sides. persist_tracked,
+        # not checkpoint: the frame is REUSED, not iterated (the
+        # materialize.py doctrine) — executor loss recomputes instead
+        # of failing, release_caches drains it per query, and the
+        # corpus-sized frame is never pinned as unreleasable
+        # checkpoint blocks (the r13 fact-table scaling run measured
+        # checkpoint-block accumulation inflating repeated runs at
+        # 10x: 10.1 -> 12.1 -> 16.8 s across three back-to-back
+        # executions of this query).
+        .transform(persist_tracked)
     )
     a = li.withColumnsRenamed({"l_partkey": "part_a"})
     b = li.withColumnsRenamed({"l_partkey": "part_b"})

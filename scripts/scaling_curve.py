@@ -64,6 +64,7 @@ import argparse
 import json
 import math
 import os
+import shutil
 import sys
 import time
 
@@ -89,21 +90,76 @@ TARGETS = {
     # worth a measured exponent, not just a plan audit.
     "retrieval_hybrid_rrf": ("linear (two corpus-scan retrievers, bounded fusion)", 1.0),
     "retrieval_rerank_cosine": ("linear (fusion + one corpus scan vs broadcast 20-row list)", 1.0),
+    # Relational/event fact-side targets: the first measured points
+    # for the star-schema and event families (everything above scales
+    # the documents/embeddings corpus only). Facts (lineitem, orders,
+    # events) shard Nx while dimensions stay FIXED — the warehouse
+    # growth shape where facts outrun dims. Sort-merge joins carry an
+    # n log n sort, so "linear" legs may read slightly above 1.0;
+    # the +0.15 gate margin covers the log factor over one decade.
+    "tpch_q21_sole_late_supplier": ("linear + log-sort (orderkey SMJ chain, broadcast dims)", 1.0),
+    "join_market_basket_pairs": ("linear (per-order pair expansion, constant basket size; heap top-k)", 1.0),
+    "graph_pagerank_trade": ("linear edge derivation + fixed nation-grain iterations", 1.0),
+    "data_profile_events": ("linear (one scan, one aggregate; exact distincts shuffle row-linear)", 1.0),
+    "data_psi_drift": ("linear (range-shuffle deciles, broadcast edges, 10-key aggregate)", 1.0),
 }
+
+# Tables copied verbatim into every Nx dir (fixed-dimension posture);
+# facts are sharded like documents/embeddings.
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
+def _build_relational(spark, scale: int, out_dir: str) -> None:
+    """Facts sharded Nx (keys offset per shard: orderkey on both
+    sides of the orders/lineitem join identically, event/user ids on
+    events so the user population widens while per-user series stay
+    constant), dimensions copied verbatim."""
+    from pyspark.sql import functions as F
+
+    for t in DIM_TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(SF1_DIR, f"{t}.parquet"), dst)
+
+    fact_shift = {
+        "orders": {"o_orderkey": ID_OFFSET},
+        "lineitem": {"l_orderkey": ID_OFFSET},
+        "events": {"event_id": ID_OFFSET, "user_id": 1_000_000},
+    }
+    for t, shifts in fact_shift.items():
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        base = spark.read.parquet(os.path.join(SF1_DIR, f"{t}.parquet"))
+        shards = [base]
+        for k in range(1, scale):
+            s = base
+            for col, off in shifts.items():
+                s = s.withColumn(col, F.col(col) + F.lit(k * off))
+            shards.append(s)
+        big = shards[0]
+        for s in shards[1:]:
+            big = big.unionByName(s)
+        big.repartition(8).write.mode("overwrite").parquet(dst)
 
 
 def build_corpus(spark, scale: int) -> str:
-    """Materialize the Nx corpus dir (documents + embeddings parquet);
-    idempotent — returns immediately when both files already exist."""
+    """Materialize the Nx corpus dir: sharded documents/embeddings
+    (below), sharded facts (lineitem/orders/events — ids offset per
+    shard so join keys stay consistent; dates/values/dim foreign keys
+    verbatim, so dim join fan-out grows Nx per dim row, the
+    facts-outrun-dims warehouse shape), and verbatim-copied dimension
+    tables. Each group is idempotent on its own _SUCCESS markers."""
     from pyspark.sql import functions as F
 
     out_dir = os.path.join(BASE_DIR, f"x{scale}")
+    os.makedirs(out_dir, exist_ok=True)
+    _build_relational(spark, scale, out_dir)
     done = [
         os.path.join(out_dir, t, "_SUCCESS") for t in ("documents.parquet", "embeddings.parquet")
     ]
     if all(os.path.exists(p) for p in done):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
 
     docs = spark.read.parquet(os.path.join(SF1_DIR, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(SF1_DIR, "embeddings.parquet"))
@@ -226,7 +282,7 @@ def main() -> None:
         dirs[s] = SF1_DIR if s == 1 else build_corpus(spark, s)
         counts[s] = {
             t: spark.read.parquet(os.path.join(dirs[s], f"{t}.parquet")).count()
-            for t in ("documents", "embeddings")
+            for t in ("documents", "embeddings", "lineitem", "orders", "events")
         }
         print(f"scale x{s}: {dirs[s]} {counts[s]}", file=sys.stderr)
 
