@@ -349,7 +349,9 @@ def main() -> None:
             "shard 0 = sf0.1 verbatim; shard k offsets ids by k*1e7, "
             "suffixes words with xxhash64(word)%3==0 (shared/private "
             "vocabulary mix), perturbs embeddings by hash-derived "
-            "deltas in [-5e-3, 5e-3)"
+            "deltas in [-5e-3, 5e-3); facts (lineitem/orders/events) "
+            "shard with keys offset consistently on both join sides, "
+            "dimension tables copied verbatim (facts outrun dims)"
         ),
         "queries": results,
     }
