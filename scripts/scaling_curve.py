@@ -79,7 +79,23 @@ TARGETS = {
     # swarm_guard's uncapped proof arm is allowed up to 2.0)
     "dedup_lsh_swarm_guard": ("linear capped arm + quadratic uncapped proof arm", 2.0),
     "dedup_incremental_batch": ("linear (df-capped bucketed stages)", 1.0),
-    "dedup_directional_containment": ("linear (df-capped pair buckets)", 1.0),
+    # Exact pair counting over shared keys is inherently
+    # sum(min(df, cap)^2) over posting keys: QUADRATIC in posting
+    # depth while hot keys sit below the cap, corpus-linear (with a
+    # cap-sized constant) once they saturate. The synthetic corpus's
+    # shared vocabulary deepens df ~Nx and stays far below the 10k
+    # cap through x30, so this measurement window IS the quadratic
+    # regime — the r13 methodology fix (persist caches released
+    # between timed runs) surfaced it at a 1.23 leg where the earlier
+    # warm-cache runs had read 0.86. The cap is the production lever:
+    # it is a SIGNAL threshold (a shingle in >cap docs carries no
+    # near-dup signal), tuned down as corpora grow, and
+    # dedup_lsh_swarm_guard value-proves capped == uncapped output at
+    # test scale. Bound set to the honest worst case.
+    "dedup_directional_containment": (
+        "sum(min(df,cap)^2) pair buckets: quadratic below cap saturation, corpus-linear at the cap",
+        2.0,
+    ),
     "embed_pq_adc_topk": ("linear (scan + ADC + heap top-k)", 1.0),
     "contamination_bloom_prefilter": ("linear (broadcast Bloom over candidate grams)", 1.0),
     # r13 retrieval additions beyond the VERDICT-named five: the
@@ -113,13 +129,33 @@ def _build_relational(spark, scale: int, out_dir: str) -> None:
     """Facts sharded Nx (keys offset per shard: orderkey on both
     sides of the orders/lineitem join identically, event/user ids on
     events so the user population widens while per-user series stay
-    constant), dimensions copied verbatim."""
+    constant), dimensions copied verbatim.
+
+    Measurement-design caveat (stated, not hidden): leaving
+    l_partkey/l_suppkey/o_custkey verbatim means dim-keyed GROUP-KEY
+    CARDINALITY stays fixed while per-key counts grow Nx — a
+    best-case shape for aggregates whose cost is key-driven. The
+    events user population DOES widen (user_id offset per shard), so
+    the key-cardinality axis is exercised there."""
     from pyspark.sql import functions as F
 
+    from real_time_data_pipeline_spark.sources.tables import load_table
+
     for t in DIM_TABLES:
+        src = os.path.join(SF1_DIR, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
-        if not os.path.exists(dst):
-            shutil.copy(os.path.join(SF1_DIR, f"{t}.parquet"), dst)
+        if os.path.exists(dst):
+            continue
+        # copy-then-rename so an interrupted copy can never leave a
+        # truncated file that the exists() check would trust on rerun;
+        # directory-layout tables (Spark-written) copy recursively
+        tmp = dst + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(src):
+            shutil.copytree(src, tmp)
+        else:
+            shutil.copy(src, tmp)
+        os.rename(tmp, dst)
 
     fact_shift = {
         "orders": {"o_orderkey": ID_OFFSET},
@@ -130,7 +166,10 @@ def _build_relational(spark, scale: int, out_dir: str) -> None:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             continue
-        base = spark.read.parquet(os.path.join(SF1_DIR, f"{t}.parquet"))
+        # load_table, not a raw read: events.ts has shipped as
+        # TIMESTAMP(NANOS) in some rounds and only load_table sets the
+        # nanosAsLong conf + normalizes the column
+        base = load_table(spark, SF1_DIR, t)
         shards = [base]
         for k in range(1, scale):
             s = base
@@ -280,8 +319,10 @@ def main() -> None:
     counts: dict[int, dict[str, int]] = {}
     for s in scales:
         dirs[s] = SF1_DIR if s == 1 else build_corpus(spark, s)
+        from real_time_data_pipeline_spark.sources.tables import load_table
+
         counts[s] = {
-            t: spark.read.parquet(os.path.join(dirs[s], f"{t}.parquet")).count()
+            t: load_table(spark, dirs[s], t).count()
             for t in ("documents", "embeddings", "lineitem", "orders", "events")
         }
         print(f"scale x{s}: {dirs[s]} {counts[s]}", file=sys.stderr)
@@ -296,12 +337,21 @@ def main() -> None:
             # timed runs — the complexity claims are about steady-state
             # per-query work, and bench.py times the same way.
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # Transient persist_tracked caches are released BETWEEN
+            # timed runs (review finding): CacheManager dedups
+            # identical plans, so the warm run's cache would otherwise
+            # serve every timed run and the cached stage's corpus scan
+            # would never be measured — a superlinear regression there
+            # would be invisible. Shared ARTIFACTS stay warm by design
+            # (production index-build semantics); per-request transient
+            # caches do not survive requests in production either.
+            release_rank_caches()
             runs = []
             for _ in range(args.runs):
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
-            release_rank_caches()
+                release_rank_caches()
             per_scale[f"x{s}"] = round(sorted(runs)[len(runs) // 2], 3)
             print(f"{name} x{s}: {per_scale[f'x{s}']}s (runs: {[round(r,3) for r in runs]})", file=sys.stderr)
         lo, hi = scales[0], scales[-1]
