@@ -100,6 +100,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             print(f"warmup {t} failed: {exc}", file=sys.stderr)
 
+    from real_time_data_pipeline_spark.operators.materialize import release_caches
     from real_time_data_pipeline_spark.operators.ranking import release_rank_caches
 
     timings: dict[str, float] = {}
@@ -130,8 +131,12 @@ def main() -> None:
             errors[name] = str(exc).split("\n", 1)[0][:300]
         finally:
             # A 170-query session would otherwise accumulate one cached
-            # range shuffle per ranking-backed query (VERDICT r6 #1).
+            # range shuffle per ranking-backed query (VERDICT r6 #1),
+            # and one tracked persist per persist_tracked-bearing
+            # execution (ADVICE r13 #4) — drain both outside the timed
+            # window.
             release_rank_caches()
+            release_caches()
 
     families: dict[str, float] = {}
     for name, sec in timings.items():

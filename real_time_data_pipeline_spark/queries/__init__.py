@@ -47,44 +47,10 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # r12 entries (17-query inverted-index consumer-flip reachability
 # set + data_partition_zonemap + text_bm25_ranking) cleared after
 # CORRECTNESS_r12 confirmed all nineteen green.
-EDITED_THIS_ROUND: set = {
-    # r13: dense-retriever ranks on cosine ROUNDED to 6dp, both Spark
-    # and oracle sides (ADVICE r12 #1 — deterministic tie order by
-    # construction). rrf_fused consumers: this query plus the NEW
-    # retrieval_rerank_cosine (never-green, so it enters the window
-    # through the new-query tier rather than this set).
-    "retrieval_hybrid_rrf",
-    # r13: explicit F.broadcast on 1-row/constant crossJoin frames
-    # (VERDICT r12 #6 plan hygiene; values unchanged by construction,
-    # re-gated anyway per the window discipline).
-    "text_vocab_coverage_curve",
-    "funnel_conversion",
-    # r13: CENTROID_K_MAX seed cap on every stride-seeded index family
-    # (IVF / k-means / PQ) — the r13 scaling curve measured
-    # embed_pq_adc_topk's x3->x10 leg at exponent 1.31 against a
-    # documented linear bound; root cause was codebook size growing
-    # ~n/stride, making the assignment join quadratic. The cap is
-    # inactive at test scale (max vec_id 1999 << stride*256), so
-    # values are bit-identical — re-gated anyway. Reachability: every
-    # query whose plan seeds centroids/codebooks, directly or through
-    # the shared kmeans artifacts (measured from the call graph).
-    "embed_ann_ivf_kmeans_topk",
-    "embed_ann_ivf_topk",
-    "embed_ann_kmeans_recall",
-    "embed_ann_probe_sweep",
-    "embed_ann_recall",
-    "embed_centroid_label_purity",
-    "embed_ivf_list_imbalance",
-    "embed_pq_adc_topk",
-    "embed_semdedup_prune",
-    # r13: the market-basket self-join's shared distinct moved from
-    # checkpoint to persist_tracked (reuse-not-iteration doctrine,
-    # materialize.py module doc; the fact-table scaling run measured
-    # checkpoint-block accumulation inflating repeated 10x runs).
-    # Values identical by construction — re-gated anyway per the
-    # window discipline.
-    "join_market_basket_pairs",
-}
+# r13 entries (retrieval_hybrid_rrf, the broadcast-tidied pair, the
+# ten seed-cap reachable embed queries, join_market_basket_pairs)
+# cleared after CORRECTNESS_r13 confirmed all fourteen green.
+EDITED_THIS_ROUND: set = set()
 
 
 def _rotation_rank() -> "dict[str, tuple]":

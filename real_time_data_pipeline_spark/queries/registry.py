@@ -15,6 +15,7 @@ Contract (driver's __spark_entry__ protocol):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -46,8 +47,46 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def _with_cache_hygiene(fn: QueryFn) -> QueryFn:
+    """Drain the PREVIOUS query's tracked transient caches when the
+    next registry query is invoked (ADVICE r13 #4).
+
+    A few queries `persist_tracked` a frame reused by two branches of
+    their own plan (e.g. the market-basket corpus distinct). The
+    external driver consumes `queries()` raw and never calls
+    `release_caches`, so a long-lived driver session would otherwise
+    accumulate one disk-persisted block set per executed query (disk
+    blocks are not LRU-evicted). Wrapping each call in `cache_scope`
+    — the literal ADVICE suggestion — would unpersist on fn return,
+    BEFORE the caller's collect, so both consuming branches would
+    recompute the shared frame and the persist would be dead weight.
+    Instead each invocation releases whatever the previous invocation
+    left registered: at that point the caller has already consumed
+    (or abandoned) the previous result, and every oracle-checked
+    value is deterministic by doctrine, so a recompute after an early
+    release cannot change values — only cost. Accumulation is thereby
+    bounded at ONE query's transient caches regardless of caller
+    discipline. Shared index artifacts are unaffected: they are
+    checkpoint-materialized, never tracked persists
+    (artifacts.py module doc). Callers running un-scoped
+    `persist_tracked` users concurrently with registry queries must
+    wrap them in `cache_scope` (the existing doctrine for
+    foreachBatch bodies), which this drain cannot touch."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from real_time_data_pipeline_spark.operators.materialize import (
+            release_caches,
+        )
+
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: _with_cache_hygiene(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -96,6 +96,20 @@ TARGETS = {
         "sum(min(df,cap)^2) pair buckets: quadratic below cap saturation, corpus-linear at the cap",
         2.0,
     ),
+    # The capped/production regime of the same operator, measured
+    # separately (ADVICE r13 #2): relaxing the production query's gate
+    # to the honest quadratic bound above means a regression that made
+    # the df-CAPPED arm quadratic would pass unnoticed. This arm runs
+    # the identical plan with max_df=32 — small enough that the
+    # synthetic corpus's shared vocabulary saturates it already at 1x
+    # — so sum(min(df,32)^2) grows only with the number of posting
+    # keys: corpus-linear, gated tight. Not a registry query (the
+    # oracle-checked query keeps the production cap); fn supplied via
+    # EXTRA_FNS below.
+    "dedup_directional_containment_cap32": (
+        "corpus-linear: cap saturated at 1x, sum(min(df,32)^2) ~ #posting keys",
+        1.0,
+    ),
     "embed_pq_adc_topk": ("linear (scan + ADC + heap top-k)", 1.0),
     "contamination_bloom_prefilter": ("linear (broadcast Bloom over candidate grams)", 1.0),
     # r13 retrieval additions beyond the VERDICT-named five: the
@@ -123,6 +137,30 @@ TARGETS = {
 # Tables copied verbatim into every Nx dir (fixed-dimension posture);
 # facts are sharded like documents/embeddings.
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
+def _containment_cap32(spark, sf_dir):
+    """The production (cap-active) regime of directional containment:
+    identical plan to the registry query, max_df forced low enough to
+    saturate on this corpus — the tight-gated twin of the honest
+    quadratic bound on the uncapped-regime registry entry."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        directional_containment_pairs,
+    )
+    from real_time_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return directional_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9, max_df=32
+    )
+
+
+# Measurement-only variants that are NOT registry queries (the
+# registry keeps one oracle-checked production configuration; these
+# re-run the same operator under a different regime).
+EXTRA_FNS = {
+    "dedup_directional_containment_cap32": _containment_cap32,
+}
 
 
 def _build_relational(spark, scale: int, out_dir: str) -> None:
@@ -192,7 +230,28 @@ def build_corpus(spark, scale: int) -> str:
     from pyspark.sql import functions as F
 
     out_dir = os.path.join(BASE_DIR, f"x{scale}")
+    # Per-scale-dir stamp of the BASE dataset the shards derive from
+    # (ADVICE r13 #3): the per-table idempotency markers below never
+    # key on SPARK_GRAFT_SF_DIR, so pointing the harness at a
+    # different base would otherwise silently reuse stale shards and
+    # mix corpora within one measurement. A mismatched stamp rebuilds
+    # the scale dir from scratch.
+    stamp = os.path.join(out_dir, ".base_sf_dir")
+    if os.path.isdir(out_dir):
+        prev = None
+        if os.path.exists(stamp):
+            with open(stamp) as f:
+                prev = f.read().strip()
+        if prev != os.path.abspath(SF1_DIR):
+            print(
+                f"x{scale}: stale shards built from {prev!r}, "
+                f"rebuilding from {SF1_DIR}",
+                file=sys.stderr,
+            )
+            shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    with open(stamp, "w") as f:
+        f.write(os.path.abspath(SF1_DIR))
     _build_relational(spark, scale, out_dir)
     done = [
         os.path.join(out_dir, t, "_SUCCESS") for t in ("documents.parquet", "embeddings.parquet")
@@ -329,14 +388,14 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name, (bound_desc, bound_exp) in targets.items():
-        spec = REGISTRY[name]
+        fn = EXTRA_FNS[name] if name in EXTRA_FNS else REGISTRY[name].fn
         per_scale: dict[str, float] = {}
         for s in scales:
             sf_dir = dirs[s]
             # Warm run: artifact builds + JIT land here, outside the
             # timed runs — the complexity claims are about steady-state
             # per-query work, and bench.py times the same way.
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             # Transient persist_tracked caches are released BETWEEN
             # timed runs (review finding): CacheManager dedups
             # identical plans, so the warm run's cache would otherwise
@@ -349,7 +408,7 @@ def main() -> None:
             runs = []
             for _ in range(args.runs):
                 t0 = time.perf_counter()
-                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
                 release_rank_caches()
             per_scale[f"x{s}"] = round(sorted(runs)[len(runs) // 2], 3)

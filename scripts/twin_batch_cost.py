@@ -103,6 +103,18 @@ def measure_twin(
 
     total = frame.count()
     per = total // n_batches
+    # Guard the flatness gate against vacuous passes (ADVICE r13 #1):
+    # total < n_batches would make per == 0 and every batch empty, so
+    # near-zero merge times would sail through the gate while
+    # measuring nothing. The floor-division remainder (< n_batches
+    # rows) is deliberately dropped for equal-sized batches; its size
+    # is surfaced in the output JSON rather than silently eaten.
+    if per < 1:
+        raise SystemExit(
+            f"{twin}: corpus has {total} rows < {n_batches} batches — "
+            "every batch would be empty and the flatness gate vacuous"
+        )
+    dropped_remainder_rows = total % n_batches
     # Deterministic equal slices by id rank: batch k gets rows
     # [k*per, (k+1)*per). localCheckpoint each slice so slicing cost
     # (a window over the corpus) never pollutes the timed merge.
@@ -156,6 +168,7 @@ def measure_twin(
             "twin": twin,
             "batch_rows": per,
             "n_batches": n_batches,
+            "dropped_remainder_rows": dropped_remainder_rows,
             **_series_stats(times),
             "probe_reads_s": probe_reads,
             "compaction_s": round(compact_s, 3),

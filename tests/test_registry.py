@@ -121,3 +121,55 @@ def test_no_oracle_emits_hugeint_output_columns():
         f"float64 → external hash mismatch; wrap in CAST(... AS BIGINT)): "
         f"{offending}"
     )
+
+
+def test_queries_wrapper_drains_previous_transient_caches():
+    """The external-facing ``queries()`` mapping must bound tracked-
+    persist accumulation to ONE query's caches in a driver session
+    that never calls release_caches (ADVICE r13 #4): each invocation
+    drains what the previous invocation left in the global registry
+    before running."""
+    from real_time_data_pipeline_spark.operators import materialize
+    from real_time_data_pipeline_spark.queries import registry
+
+    class FakeFrame:
+        released = False
+
+        def unpersist(self, blocking=False):
+            self.released = True
+
+    leftover = FakeFrame()
+    with materialize._LOCK:
+        materialize._LIVE_CACHES.append(leftover)
+    ran = []
+    wrapped = registry._with_cache_hygiene(lambda spark, sf_dir: ran.append(1))
+    try:
+        wrapped(None, "unused")
+        assert leftover.released, "previous query's cache not drained"
+        assert ran == [1]
+    finally:
+        materialize.release_caches()  # leave the registry clean
+
+
+def test_queries_wrapper_does_not_touch_scoped_caches():
+    """The drain must never pop a concurrent cache_scope's frames —
+    foreachBatch bodies on other threads own their scoped caches."""
+    from real_time_data_pipeline_spark.operators import materialize
+    from real_time_data_pipeline_spark.queries import registry
+
+    class FakeFrame:
+        released = False
+
+        def persist(self):
+            return self
+
+        def unpersist(self, blocking=False):
+            self.released = True
+
+    scoped = FakeFrame()
+    wrapped = registry._with_cache_hygiene(lambda spark, sf_dir: None)
+    with materialize.cache_scope():
+        materialize.persist_tracked(scoped)
+        wrapped(None, "unused")
+        assert not scoped.released, "drain reached inside an open scope"
+    assert scoped.released  # the scope itself still releases on exit
