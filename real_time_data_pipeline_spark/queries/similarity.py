@@ -3391,3 +3391,231 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding",
         k=5, m_sub=4, sub_dim=16, stride=63, iters=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall AFTER INGEST (r14): ties the maintained-index twin machinery
+# to answer quality. The streaming pytest suite proves merge/commit
+# semantics (exactly-once, swap recovery, recall floor); this registry
+# query proves, under the EXTERNAL oracle, that an index built by N
+# incremental merges through the real sink path serves the same recall
+# as the one-shot batch build — the "chunked-replay parity" property
+# the twin design rests on (streaming/ivf_ingest.py:102-125), now
+# value-checked end to end at the gate.
+
+INGEST_RECALL_BATCHES = 4
+
+_INGEST_RECALL_ORACLE = """
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+      -- 7424 = 29 * CENTROID_K_MAX(256), mirroring stride_centroids
+      FROM embeddings WHERE vec_id % 29 = 0 AND vec_id < 7424
+    ), qz AS (
+      -- the state stores per-vector scalar-quantized codes
+      -- (quantize_embedding): lo + least(floor((x-lo)/scale),255)*scale
+      SELECT vec_id,
+             list_min(embedding::DOUBLE[]) AS lo,
+             (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0
+               AS scale,
+             embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), deq AS (
+      SELECT vec_id,
+             list_transform(v, x -> lo + least(CASE WHEN scale > 0
+                 THEN floor((x - lo) / scale) ELSE 0 END, 255) * scale) AS dv
+      FROM qz
+    ), assign AS (
+      -- raw-vector argmax assignment (assign_to_centroids); the
+      -- quantization above applies only to the STORED candidate
+      SELECT vec_id AS nid, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                          c.cent_id
+               ) AS rk
+        FROM embeddings e, cents c
+      ) WHERE rk = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS qemb, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                          c.cent_id
+               ) AS rk
+        FROM embeddings e, cents c WHERE e.vec_id < 10
+      ) WHERE rk <= 3
+    ), served AS (
+      -- exact cosine of the RAW query against DEQUANTIZED candidates,
+      -- exactly what ivf_probe_state computes from the committed state
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.nid AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(p.qemb::DOUBLE[], d.dv) DESC, a.nid
+               ) AS rk
+        FROM probes p
+          JOIN assign a ON p.cent_id = a.cent_id AND a.nid <> p.query_id
+          JOIN deq d ON d.vec_id = a.nid
+      ) WHERE rk <= 5
+    ), brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                          DESC, c.vec_id
+               ) AS rk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rk <= 5
+    )
+    SELECT b.query_id,
+           count(i.neighbor_id) AS n_hit,
+           count(*) AS k,
+           round(count(i.neighbor_id) * 1.0 / count(*), 6) AS recall_at_5
+    FROM brute b LEFT JOIN served i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+"""
+
+
+@query("embed_ann_recall_after_ingest", oracle=_INGEST_RECALL_ORACLE)
+def q_ann_recall_after_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the MAINTAINED IVF index after a 4-batch
+    incremental ingest, against the exact brute-force neighbors — the
+    answer-quality readout of the streaming index path, AS a query.
+
+    Unlike `embed_ann_recall` (one-shot batch index), this runs the
+    REAL maintenance machinery end to end: the corpus arrives in 4
+    deterministic batches (vec_id mod 4), each committed through
+    `merge_ivf_batch` (the exact foreachBatch body of
+    `ivf_ingest_sink`) into partitioned parquet state, and top-5 is
+    served FROM that state by `ivf_probe_state` (partition-pruned
+    probes, dequantized exact-cosine rerank). The oracle replays
+    assignment + scalar quantization + probing in SQL — so the
+    determinism claim the exactly-once design rests on ("the one-shot
+    build IS the per-batch function", streaming/ivf_ingest.py:102-125)
+    is externally value-checked, not just pytest-asserted.
+
+    Scale shape: each merge assigns ONE batch against broadcast
+    centroids (batch-sized work — the flatness `twin_batch_cost`
+    measures); the probe reads only nprobe lists per query via
+    partition pruning. The temp state dir is removed before return;
+    the tiny result frame is eagerly materialized first, so the
+    returned DataFrame never re-reads the deleted state."""
+    import shutil
+    import tempfile
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.streaming.ivf_ingest import (
+        ivf_probe_state,
+        merge_ivf_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = stride_centroids(emb, "vec_id", "embedding", stride=29)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    state = tempfile.mkdtemp(prefix="rtdp_ingest_recall_")
+    shutil.rmtree(state)  # merge_ivf_batch creates it
+    try:
+        for b in range(INGEST_RECALL_BATCHES):
+            merge_ivf_batch(
+                emb.where(F.pmod(F.col("vec_id"), F.lit(INGEST_RECALL_BATCHES)) == b),
+                state,
+                b,
+                centroids,
+            )
+        served = ivf_probe_state(
+            spark, state, queries_df, centroids, k=5, nprobe=3
+        ).select(F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n"))
+        brute = _brute_top5_shared(spark, sf_dir, emb)
+        joined = brute.join(
+            served,
+            (F.col("query_id") == F.col("__q"))
+            & (F.col("neighbor_id") == F.col("__n")),
+            "left",
+        )
+        out = joined.groupBy("query_id").agg(
+            F.count("__n").alias("n_hit"),
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.count("__n") / F.count(F.lit(1)), 6).alias("recall_at_5"),
+        )
+        # Eager, 10-row materialization BEFORE the finally deletes the
+        # state: localCheckpoint (not persist — persist is lazy and a
+        # tracked cache would be dropped by the registry drain before
+        # the driver collects).
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (r14): the per-source drill-down of
+# the dedup graph. dedup_cluster_quality audits WHICH clusters look
+# over-merged; this answers WHERE duplication comes from — which
+# source pairs share near-dup content (cc scraped from wiki, books
+# re-crawled as web …), the first table a curation reviewer asks for
+# when deciding per-source keep policies.
+
+_CROSS_SOURCE_ORACLE = _SHINGLE_CTES + _CAPPED_SH + f"""
+    , counts AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jp AS (
+      SELECT p.id_a, p.id_b,
+             round(p.inter * 1.0 / (ca.n + cb.n - p.inter), 6) AS j
+      FROM pairs p
+        JOIN counts ca ON p.id_a = ca.doc_id
+        JOIN counts cb ON p.id_b = cb.doc_id
+      WHERE p.inter * 1.0 / (ca.n + cb.n - p.inter) >= {JACCARD_THRESHOLD}
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(j.j), 6) AS mean_jaccard,
+           round(max(j.j), 6) AS max_jaccard
+    FROM jp j
+      JOIN documents da ON da.doc_id = j.id_a
+      JOIN documents db ON db.doc_id = j.id_b
+    GROUP BY 1, 2
+"""
+
+
+@query("dedup_cross_source_matrix", oracle=_CROSS_SOURCE_ORACLE)
+def q_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts between SOURCE pairs: for every unordered
+    (source_a, source_b) combination, how many verified Jaccard
+    near-dup pairs cross it (or stay inside it when a == b), with the
+    mean and max edge Jaccard. Within-source rows expose internal
+    redundancy (boilerplate, re-posts); cross-source rows expose
+    scrape-of-a-scrape contamination — the signal that decides which
+    source to keep when deduping at corpus level.
+
+    Scale shape: consumes the memoized dedup edge list (the shared
+    jaccard-pairs artifact — no new corpus scan), joins it twice to
+    the (doc_id, source) projection, and aggregates on a key bounded
+    by |sources|^2 — a dimension-sized output regardless of corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _jaccard_pairs_shared(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        j.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
