@@ -225,10 +225,75 @@ def measure_corpus_stats(spark, docs, n_batches: int) -> dict:
     )
 
 
+def measure_countmin(spark, docs, n_batches: int) -> dict:
+    """Marker-family representative (VERDICT r13 #5): the Count-Min
+    twin's state is FIXED-SIZE (depth x width cells, whole-frame
+    swap per merge), so per-batch cost should be the flattest of all
+    twins — the merge reads a constant-size cell table plus the
+    batch. Compaction is structurally a no-op (every merge already
+    rewrites the state as one compact frame); the timed compact_fn
+    is an identity to keep the post-compaction-merge point
+    comparable across twins."""
+    from real_time_data_pipeline_spark.streaming.countmin_ingest import (
+        heavy_hitters_estimate,
+        merge_countmin_batch,
+    )
+
+    probe_words = spark.createDataFrame(
+        [("the",), ("and",), ("data",), ("of",), ("to",)], "word string"
+    ).localCheckpoint()
+    return measure_twin(
+        "countmin_ingest",
+        docs,
+        "doc_id",
+        n_batches,
+        merge_fn=lambda b, s, i: merge_countmin_batch(b, s, i),
+        probe_fn=lambda s: heavy_hitters_estimate(
+            spark, s, probe_words
+        ).collect(),
+        compact_fn=lambda s: None,
+    )
+
+
+def measure_zonemap(spark, events, n_batches: int) -> dict:
+    """The composite zone-map twin (VERDICT r13 #5): TWO state
+    tables with different merge algebras committed per batch — the
+    marker-protected partition-stats swap (fixed partition grain)
+    plus the keyed (part_date, user_id) support upsert whose state
+    grows with distinct users. The upsert is the interesting arm:
+    last-writer-wins re-reads the stored key table each merge, so
+    this measurement bounds how that read grows over 40 batches.
+    Both state tables are whole-frame swaps — no fragment
+    accumulation, compaction is an identity."""
+    from real_time_data_pipeline_spark.streaming.zonemap_ingest import (
+        merge_zonemap_batch,
+        read_zonemap,
+    )
+
+    return measure_twin(
+        "zonemap_ingest",
+        events,
+        "event_id",
+        n_batches,
+        merge_fn=lambda b, s, i: merge_zonemap_batch(
+            b, os.path.join(s, "stats"), os.path.join(s, "users"), i
+        ),
+        probe_fn=lambda s: read_zonemap(
+            spark, os.path.join(s, "stats"), os.path.join(s, "users")
+        ).collect(),
+        compact_fn=lambda s: None,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=40)
     ap.add_argument("--out", default="docs/bench/twin_batch_cost_r13.json")
+    ap.add_argument(
+        "--twins",
+        default="ivf,corpus_stats,countmin,zonemap",
+        help="comma-separated subset of the measured twins",
+    )
     args = ap.parse_args()
     if args.batches < 10:
         # first5/last5 must not overlap or the gate is vacuously 1.0,
@@ -259,10 +324,19 @@ def main() -> None:
     emb = load_table(spark, src, "embeddings")
     docs = load_table(spark, src, "documents")
 
-    results = [
-        measure_ivf(spark, emb, args.batches),
-        measure_corpus_stats(spark, docs, args.batches),
-    ]
+    chosen = [t.strip() for t in args.twins.split(",") if t.strip()]
+    measurers = {
+        "ivf": lambda: measure_ivf(spark, emb, args.batches),
+        "corpus_stats": lambda: measure_corpus_stats(spark, docs, args.batches),
+        "countmin": lambda: measure_countmin(spark, docs, args.batches),
+        "zonemap": lambda: measure_zonemap(
+            spark, load_table(spark, src, "events"), args.batches
+        ),
+    }
+    unknown = [t for t in chosen if t not in measurers]
+    if unknown:
+        ap.error(f"unknown twins: {unknown}")
+    results = [measurers[t]() for t in chosen]
     out = {
         "metric": "twin_per_batch_cost",
         "source_dir": src,
