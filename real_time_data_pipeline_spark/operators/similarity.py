@@ -197,9 +197,20 @@ def jaccard_pairs(
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    # shuffle_hash on the COUNTS side (here and in the three sibling
+    # pair operators): without the hint Catalyst's static estimate
+    # picks the PAIR frame as a broadcast build side — a frame that
+    # grows with the corpus (quadratically in the uncapped regime),
+    # i.e. the one side that must never be broadcast. The r14
+    # cap-tradeoff harness caught it live: the 30x uncapped arm blew
+    # the driver's broadcast build where r13's capped 30x run had
+    # survived at the margin. With the hint both sides shuffle on the
+    # id key and the per-doc counts (uniform, row-per-doc) hash-build
+    # per partition — the plan that holds at 100 TB. Values
+    # unchanged; plan-audited in tests/test_plans.py.
     return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
+        inter.join(ca.hint("shuffle_hash"), "id_a")
+        .join(cb.hint("shuffle_hash"), "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -236,9 +247,11 @@ def containment_pairs(
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     cont = F.col("inter") / F.least("n_a", "n_b")
+    # shuffle_hash: never let the corpus-growing pair frame become a
+    # broadcast build side (rationale at jaccard_pairs)
     return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
+        inter.join(ca.hint("shuffle_hash"), "id_a")
+        .join(cb.hint("shuffle_hash"), "id_b")
         .where(cont >= threshold)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
@@ -278,7 +291,11 @@ def directional_containment_pairs(
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    scored = inter.join(ca, "id_a").join(cb, "id_b")
+    # shuffle_hash: never let the corpus-growing pair frame become a
+    # broadcast build side (rationale at jaccard_pairs)
+    scored = inter.join(ca.hint("shuffle_hash"), "id_a").join(
+        cb.hint("shuffle_hash"), "id_b"
+    )
     a_in_b = scored.where(F.col("inter") / F.col("n_a") >= threshold).select(
         F.col("id_a").alias("src_id"),
         F.col("id_b").alias("dst_id"),
@@ -1538,9 +1555,11 @@ def cross_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    # shuffle_hash: never let the corpus-growing pair frame become a
+    # broadcast build side (rationale at jaccard_pairs)
     return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
+        inter.join(ca.hint("shuffle_hash"), "id_a")
+        .join(cb.hint("shuffle_hash"), "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -50,7 +50,38 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # r13 entries (retrieval_hybrid_rrf, the broadcast-tidied pair, the
 # ten seed-cap reachable embed queries, join_market_basket_pairs)
 # cleared after CORRECTNESS_r13 confirmed all fourteen green.
-EDITED_THIS_ROUND: set = set()
+EDITED_THIS_ROUND: set = {
+    # r14: shuffle_hash hints on the counts side of the four
+    # inverted-index pair operators (jaccard / containment /
+    # directional containment / cross-jaccard) — the r14 cap-tradeoff
+    # harness caught Catalyst statically broadcasting the
+    # corpus-growing PAIR frame at 30x (driver broadcast-build OOM);
+    # the hinted plan shuffles on the id key and hash-builds the
+    # per-doc counts per partition. Values identical by construction
+    # (a join-strategy hint), re-gated anyway per the window
+    # discipline. Reachability: every query that calls one of the
+    # four operators directly or through the shared jaccard-pairs /
+    # cluster / uncapped-truth artifacts (measured from the call
+    # graph; the two NEW r14 queries also reach them but enter the
+    # window through the never-green tier instead).
+    "dedup_ngram_jaccard_pairs",
+    "dedup_directional_containment",
+    "dedup_containment_pairs",
+    "dedup_cluster_assignment",
+    "dedup_cluster_assignment_star",
+    "dedup_cluster_quality",
+    "dedup_keep_one",
+    "data_leakage_safe_split",
+    "dedup_incremental_batch",
+    "dedup_cluster_size_distribution",
+    "data_near_dup_split_leakage",
+    "dedup_threshold_sensitivity",
+    "corpus_effective_tokens_by_source",
+    "corpus_training_ready",
+    "corpus_cross_source_dup",
+    "dedup_minhash_estimate",
+    "dedup_lsh_candidate_efficiency",
+}
 
 
 def _rotation_rank() -> "dict[str, tuple]":

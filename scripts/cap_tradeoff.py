@@ -202,20 +202,26 @@ def main() -> None:
         app_name="rtdp-cap-tradeoff",
         master=f"local[{cpus}]",
         extra_conf={
-            "spark.driver.memory": os.environ.get("RTDP_SCALING_MEM", "16g")
+            "spark.driver.memory": os.environ.get("RTDP_SCALING_MEM", "16g"),
+            # Local-mode artifact: the driver doubles as the broadcast
+            # builder, and at 30x an AQE broadcast build of the
+            # post-cap per-doc counts tops the 1g default result cap.
+            # A cluster driver configures this; raising it here keeps
+            # the PLAN identical to production instead of disabling
+            # auto-broadcast for the measurement.
+            "spark.driver.maxResultSize": "8g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     results = {}
-    for s in scales:
-        sf_dir = SF1_DIR if s == 1 else build_corpus(spark, s)
-        print(f"== scale x{s}: {sf_dir}", file=sys.stderr)
-        results[f"x{s}"] = measure_scale(
-            spark, sf_dir, caps, args.runs, uncapped_reference=s not in skip_unc
-        )
-        print(json.dumps(results[f"x{s}"]["arms"], indent=1), file=sys.stderr)
-
+    # Resume-merge: a rerun for one scale (e.g. a bigger heap for 30x
+    # only) must not wipe the other scales' already-flushed results.
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        if prev.get("base_sf_dir") == SF1_DIR:
+            results.update(prev.get("scales", {}))
     out = {
         "metric": "cap_tradeoff",
         "operator": "directional_containment_pairs(threshold=0.9, n=3)",
@@ -223,11 +229,20 @@ def main() -> None:
         "production_cap": 50,
         "scales": results,
     }
-    print(json.dumps(out))
     if os.path.dirname(args.out):
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    for s in scales:
+        sf_dir = SF1_DIR if s == 1 else build_corpus(spark, s)
+        print(f"== scale x{s}: {sf_dir}", file=sys.stderr)
+        results[f"x{s}"] = measure_scale(
+            spark, sf_dir, caps, args.runs, uncapped_reference=s not in skip_unc
+        )
+        print(json.dumps(results[f"x{s}"]["arms"], indent=1), file=sys.stderr)
+        # flush after every scale: a crash at 30x must not lose the
+        # completed 10x measurement
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
     print(f"wrote {args.out}", file=sys.stderr)
 
 

@@ -82,16 +82,21 @@ TARGETS = {
     # Exact pair counting over shared keys is inherently
     # sum(min(df, cap)^2) over posting keys: QUADRATIC in posting
     # depth while hot keys sit below the cap, corpus-linear (with a
-    # cap-sized constant) once they saturate. The synthetic corpus's
-    # shared vocabulary deepens df ~Nx and stays far below the 10k
-    # cap through x30, so this measurement window IS the quadratic
-    # regime — the r13 methodology fix (persist caches released
-    # between timed runs) surfaced it at a 1.23 leg where the earlier
-    # warm-cache runs had read 0.86. The cap is the production lever:
-    # it is a SIGNAL threshold (a shingle in >cap docs carries no
-    # near-dup signal), tuned down as corpora grow, and
-    # dedup_lsh_swarm_guard value-proves capped == uncapped output at
-    # test scale. Bound set to the honest worst case.
+    # cap-sized constant) once they saturate. r14 correction to the
+    # r13 reading: the registry query's cap is JACCARD_MAX_DF=50 (not
+    # the operator's 10k default), and the HOTTEST shard-shared
+    # shingles already saturate it at 10x (1x max df 25 deepens ~Nx)
+    # — cap_tradeoff.py measures what that does to the answer. The
+    # BULK of the df mass stays below 50 through 30x, so the
+    # measured window is still dominated by the quadratic regime —
+    # the r13 methodology fix (persist caches released between timed
+    # runs) surfaced it at a 1.23 leg where the earlier warm-cache
+    # runs had read 0.86. The cap is the production lever: it is a
+    # SIGNAL threshold (a shingle in >cap docs carries no near-dup
+    # signal), tuned down as corpora grow; dedup_lsh_swarm_guard
+    # value-proves capped == uncapped output at test scale, and
+    # docs/bench/cap_tradeoff_r14.json measures the trade where the
+    # cap BINDS. Bound set to the honest worst case.
     "dedup_directional_containment": (
         "sum(min(df,cap)^2) pair buckets: quadratic below cap saturation, corpus-linear at the cap",
         2.0,

@@ -829,3 +829,32 @@ def test_ivf_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     part_filters = state_scan.split("PartitionFilters: [", 1)
     assert len(part_filters) == 2, state_scan
     assert "cent_id" in part_filters[1].split("]", 1)[0]
+
+
+def test_pair_operators_never_broadcast_the_pair_frame(spark, sf_dir):
+    """The inverted-index pair family must SHUFFLE its counts joins
+    (r14): Catalyst's static estimate had been picking the PAIR frame
+    — the one frame that grows with the corpus, quadratically in the
+    uncapped regime — as a broadcast build side, which blew the
+    driver's broadcast build at 30x in the cap-tradeoff harness. The
+    shuffle_hash hints pin ShuffledHashJoin with the per-doc counts
+    as the build side; no BroadcastExchange may appear anywhere in
+    these plans (the counts joins are their only joins)."""
+    from real_time_data_pipeline_spark.operators.similarity import (
+        containment_pairs,
+        directional_containment_pairs,
+        jaccard_pairs,
+    )
+    from real_time_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for op, n_joins in (
+        (jaccard_pairs, 2),
+        (containment_pairs, 2),
+        (directional_containment_pairs, 2),
+    ):
+        plan = _plan(op(docs, "doc_id", "text", n=3, max_df=50))
+        assert "BroadcastExchange" not in plan, f"{op.__name__}: {plan[:800]}"
+        assert plan.count("ShuffledHashJoin") >= n_joins, (
+            f"{op.__name__} lost its shuffled counts joins"
+        )
