@@ -116,6 +116,10 @@ TARGETS = {
         1.0,
     ),
     "embed_pq_adc_topk": ("linear (scan + ADC + heap top-k)", 1.0),
+    # r14: the heaviest embed driver cell of the r13 bench gets its
+    # own measured exponent (the seed cap fixed its codebook size, so
+    # assignment and probe work are corpus-linear by design).
+    "embed_ann_ivf_topk": ("linear (capped codebook assignment + probed-list scan + heap top-k)", 1.0),
     "contamination_bloom_prefilter": ("linear (broadcast Bloom over candidate grams)", 1.0),
     # r13 retrieval additions beyond the VERDICT-named five: the
     # hybrid fusion claims corpus-linear retrievers + corpus-free

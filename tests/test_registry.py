@@ -173,3 +173,26 @@ def test_queries_wrapper_does_not_touch_scoped_caches():
         wrapped(None, "unused")
         assert not scoped.released, "drain reached inside an open scope"
     assert scoped.released  # the scope itself still releases on exit
+
+
+def test_round_scale_gate_artifact_passed():
+    """The per-round scale gate (VERDICT r13 #4) is an invariant, not
+    stale JSON: the newest committed docs/bench/round_gate_r*.json
+    must exist and record passed=true — re-run
+    `python scripts/round_scale_gate.py --tag rNN` after touching any
+    gated operator."""
+    import glob
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    arts = sorted(
+        glob.glob(str(root / "docs" / "bench" / "round_gate_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    arts = [p for p in arts if re.search(r"_r\d+\.json$", p)]
+    assert arts, "no committed round_gate artifact — run scripts/round_scale_gate.py"
+    with open(arts[-1]) as f:
+        gate = json.load(f)
+    assert gate["passed"], f"{arts[-1]} records failures: {gate['failures']}"
