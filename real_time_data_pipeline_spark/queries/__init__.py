@@ -62,8 +62,8 @@ EDITED_THIS_ROUND: set = {
     # discipline. Reachability: every query that calls one of the
     # four operators directly or through the shared jaccard-pairs /
     # cluster / uncapped-truth artifacts (measured from the call
-    # graph; the two NEW r14 queries also reach them but enter the
-    # window through the never-green tier instead).
+    # graph; the NEW r14 dedup_cross_source_matrix also reaches them
+    # but enters the window through the never-green tier instead).
     "dedup_ngram_jaccard_pairs",
     "dedup_directional_containment",
     "dedup_containment_pairs",
