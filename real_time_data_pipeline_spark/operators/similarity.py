@@ -1486,6 +1486,43 @@ def winnowing_pairs(
     )
 
 
+def shared_gram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_shared: int = 2,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Pairs sharing >= ``min_shared`` distinct word ``n``-grams — the
+    exact long-substring overlap signal (boilerplate headers, quoted
+    passages, templated spans) next to Jaccard/winnowing near-dup.
+
+    Same inverted-index core as the rest of the pair family
+    (`_bucketed_pair_counts`): one shuffle on the gram builds the
+    buckets, ``max_df`` drops hot grams, pairs expand in-row inside
+    buckets. Introduced r14 to REPLACE a raw postings self-join whose
+    build side Catalyst chose to BROADCAST (an ExistingRDD with no
+    stats — the corpus-token-sized postings frame as a broadcast
+    relation, instant death at scale; the same hazard class the
+    cap-tradeoff harness caught in the counts joins). The bucket form
+    is value-identical, one shuffle cheaper, and needs no
+    materialization at all.
+
+    Output: (id_a, id_b, n_shared_grams) with id_a < id_b.
+    """
+    inter, _ = _bucketed_pair_counts(
+        shingle_postings(df, id_col, text_col, n),
+        id_col,
+        "shingle",
+        max_df,
+        with_counts=False,  # no denominators -> no persist, pure one-pass
+    )
+    return inter.withColumnRenamed("inter", "n_shared_grams").where(
+        F.col("n_shared_grams") >= min_shared
+    )
+
+
 def cross_jaccard_pairs(
     left: DataFrame,
     right: DataFrame,

@@ -81,6 +81,11 @@ EDITED_THIS_ROUND: set = {
     "corpus_cross_source_dup",
     "dedup_minhash_estimate",
     "dedup_lsh_candidate_efficiency",
+    # r14: rewritten onto the shared _bucketed_pair_counts core
+    # (shared_gram_pairs) after a 10x plan sweep found its raw
+    # postings self-join BROADCASTING the corpus-sized postings frame
+    # (ExistingRDD, no stats). Values identical; plan now join-free.
+    "dedup_exact_substring_pairs",
 }
 
 

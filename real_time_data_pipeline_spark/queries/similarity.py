@@ -1764,30 +1764,26 @@ def q_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-level cutting, not whole-doc dropping.
 
     Scale shape: same inverted-index discipline as the Jaccard
-    family — distinct postings (in-row dedup before the explode), a
-    df cap on hot grams (the OOM guard for templated corpora), and
-    pair counts aggregated from gram-bucket joins. Nothing is
-    quadratic in the corpus; the per-gram fan-out is bounded by the
-    cap.
+    family — since r14 literally the same core
+    (`shared_gram_pairs` -> `_bucketed_pair_counts`): one shuffle on
+    the gram, df cap on hot grams, in-row pair expansion inside
+    buckets. The previous implementation self-joined the raw postings
+    on the gram key and Catalyst chose to BROADCAST one whole side
+    (an ExistingRDD with no stats = the corpus-token-sized postings
+    frame as a broadcast relation) — the same static-broadcast hazard
+    class the r14 cap-tradeoff harness caught in the counts joins,
+    found here by sweeping heavy-query plans at 10x. The bucket form
+    is value-identical, one shuffle cheaper, and drops the
+    materialization entirely.
     """
     docs = load_table(spark, sf_dir, "documents")
-    from real_time_data_pipeline_spark.operators.similarity import shingle_postings
+    from real_time_data_pipeline_spark.operators.similarity import (
+        shared_gram_pairs,
+    )
 
-    grams = shingle_postings(docs, "doc_id", "text", SUBSTR_N).withColumnRenamed(
-        "shingle", "g"
-    )
-    keep = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= SUBSTR_MAX_DF
-    )
-    capped = grams.join(keep.select("g"), "g").transform(reliable_materialize)
-    a = capped.withColumnRenamed("doc_id", "id_a")
-    b = capped.withColumnRenamed("doc_id", "id_b")
-    return (
-        a.join(b, "g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
-        .where(F.col("n_shared_grams") >= SUBSTR_MIN_SHARED)
+    return shared_gram_pairs(
+        docs, "doc_id", "text",
+        n=SUBSTR_N, min_shared=SUBSTR_MIN_SHARED, max_df=SUBSTR_MAX_DF,
     )
 
 

@@ -1142,7 +1142,19 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     -log2 p(word). Outlier docs (gibberish: high; boilerplate loops:
     low) are what perplexity filtering removes before training.
     One token pass materialized once feeds both the model build and
-    the scoring join; the corpus-total is a 1-row broadcast."""
+    the scoring join; the corpus-total is a 1-row broadcast.
+
+    Known scale trade (stated after the r14 broadcast sweep, NOT
+    changed — this query is a frozen family canary and its plan must
+    stay fixed): the scoring join broadcasts the unigram LM `freq`,
+    which is VOCABULARY-grain. Whitespace-token vocabularies grow
+    sublinearly (Heaps' law) and a unigram LM table of even 10M words
+    broadcasts fine, but a 100 TB web corpus with unbounded junk
+    tokens can push it past broadcast range — the deployment lever is
+    a min-count floor on the LM (standard practice: rare words get a
+    smoothed floor probability), which caps the broadcast at the
+    vocabulary head. The equivalent shuffle-join form needs no code
+    change beyond a shuffle_hash hint on `freq`."""
     from real_time_data_pipeline_spark.operators.similarity import _fan_out
 
     docs = load_table(spark, sf_dir, "documents")

@@ -858,3 +858,13 @@ def test_pair_operators_never_broadcast_the_pair_frame(spark, sf_dir):
         assert plan.count("ShuffledHashJoin") >= n_joins, (
             f"{op.__name__} lost its shuffled counts joins"
         )
+    # shared_gram_pairs (r14): the rewrite that REMOVED a corpus-sized
+    # postings broadcast must stay join-free — bucket build + in-row
+    # expansion only.
+    from real_time_data_pipeline_spark.operators.similarity import (
+        shared_gram_pairs,
+    )
+
+    plan = _plan(shared_gram_pairs(docs, "doc_id", "text", n=8))
+    assert "BroadcastExchange" not in plan, plan[:800]
+    assert "Join" not in plan, f"shared_gram_pairs grew a join: {plan[:800]}"
