@@ -86,6 +86,12 @@ EDITED_THIS_ROUND: set = {
     # postings self-join BROADCASTING the corpus-sized postings frame
     # (ExistingRDD, no stats). Values identical; plan now join-free.
     "dedup_exact_substring_pairs",
+    # r14: same sweep, same hazard class, same fix (shuffle_hash on a
+    # join whose stats-less side the static planner would broadcast
+    # at any true size): the vocabulary-grain df table in tfidf and
+    # the doc-grain novelty rollup. Values identical (plan hints).
+    "text_tfidf_top_terms",
+    "text_trigram_novelty_by_source",
 }
 
 

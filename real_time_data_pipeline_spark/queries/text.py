@@ -1291,9 +1291,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (source, word) shuffle for tf, a word-keyed agg
     for df (vocabulary-sized, zipf-bounded — orders of magnitude
     smaller than the corpus), the source count as a 1-row broadcast,
-    and a heap top-50. The word join broadcasts when the vocab is
-    small and degrades to a hash join on the word key when it is not;
-    neither path touches raw text twice.
+    and a heap top-50. The word join is PINNED shuffle_hash (r14):
+    the materialized `tf` is an ExistingRDD with no stats, so the
+    static planner would broadcast the vocabulary-grain df table at
+    ANY true vocabulary size — the hint makes the degrade-at-scale
+    claim true by construction, and AQE still converts to broadcast
+    at runtime when the measured size is genuinely small. Neither
+    path touches raw text twice.
     """
     from real_time_data_pipeline_spark.operators.similarity import _fan_out
 
@@ -1308,7 +1312,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     nsrc = tf.agg(F.count_distinct("source").alias("n"))
     scored = (
-        tf.join(dfreq, "word")
+        tf.join(dfreq.hint("shuffle_hash"), "word")
         .crossJoin(F.broadcast(nsrc))
         .select(
             "source",
@@ -2954,7 +2958,12 @@ def q_text_trigram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     then joins the doc→source dimension and reduces to ≤|sources|
     groups. Nothing quadratic, nothing collected; ratios divide by
     each source's shingle mass (≥ 1 by construction of the group) —
-    no ANSI guard needed.
+    no ANSI guard needed. The doc→source join is pinned shuffle_hash
+    (r14): `per_doc` aggregates the checkpointed (stats-less)
+    attribution artifact, so the static planner would broadcast the
+    DOC-GRAIN rollup at any true corpus size; with the hint both
+    doc-grain sides shuffle on doc_id (AQE may still broadcast at
+    runtime off real sizes).
     """
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     per_doc = (
@@ -2968,7 +2977,7 @@ def q_text_trigram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return (
-        per_doc.join(src, "doc_id")
+        per_doc.join(src.hint("shuffle_hash"), "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
