@@ -74,20 +74,58 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return out
 
 
-def release_caches(blocking: bool = False) -> int:
+def _is_materialized(df: DataFrame) -> bool:
+    """Best-effort probe: have ``df``'s cached column buffers been
+    built (i.e. has at least one action run through the cache)?
+
+    Uses the CacheManager entry's ``isCachedColumnBuffersLoaded`` (a
+    stable field since Spark 3.1, verified against the pinned PySpark
+    by tests/test_materialize_hygiene.py). Returns True — "safe to
+    drain" — when the cache entry is already gone (unpersist would be
+    a no-op) or the probe itself fails (degrades to the pre-r15
+    always-drain behavior rather than to unbounded accumulation)."""
+    try:
+        jss = df.sparkSession._jsparkSession
+        entry = jss.sharedState().cacheManager().lookupCachedData(df._jdf)
+        if not entry.isDefined():
+            return True
+        return bool(
+            entry.get().cachedRepresentation().cacheBuilder().isCachedColumnBuffersLoaded()
+        )
+    except Exception:  # pragma: no cover — py4j internals shifted
+        return True
+
+
+def release_caches(blocking: bool = False, materialized_only: bool = False) -> int:
     """Unpersist every tracked cache; returns how many were released.
     Long-lived sessions call this between requests (bench and the
     parity suite do, per query). Only call after the consumers of the
-    cached frames have run their final action."""
+    cached frames have run their final action.
+
+    ``materialized_only=True`` (the registry hygiene drain) skips —
+    and re-registers for a later drain — any cache whose buffers have
+    never been built: unpersisting a never-materialized ranking
+    persist de-canonicalizes its count/rank branches onto independent
+    range exchanges and silently corrupts global offsets (ranking.py
+    module doc; ADVICE r14 #1). A never-materialized persist holds no
+    blocks, so skipping it costs nothing; it is drained by the next
+    call after its consumer's first action."""
     with _LOCK:
         drained, _LIVE_CACHES[:] = _LIVE_CACHES[:], []
+    kept: "list[DataFrame]" = []
     n = 0
     for df in drained:
+        if materialized_only and not _is_materialized(df):
+            kept.append(df)
+            continue
         try:
             df.unpersist(blocking=blocking)
             n += 1
         except Exception:  # pragma: no cover — session already stopped
             pass
+    if kept:
+        with _LOCK:
+            _LIVE_CACHES.extend(kept)
     return n
 
 

@@ -50,48 +50,19 @@ from real_time_data_pipeline_spark.queries import (  # noqa: E402,F401
 # r13 entries (retrieval_hybrid_rrf, the broadcast-tidied pair, the
 # ten seed-cap reachable embed queries, join_market_basket_pairs)
 # cleared after CORRECTNESS_r13 confirmed all fourteen green.
+# r14 entries (the 17-query shuffle_hash reachability set + the
+# substring rewrite + the tfidf/novelty pins) cleared after
+# CORRECTNESS_r14 confirmed all twenty green — freeing the r15 window
+# for the graph family's rotation debt (VERDICT r14 #1: all 8 graph
+# queries' last external green is r9) plus the oldest r10 cohort.
 EDITED_THIS_ROUND: set = {
-    # r14: shuffle_hash hints on the counts side of the four
-    # inverted-index pair operators (jaccard / containment /
-    # directional containment / cross-jaccard) — the r14 cap-tradeoff
-    # harness caught Catalyst statically broadcasting the
-    # corpus-growing PAIR frame at 30x (driver broadcast-build OOM);
-    # the hinted plan shuffles on the id key and hash-builds the
-    # per-doc counts per partition. Values identical by construction
-    # (a join-strategy hint), re-gated anyway per the window
-    # discipline. Reachability: every query that calls one of the
-    # four operators directly or through the shared jaccard-pairs /
-    # cluster / uncapped-truth artifacts (measured from the call
-    # graph; the NEW r14 dedup_cross_source_matrix also reaches them
-    # but enters the window through the never-green tier instead).
-    "dedup_ngram_jaccard_pairs",
-    "dedup_directional_containment",
-    "dedup_containment_pairs",
-    "dedup_cluster_assignment",
-    "dedup_cluster_assignment_star",
-    "dedup_cluster_quality",
-    "dedup_keep_one",
-    "data_leakage_safe_split",
-    "dedup_incremental_batch",
-    "dedup_cluster_size_distribution",
-    "data_near_dup_split_leakage",
-    "dedup_threshold_sensitivity",
-    "corpus_effective_tokens_by_source",
-    "corpus_training_ready",
-    "corpus_cross_source_dup",
-    "dedup_minhash_estimate",
-    "dedup_lsh_candidate_efficiency",
-    # r14: rewritten onto the shared _bucketed_pair_counts core
-    # (shared_gram_pairs) after a 10x plan sweep found its raw
-    # postings self-join BROADCASTING the corpus-sized postings frame
-    # (ExistingRDD, no stats). Values identical; plan now join-free.
-    "dedup_exact_substring_pairs",
-    # r14: same sweep, same hazard class, same fix (shuffle_hash on a
-    # join whose stats-less side the static planner would broadcast
-    # at any true size): the vocabulary-grain df table in tfidf and
-    # the doc-grain novelty rollup. Values identical (plan hints).
-    "text_tfidf_top_terms",
-    "text_trigram_novelty_by_source",
+    # r15: the 4-batch ingest state moved from a per-invocation
+    # driver-local tempdir to a session-shared artifact rooted under
+    # the reliable checkpoint dir (ADVICE r14 #3 cluster correctness
+    # + VERDICT r14 #4 cost attribution). Values identical by the
+    # merge determinism argument (frozen centroids, exact-cosine
+    # argmax, per-vector quantization); re-gated per the discipline.
+    "embed_ann_recall_after_ingest",
 }
 
 

@@ -61,17 +61,31 @@ def _with_cache_hygiene(fn: QueryFn) -> QueryFn:
     BEFORE the caller's collect, so both consuming branches would
     recompute the shared frame and the persist would be dead weight.
     Instead each invocation releases whatever the previous invocation
-    left registered: at that point the caller has already consumed
-    (or abandoned) the previous result, and every oracle-checked
-    value is deterministic by doctrine, so a recompute after an early
-    release cannot change values — only cost. Accumulation is thereby
-    bounded at ONE query's transient caches regardless of caller
-    discipline. Shared index artifacts are unaffected: they are
-    checkpoint-materialized, never tracked persists
-    (artifacts.py module doc). Callers running un-scoped
-    `persist_tracked` users concurrently with registry queries must
-    wrap them in `cache_scope` (the existing doctrine for
-    foreachBatch bodies), which this drain cannot touch."""
+    left registered — but only caches whose buffers have actually been
+    BUILT (``release_caches(materialized_only=True)``). The guard
+    matters for correctness, not just cost: the ranking helpers
+    persist a range-shuffled frame precisely to canonicalize their
+    count/rank branches onto ONE exchange, and unpersisting it before
+    its first action de-canonicalizes the branches and silently
+    corrupts global offsets (ranking.py module doc). So a caller that
+    builds query B's frame before collecting query A's keeps A's
+    not-yet-materialized persists intact; they are drained by a later
+    invocation once consumed. For already-materialized caches a
+    recompute after release can only change cost, never values (every
+    oracle-checked value is deterministic by doctrine). Accumulation
+    stays bounded at the uncollected queries' transient caches —
+    ONE query's in the sequential driver. Shared index artifacts are
+    unaffected: they are checkpoint-materialized, never tracked
+    persists (artifacts.py module doc).
+
+    Preconditions (unchanged but now explicit): registry queries on a
+    given SparkSession must be invoked from ONE thread — the drain and
+    the materialization probe are process-global and are not safe
+    against a sibling registry query collecting concurrently. Callers
+    running un-scoped `persist_tracked` users concurrently with
+    registry queries must wrap them in `cache_scope` (the existing
+    doctrine for foreachBatch bodies), which this drain cannot
+    touch."""
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,7 +93,7 @@ def _with_cache_hygiene(fn: QueryFn) -> QueryFn:
             release_caches,
         )
 
-        release_caches()
+        release_caches(materialized_only=True)
         return fn(spark, sf_dir)
 
     return wrapped

@@ -285,6 +285,124 @@ def measure_zonemap(spark, events, n_batches: int) -> dict:
     )
 
 
+def measure_hll(spark, docs, n_batches: int) -> dict:
+    """Marker-family sketch twin (VERDICT r14 #3): FIXED-size state
+    (2^p register maxima + marker row), whole-frame swap per merge —
+    per-batch cost must be flat because the stored side of the
+    max-merge is bounded by the register count, never the corpus."""
+    from real_time_data_pipeline_spark.streaming.hll_ingest import (
+        hll_estimate,
+        merge_hll_batch,
+    )
+
+    return measure_twin(
+        "hll_ingest",
+        docs,
+        "doc_id",
+        n_batches,
+        merge_fn=lambda b, s, i: merge_hll_batch(b, s, i),
+        probe_fn=lambda s: hll_estimate(spark, s),
+        compact_fn=lambda s: None,
+    )
+
+
+def measure_histogram(spark, events, n_batches: int) -> dict:
+    """Marker-family sketch twin: state bounded by the bucket
+    function's range (≤ ~17k cells for all positive doubles), additive
+    sum-merge, whole-frame swap. Probe = the quantile serve path."""
+    from real_time_data_pipeline_spark.streaming.histogram_ingest import (
+        merge_histogram_batch,
+        quantile_estimates_of,
+        read_histogram,
+    )
+
+    return measure_twin(
+        "histogram_ingest",
+        events,
+        "event_id",
+        n_batches,
+        merge_fn=lambda b, s, i: merge_histogram_batch(b, s, i),
+        probe_fn=lambda s: quantile_estimates_of(
+            read_histogram(spark, s), [0.5, 0.95, 0.99]
+        ).collect(),
+        compact_fn=lambda s: None,
+    )
+
+
+def measure_bloom(spark, docs, n_batches: int) -> dict:
+    """Marker-family sketch twin: the lit-position set union. State is
+    bounded by the filter's bit count (positions saturate, never
+    corpus-grain), so the stored side of the distinct-union stays
+    bounded; the per-batch cost is dominated by the batch's own
+    shingling. Probe = a state read of the committed positions."""
+    from real_time_data_pipeline_spark.streaming.bloom_ingest import (
+        merge_bloom_batch,
+        read_bloom,
+    )
+
+    return measure_twin(
+        "bloom_ingest",
+        docs,
+        "doc_id",
+        n_batches,
+        merge_fn=lambda b, s, i: merge_bloom_batch(b, s, i),
+        probe_fn=lambda s: read_bloom(spark, s).count(),
+        compact_fn=lambda s: None,
+    )
+
+
+def measure_retention(spark, events, n_batches: int) -> dict:
+    """Keyed-upsert twin, the zonemap users arm's algebra on TWO
+    tables: first_seen min-merge pulls only the batch's own users
+    (left_semi — merge frame stays batch-sized) and activity is a
+    keyed idempotent upsert. Both state tables are DIMENSION-grain
+    (users; user×week), so the whole-table swap the unpartitioned
+    upsert performs is bounded by the user population, not the event
+    volume — the claim this measurement prices. Probe = the cohort
+    retention-matrix serve path."""
+    from real_time_data_pipeline_spark.streaming.retention_ingest import (
+        merge_retention_batch,
+        retention_matrix,
+    )
+
+    return measure_twin(
+        "retention_ingest",
+        events.select("event_id", "user_id", "ts"),
+        "event_id",
+        n_batches,
+        merge_fn=lambda b, s, i: merge_retention_batch(
+            b.select("user_id", "ts"), s
+        ),
+        probe_fn=lambda s: retention_matrix(spark, s).collect(),
+        compact_fn=lambda s: None,
+    )
+
+
+def measure_dedup(spark, docs, n_batches: int) -> dict:
+    """The incremental-dedup ingest twin: within-batch keep-one, then
+    exact-hash + LSH-band probes that read ONLY the bucket partitions
+    the batch's own keys map to (partition-pruned), then keyed
+    idempotent upserts of the accepted docs. Per-batch cost should be
+    batch-sized + O(touched buckets); the accepted-corpus table grows
+    but is never re-read whole by a merge. Probe = accepted-corpus
+    count (the downstream consumer's first action)."""
+    from real_time_data_pipeline_spark.streaming.dedup_ingest import (
+        ingest_batch,
+    )
+
+    return measure_twin(
+        "dedup_ingest",
+        docs.select("doc_id", "text"),
+        "doc_id",
+        n_batches,
+        merge_fn=lambda b, s, i: ingest_batch(
+            b, "doc_id", "text", os.path.join(s, "corpus"), os.path.join(s, "store")
+        ),
+        probe_fn=lambda s: spark.read.parquet(os.path.join(s, "corpus")).count(),
+        compact_fn=lambda s: None,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=40)
@@ -332,6 +450,15 @@ def main() -> None:
         "zonemap": lambda: measure_zonemap(
             spark, load_table(spark, src, "events"), args.batches
         ),
+        "hll": lambda: measure_hll(spark, docs, args.batches),
+        "histogram": lambda: measure_histogram(
+            spark, load_table(spark, src, "events"), args.batches
+        ),
+        "bloom": lambda: measure_bloom(spark, docs, args.batches),
+        "retention": lambda: measure_retention(
+            spark, load_table(spark, src, "events"), args.batches
+        ),
+        "dedup": lambda: measure_dedup(spark, docs, args.batches),
     }
     unknown = [t for t in chosen if t not in measurers]
     if unknown:

@@ -175,6 +175,52 @@ def test_queries_wrapper_does_not_touch_scoped_caches():
     assert scoped.released  # the scope itself still releases on exit
 
 
+def test_hygiene_drain_skips_unmaterialized_persists(spark):
+    """ADVICE r14 #1: the registry drain must not unpersist a cache
+    whose buffers were never built — e.g. a ranking persist created by
+    query A when the caller invokes query B before collecting A
+    (unpersisting it would de-canonicalize the count/rank branches,
+    ranking.py module doc). The not-yet-materialized persist survives
+    the drain and is released by a later call once consumed."""
+    from real_time_data_pipeline_spark.operators import materialize
+
+    materialize.release_caches()  # start from a clean registry
+    lazy = materialize.persist_tracked(
+        spark.range(100).selectExpr("id", "id % 7 AS k")
+    )
+    assert not materialize._is_materialized(lazy)
+    assert materialize.release_caches(materialized_only=True) == 0
+    with materialize._LOCK:
+        assert any(df is lazy for df in materialize._LIVE_CACHES), (
+            "skipped cache must be re-registered for a later drain"
+        )
+    lazy.count()
+    assert materialize._is_materialized(lazy)
+    assert materialize.release_caches(materialized_only=True) == 1
+
+
+def test_interleaved_registry_ranking_stays_exact(spark):
+    """End-to-end shape of the ADVICE r14 #1 hazard: build query A's
+    ranking frame, run the hygiene wrapper (as invoking query B does),
+    THEN collect A — global row numbers must still be exact, i.e. the
+    drain left A's canonicalizing range-exchange persist in place."""
+    from real_time_data_pipeline_spark.operators import materialize
+    from real_time_data_pipeline_spark.operators.ranking import global_row_number
+    from real_time_data_pipeline_spark.queries import registry
+
+    materialize.release_caches()
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST((id * 2654435761) % 1000003 AS BIGINT) AS v"
+    )
+    ranked = global_row_number(df, ["v", "id"], rn_col="rn", num_partitions=8)
+    wrapped = registry._with_cache_hygiene(lambda s, d: None)
+    wrapped(None, "unused")  # drain fires between A's build and A's collect
+    rows = ranked.orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 1001))
+    vals = [r["v"] for r in rows]
+    assert vals == sorted(vals)
+
+
 def test_round_scale_gate_artifact_passed():
     """The per-round scale gate (VERDICT r13 #4) is an invariant, not
     stale JSON: the newest committed docs/bench/round_gate_r*.json
@@ -187,11 +233,16 @@ def test_round_scale_gate_artifact_passed():
     from pathlib import Path
 
     root = Path(__file__).resolve().parent.parent
-    arts = sorted(
-        glob.glob(str(root / "docs" / "bench" / "round_gate_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
-    )
-    arts = [p for p in arts if re.search(r"_r\d+\.json$", p)]
+    # Filter to the canonical _rNN.json shape BEFORE applying the
+    # numeric sort key: a sibling like round_gate_r14_retry.json would
+    # otherwise make re.search return None and crash the key fn
+    # (ADVICE r14 #2).
+    arts = [
+        p
+        for p in glob.glob(str(root / "docs" / "bench" / "round_gate_r*.json"))
+        if re.search(r"_r(\d+)\.json$", p)
+    ]
+    arts.sort(key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
     assert arts, "no committed round_gate artifact — run scripts/round_scale_gate.py"
     with open(arts[-1]) as f:
         gate = json.load(f)
