@@ -141,6 +141,23 @@ TARGETS = {
     "graph_pagerank_trade": ("linear edge derivation + fixed nation-grain iterations", 1.0),
     "data_profile_events": ("linear (one scan, one aggregate; exact distincts shuffle row-linear)", 1.0),
     "data_psi_drift": ("linear (range-shuffle deciles, broadcast edges, 10-key aggregate)", 1.0),
+    # r15 (VERDICT r14 #2): the three queries whose plans changed in
+    # the last two r14 commits AFTER that round's recorded sweep —
+    # measured rows for the superseded entries, and standing targets
+    # from here on.
+    "dedup_exact_substring_pairs": (
+        "sum(min(df,cap)^2) pair buckets (shared_gram_pairs core): "
+        "quadratic below cap saturation, corpus-linear at the cap",
+        2.0,
+    ),
+    "text_tfidf_top_terms": (
+        "linear (postings aggregate + shuffle_hash vocabulary-grain df join, heap top-k)",
+        1.0,
+    ),
+    "text_trigram_novelty_by_source": (
+        "linear (postings-sized first-owner attribution + shuffle_hash doc-grain rollup join)",
+        1.0,
+    ),
 }
 
 # Tables copied verbatim into every Nx dir (fixed-dimension posture);

@@ -831,6 +831,44 @@ def test_ivf_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert "cent_id" in part_filters[1].split("]", 1)[0]
 
 
+def test_ivfpq_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The ninth twin's serve path (r15 registry query
+    embed_pq_ann_recall_after_ingest): same partition-pruning
+    contract as the IVF probe — the maintained-state scan reads only
+    the probed cent_id partitions — and the ADC distance-table join
+    must be a broadcast (the table is queries × m_sub × k_codes,
+    bounded by construction), never a shuffle of the pruned lists."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        stride_centroids,
+    )
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.ivfpq_ingest import (
+        ivfpq_probe_state,
+        merge_ivfpq_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = stride_centroids(emb, "vec_id", "embedding").localCheckpoint()
+    books = pq_codebooks(emb, "vec_id", "embedding").localCheckpoint()
+    state = str(tmp_path / "ivfpq_prune_state")
+    merge_ivfpq_batch(emb, state, 0, cents, books)
+    queries = emb.where(F.col("vec_id") < 3)
+    plan = _plan(
+        ivfpq_probe_state(spark, state, queries, cents, books, k=3, nprobe=2)
+    )
+    scans = [
+        seg for seg in plan.split("FileScan parquet")[1:] if "cent_id" in seg
+    ]
+    assert scans, plan
+    part_filters = scans[0].split("PartitionFilters: [", 1)
+    assert len(part_filters) == 2, scans[0]
+    assert "cent_id" in part_filters[1].split("]", 1)[0]
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_pair_operators_never_broadcast_the_pair_frame(spark, sf_dir):
     """The inverted-index pair family must SHUFFLE its counts joins
     (r14): Catalyst's static estimate had been picking the PAIR frame
