@@ -63,6 +63,12 @@ EDITED_THIS_ROUND: set = {
     # merge determinism argument (frozen centroids, exact-cosine
     # argmax, per-vector quantization); re-gated per the discipline.
     "embed_ann_recall_after_ingest",
+    # r15: the 3-iteration loop body moved verbatim into the shared
+    # `_pagerank_ranks` program so the new maintained-state twin query
+    # serves the identical PageRank (plan-identical extraction; it was
+    # already in the window via its r9-stale tier). Re-gated per the
+    # discipline.
+    "graph_pagerank_trade",
 }
 
 

@@ -146,34 +146,25 @@ _PAGERANK_ORACLE = (
 )
 
 
-@query("graph_pagerank_trade", oracle=_PAGERANK_ORACLE)
-def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the supplier-nation → customer-nation trade
-    graph (edge weight = revenue share of the source's exports),
-    3 fixed power iterations with uniform dangling-mass
-    redistribution — the canonical iterative algorithm expressed as a
-    join-per-iteration DataFrame loop.
+def _pagerank_ranks(edges: DataFrame) -> DataFrame:
+    """The one PageRank program: 3 fixed power iterations with
+    uniform dangling-mass redistribution over a normalized edge list
+    (src, dst, p), returning (nation, pagerank) rounded 6dp. Shared
+    by the batch query (float revenue weights) and the
+    maintained-state query (exact cents weights), so their parity
+    holds by construction of everything except the edge source.
 
-    Scale shape: the 5-way star join lives in the session-shared
-    `_trade_flows_shared` artifact (built once per corpus snapshot,
-    reliably materialized, consumed by every nation-graph query); the
-    normalized edge list derived from it is `persist_tracked`
-    (lineage kept, so an executor loss RECOMPUTES instead of failing
-    — the r7 durability fix; released per query by the cache
-    registry). The rank
-    vector's lineage is re-truncated via `reliable_materialize`
-    (durable checkpoint when a dir is set) EVERY iteration — each step
-    references the previous vector twice, so an untruncated loop
+    Scale shape: the edge list is `persist_tracked` (lineage kept, so
+    an executor loss RECOMPUTES instead of failing — the r7
+    durability fix; released per query by the cache registry). The
+    rank vector's lineage is re-truncated via `reliable_materialize`
+    (durable checkpoint when a dir is set) EVERY iteration — each
+    step references the previous vector twice, so an untruncated loop
     doubles the plan per iteration. Each iteration is ONE shuffle
-    join of
-    edges against the rank vector keyed on src, an aggregate keyed on
-    dst, and two 1-row broadcast scalars (node count, dangling mass).
-    Nothing is ever collected; the same loop runs on a billion-edge
-    graph."""
-    flows = _trade_flows_shared(spark, sf_dir).select("src", "dst", "w")
-    edges = flows.withColumn(
-        "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
-    ).select("src", "dst", "p")
+    join of edges against the rank vector keyed on src, an aggregate
+    keyed on dst, and two 1-row broadcast scalars (node count,
+    dangling mass). Nothing is ever collected; the same loop runs on
+    a billion-edge graph."""
     edges = persist_tracked(edges)
     nodes = (
         edges.select(F.col("src").alias("name"))
@@ -220,6 +211,143 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("name").alias("nation"), F.round("r", 6).alias("pagerank")
     )
+
+
+@query("graph_pagerank_trade", oracle=_PAGERANK_ORACLE)
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier-nation → customer-nation trade
+    graph (edge weight = revenue share of the source's exports) — the
+    canonical iterative algorithm expressed as a join-per-iteration
+    DataFrame loop (`_pagerank_ranks`, where the scale/durability
+    notes live).
+
+    Scale shape: the 5-way star join lives in the session-shared
+    `_trade_flows_shared` artifact (built once per corpus snapshot,
+    reliably materialized, consumed by every nation-graph query)."""
+    flows = _trade_flows_shared(spark, sf_dir).select("src", "dst", "w")
+    edges = flows.withColumn(
+        "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
+    ).select("src", "dst", "p")
+    return _pagerank_ranks(edges)
+
+
+# The maintained-state mirror recomputes the SAME fixed-iteration
+# program from scratch in SQL, with the flows CTE on exact integer
+# cents (per-row round, then sum — the k-core oracle's expression):
+# the maintained edge state sums the per-batch cents deltas, and
+# integer addition is associative, so state == this CTE to the cent.
+_PAGERANK_INGEST_ORACLE = (
+    """
+    WITH flows AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS w
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT src, dst, w * 1.0 / sum(w) OVER (PARTITION BY src) AS p FROM flows
+    ), nodes AS (
+      SELECT src AS name FROM flows UNION SELECT dst FROM flows
+    ), nn AS (SELECT count(*) AS n FROM nodes),
+    srcs AS (SELECT DISTINCT src FROM flows),
+    r0 AS (SELECT name, 1.0 / n AS r FROM nodes CROSS JOIN nn)
+    """
+    + "".join(_PAGERANK_ITER.format(k=k, k1=k + 1) for k in range(N_ITER))
+    + f"""
+    SELECT name AS nation, round(r, 6) AS pagerank FROM r{N_ITER}
+    """
+)
+
+INGEST_BATCHES = 4
+
+
+def _graph_ingest_state_shared(spark: SparkSession, sf_dir: str) -> str:
+    """State path of the incrementally-maintained trade-flow edge
+    list: the fact table arrives in 4 deterministic batches
+    (l_orderkey mod 4), each committed through
+    `merge_trade_flows_batch` (the exact foreachBatch body of
+    `trade_flow_ingest_sink`) into bucketed parquet state. Built ONCE
+    per (session, sf_dir) via the shared-artifact memo — the build is
+    an INDEX BUILD and is priced as one (seconds visible in
+    `shared_artifact_build_breakdown()` under ``graph_ingest_state``).
+    Sharing cannot change values: each batch's delta is a pure
+    deterministic function of the batch (exact integer cents), and
+    the state is immutable once batch 3 commits. Directory placement
+    and lifecycle: `_recall_state_root` (shared FS on a real cluster,
+    tempdir only in single-JVM local mode)."""
+    from real_time_data_pipeline_spark.queries.similarity import (
+        _recall_state_root,
+    )
+    from real_time_data_pipeline_spark.streaming.graph_ingest import (
+        merge_trade_flows_batch,
+    )
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        supp = load_table(spark, sf_dir, "supplier")
+        nation = load_table(spark, sf_dir, "nation")
+        state = _recall_state_root(spark, sf_dir, "rtdp_graph_ingest")
+        for b in range(INGEST_BATCHES):
+            merge_trade_flows_batch(
+                li.where(
+                    F.pmod(F.col("l_orderkey"), F.lit(INGEST_BATCHES)) == b
+                ),
+                orders,
+                cust,
+                supp,
+                nation,
+                state,
+                b,
+            )
+        return spark.createDataFrame([(state,)], "state_path string")
+
+    marker = _shared_artifact(spark, sf_dir, "graph_ingest_state", build)
+    return marker.first()["state_path"]
+
+
+@query("graph_pagerank_after_ingest", oracle=_PAGERANK_INGEST_ORACLE)
+def q_pagerank_after_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank served from the MAINTAINED trade-flow edge list after
+    a 4-batch incremental ingest — the graph family's incremental
+    twin, answer-quality-checked AS a query (the pattern
+    `embed_ann_recall_after_ingest` set for the vector indexes).
+
+    Unlike `graph_pagerank_trade` (one-shot batch edge list), this
+    runs the REAL maintenance machinery end to end: lineitem arrives
+    in 4 deterministic batches (l_orderkey mod 4), each committed
+    through `merge_trade_flows_batch` into hash-bucketed parquet
+    state (exact integer cents, pure addition — any chunking sums to
+    the one-shot edge list), and PageRank is served FROM that state
+    by the same `_pagerank_ranks` program the batch query runs. The
+    oracle recomputes flows + 3 power iterations from the full fact
+    table in SQL — so the twin's determinism claim ("the one-shot
+    build IS the per-batch function", streaming/graph_ingest.py) is
+    externally value-checked, not just pytest-asserted.
+
+    Scale shape: each merge is one batch-sized star join collapsing
+    to ≤|V|² delta rows before the write (per-batch cost batch-sized,
+    never table-sized); the state build is priced as an index build
+    via the shared-artifact memo, so the per-invocation cost is the
+    serve path — an edge-grain state read plus the |V|-sized
+    iteration loop."""
+    from real_time_data_pipeline_spark.streaming.graph_ingest import (
+        read_trade_flows,
+    )
+
+    state = _graph_ingest_state_shared(spark, sf_dir)
+    flows = read_trade_flows(spark, state)
+    edges = flows.withColumn(
+        "p",
+        F.col("w_cents") / F.sum("w_cents").over(Window.partitionBy("src")),
+    ).select("src", "dst", "p")
+    return _pagerank_ranks(edges)
 
 
 _EDGES_SQL = """

@@ -431,6 +431,44 @@ def measure_dedup(spark, docs, n_batches: int) -> dict:
     return out
 
 
+def measure_graph_flows(spark, src: str, n_batches: int) -> dict:
+    """Graph-family edge-list twin (r15): additive exact-cents merge
+    into (bkt, src_batch) partitions at EDGE grain — per-batch cost
+    is the batch-sized star join collapsing to ≤|V|² delta rows
+    before the write, so the series must be flat like the other
+    additive twins (the state side of the merge is never read).
+    Probe = the maintained edge-list read the PageRank serve path
+    starts from. The post-compaction merge's id-shifted batch
+    join-misses the dimension tables by construction (orphan order
+    keys) — the timed work is the same batch-sized star join, with an
+    empty delta landing."""
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.graph_ingest import (
+        compact_trade_flows,
+        merge_trade_flows_batch,
+        read_trade_flows,
+    )
+
+    li = load_table(spark, src, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, src, "orders")
+    cust = load_table(spark, src, "customer")
+    supp = load_table(spark, src, "supplier")
+    nation = load_table(spark, src, "nation")
+    return measure_twin(
+        "graph_ingest",
+        li,
+        "l_orderkey",
+        n_batches,
+        merge_fn=lambda b, s, i: merge_trade_flows_batch(
+            b, orders, cust, supp, nation, s, i
+        ),
+        probe_fn=lambda s: read_trade_flows(spark, s).collect(),
+        compact_fn=lambda s: compact_trade_flows(spark, s),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=40)
@@ -505,6 +543,7 @@ def main() -> None:
             spark, load_table(spark, src, "events"), args.batches
         ),
         "dedup": lambda: measure_dedup(spark, docs, args.batches),
+        "graph": lambda: measure_graph_flows(spark, src, args.batches),
     }
     unknown = [t for t in chosen if t not in measurers]
     if unknown:

@@ -906,3 +906,29 @@ def test_pair_operators_never_broadcast_the_pair_frame(spark, sf_dir):
     plan = _plan(shared_gram_pairs(docs, "doc_id", "text", n=8))
     assert "BroadcastExchange" not in plan, plan[:800]
     assert "Join" not in plan, f"shared_gram_pairs grew a join: {plan[:800]}"
+
+
+def test_trade_flow_increments_collapse_before_write(spark, sf_dir):
+    """The graph twin's per-batch scale claim
+    (streaming/graph_ingest.py): a fact batch of ANY size collapses
+    to edge grain (≤|V|² rows) through map-side partial aggregation
+    before the state write — per-batch cost is the batch-sized star
+    join, never a fact-grain write — with the nation dimension frames
+    joined broadcast and no nested-loop/cartesian shape anywhere."""
+    from real_time_data_pipeline_spark.streaming.graph_ingest import (
+        trade_flow_increments,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    inc = trade_flow_increments(li, orders, cust, supp, nation)
+    plan = _plan(inc)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # edge-grain collapse happens map-side before the exchange
+    assert "partial_sum" in plan, plan
+    # both nation frames are broadcast builds
+    assert plan.count("BroadcastHashJoin") >= 2, plan

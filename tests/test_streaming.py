@@ -2899,3 +2899,140 @@ def test_corpus_stats_ingest_sink_end_to_end(spark, tmp_path):
     }
     w = one.where(F.col("term").isNull()).collect()[0]
     assert _corpus_stats_cells(spark, state) == (want_terms, (w.df, w.tf))
+
+
+def _flow_cells(spark, state):
+    from real_time_data_pipeline_spark.streaming.graph_ingest import (
+        read_trade_flows,
+    )
+
+    return {
+        (r.src, r.dst, r.w_cents)
+        for r in read_trade_flows(spark, state).collect()
+    }
+
+
+def test_trade_flow_ingest_parity_retry_reset_serve_compaction(
+    spark, tmp_path
+):
+    """Graph-family twin — the maintained trade-flow edge list every
+    nation-graph query derives from: addition on exact integer cents
+    is associative/commutative, so replaying lineitem in any chunking
+    sums to the one-shot edge list EXACTLY; a foreachBatch retry
+    replaces its own (bkt, src_batch) delta partitions; a checkpoint
+    reset fails loudly; the ADDITIVE compaction folds the deltas to
+    edge-set size while preserving cells and the reset guard; and
+    PageRank served from the maintained state reproduces the same
+    program over the one-shot edge list row-for-row."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+
+    from real_time_data_pipeline_spark.queries.graph import _pagerank_ranks
+    from real_time_data_pipeline_spark.streaming.graph_ingest import (
+        compact_trade_flows,
+        merge_trade_flows_batch,
+        read_trade_flows,
+        trade_flows_build,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    state = str(tmp_path / "gf_state")
+    chunks = [li.where(F.pmod("l_orderkey", F.lit(3)) == i) for i in range(3)]
+    for i, ch in enumerate(chunks):
+        assert (
+            merge_trade_flows_batch(ch, orders, cust, supp, nation, state, i)
+            is True
+        )
+
+    one = trade_flows_build(li, orders, cust, supp, nation)
+    want = {(r.src, r.dst, r.w_cents) for r in one.collect()}
+    assert _flow_cells(spark, state) == want
+    assert len(want) > 0
+
+    # retry of the newest batch: delta partitions REPLACED, cells stable
+    assert (
+        merge_trade_flows_batch(chunks[2], orders, cust, supp, nation, state, 2)
+        is True
+    )
+    assert _flow_cells(spark, state) == want
+
+    # checkpoint reset: loud failure through the shared guard
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_trade_flows_batch(chunks[0], orders, cust, supp, nation, state, 0)
+
+    # PageRank from maintained state == the same program over the
+    # one-shot edge list (exact-integer weights on both sides)
+    def ranks(flows):
+        edges = flows.withColumn(
+            "p",
+            F.col("w_cents")
+            / F.sum("w_cents").over(Window.partitionBy("src")),
+        ).select("src", "dst", "p")
+        return sorted(tuple(r) for r in _pagerank_ranks(edges).collect())
+
+    got_pr = ranks(read_trade_flows(spark, state))
+    want_pr = ranks(one.select("src", "dst", "w_cents"))
+    assert got_pr == want_pr and len(want_pr) > 0
+
+    # additive compaction: cells identical, guard preserved, a
+    # post-compaction same-id redelivery of the folded newest batch
+    # raises instead of double-counting, and a new live batch lands
+    compact_trade_flows(spark, state)
+    assert _flow_cells(spark, state) == want
+    with _pytest.raises(ValueError, match="checkpoint/state mismatch"):
+        merge_trade_flows_batch(chunks[0], orders, cust, supp, nation, state, 1)
+    with _pytest.raises(ValueError, match="compacted away"):
+        merge_trade_flows_batch(chunks[2], orders, cust, supp, nation, state, 2)
+    assert _flow_cells(spark, state) == want
+    assert (
+        merge_trade_flows_batch(
+            chunks[0].limit(0), orders, cust, supp, nation, state, 5
+        )
+        is True
+    )
+
+
+def test_trade_flow_ingest_sink_end_to_end(spark, tmp_path):
+    """The foreachBatch sink drains a lineitem file-replay and leaves
+    the same summed edge list as the one-shot batch build."""
+    import os as _os
+
+    from real_time_data_pipeline_spark.streaming.graph_ingest import (
+        trade_flow_ingest_sink,
+        trade_flows_build,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    d = str(tmp_path / "li_drops")
+    _os.makedirs(d)
+    for i in range(2):
+        li.where(F.pmod("l_orderkey", F.lit(2)) == i).coalesce(1).write.parquet(
+            _os.path.join(d, f"drop{i}")
+        )
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(d, "*"))
+    )
+    state = str(tmp_path / "gf_sink_state")
+    q = trade_flow_ingest_sink(
+        stream, orders, cust, supp, nation, state, str(tmp_path / "gf_ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    one = trade_flows_build(li, orders, cust, supp, nation)
+    assert _flow_cells(spark, state) == {
+        (r.src, r.dst, r.w_cents) for r in one.collect()
+    }
