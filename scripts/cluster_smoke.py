@@ -44,6 +44,7 @@ DEFAULT_QUERIES = [
     "tpch_q3_shipping_priority",
     "window_rank_distribution",
     "graph_pagerank_trade",
+    "graph_pagerank_after_ingest",
     "dedup_minhash_lsh_pairs",
     "embed_ann_brute_topk",
 ]
@@ -707,6 +708,69 @@ def _corpusstats_ingest_smoke(spark) -> str:
     )
 
 
+def _graph_ingest_smoke(spark) -> str:
+    """Incremental trade-flow edge-list maintenance on the real
+    cluster (r15, eleventh twin): lineitem is replayed as a 3-file
+    stream through the foreachBatch additive-cents commit across
+    separate executor JVMs; the summed edge list must be
+    cell-identical to the one-shot batch build, and PageRank served
+    from the maintained state must equal the same program over the
+    one-shot edge list row-for-row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_spark.queries.graph import _pagerank_ranks
+    from real_time_data_pipeline_spark.sources.tables import load_table
+    from real_time_data_pipeline_spark.streaming.graph_ingest import (
+        read_trade_flows,
+        trade_flow_ingest_sink,
+        trade_flows_build,
+    )
+    from real_time_data_pipeline_spark.streaming.sources import file_stream
+
+    work = tempfile.mkdtemp(prefix="rtdp-smoke-graph-")
+    replay, state, ck = f"{work}/replay", f"{work}/state", f"{work}/ck"
+    os.makedirs(replay)
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    supp = load_table(spark, SF_DIR, "supplier")
+    nation = load_table(spark, SF_DIR, "nation")
+    for i in range(3):
+        li.where(F.pmod("l_orderkey", F.lit(3)) == i).coalesce(1).write.parquet(
+            os.path.join(replay, f"b{i}.parquet")
+        )
+    stream = file_stream(
+        spark, f"{replay}/*", li.schema, max_files_per_trigger=1
+    )
+    q = trade_flow_ingest_sink(stream, orders, cust, supp, nation, state, ck)
+    q.processAllAvailable()
+    q.stop()
+
+    one = trade_flows_build(li, orders, cust, supp, nation)
+    want = {(r.src, r.dst, r.w_cents) for r in one.collect()}
+    got = {
+        (r.src, r.dst, r.w_cents)
+        for r in read_trade_flows(spark, state).collect()
+    }
+    assert got == want and len(got) > 0, "edge list != batch build"
+
+    def ranks(flows):
+        edges = flows.withColumn(
+            "p",
+            F.col("w_cents")
+            / F.sum("w_cents").over(Window.partitionBy("src")),
+        ).select("src", "dst", "p")
+        return sorted(tuple(r) for r in _pagerank_ranks(edges).collect())
+
+    got_pr = ranks(read_trade_flows(spark, state))
+    want_pr = ranks(one.select("src", "dst", "w_cents"))
+    assert got_pr == want_pr and len(got_pr) > 0, "pagerank from state != one-shot"
+    return f"edge parity ({len(got)} edges) + pagerank parity ({len(got_pr)} nations)"
+
+
 def _hybrid_ivf_smoke(spark) -> str:
     """Fully-maintained hybrid retrieval on the real cluster (r13,
     VERDICT r12 #5): lexical ranks served from the corpus-stats state,
@@ -1098,6 +1162,7 @@ def main() -> int:
             ("ivf_ingest", _ivf_ingest_smoke),
             ("ivfpq_ingest", _ivfpq_ingest_smoke),
             ("corpusstats_ingest", _corpusstats_ingest_smoke),
+            ("graph_ingest", _graph_ingest_smoke),
             ("hybrid_rrf_ivf", _hybrid_ivf_smoke),
         ]
         for label, phase_fn in phases:
