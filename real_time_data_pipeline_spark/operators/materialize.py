@@ -80,7 +80,8 @@ def _is_materialized(df: DataFrame) -> bool:
 
     Uses the CacheManager entry's ``isCachedColumnBuffersLoaded`` (a
     stable field since Spark 3.1, verified against the pinned PySpark
-    by tests/test_materialize_hygiene.py). Returns True — "safe to
+    by tests/test_registry.py::
+    test_hygiene_drain_skips_unmaterialized_persists). Returns True — "safe to
     drain" — when the cache entry is already gone (unpersist would be
     a no-op) or the probe itself fails (degrades to the pre-r15
     always-drain behavior rather than to unbounded accumulation)."""

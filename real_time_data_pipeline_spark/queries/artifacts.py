@@ -76,6 +76,49 @@ def _best_effort_delete_dir(spark, path: str) -> None:
         pass
 
 
+def ingest_state_root(spark, sf_dir: str, prefix: str) -> str:
+    """A cleared directory for a maintained-index state build, rooted
+    under the session's RELIABLE checkpoint dir when one is
+    configured: on a real cluster that is shared storage every
+    executor can read, whereas a ``tempfile.mkdtemp`` path is
+    driver-local — executors would write ``file:`` partitions to
+    their own disks and probes on other nodes would see partial state
+    (ADVICE r14 #3). The fallback to a driver tempdir is exactly
+    `reliable_materialize`'s local-mode fallback: in a single JVM,
+    driver-local IS executor-local.
+
+    The directory tag is derived from the FULL ``sf_dir`` string (the
+    same string `_shared_artifact` memoizes on): basename for
+    readability plus an 8-hex hash of the whole path, so two corpora
+    with the same basename (``/a/sf1`` and ``/b/sf1``) in one session
+    can never share — and clear — each other's state (r15 review;
+    basename-only keying cross-contaminated exactly that way).
+
+    Lifecycle: the per-app checkpoint dir is UUID-unique (so no
+    cross-session collision) and dead-app eviction above deletes it
+    wholesale; the local-mode tempdir is one small directory per
+    process, freed by the OS temp policy. A stale dir from a cleared
+    memo (executor-loss recovery) would trip the checkpoint-reset
+    guard when batch 0 replays, so the target is cleared before
+    return. Lives here, beside `_shared_artifact` and the delete
+    helper, so the similarity and graph families share one placement
+    policy without cross-family private imports (r15 review)."""
+    import hashlib
+    import re as _re
+    import tempfile
+
+    norm = sf_dir.rstrip("/")
+    tag = _re.sub(r"[^A-Za-z0-9._-]", "_", norm.rsplit("/", 1)[-1])
+    digest = hashlib.sha1(norm.encode()).hexdigest()[:8]
+    ckpt = spark.sparkContext.getCheckpointDir()
+    if ckpt is not None:
+        state = ckpt.rstrip("/") + f"/{prefix}_{tag}_{digest}"
+    else:
+        state = tempfile.mkdtemp(prefix=f"{prefix}_{tag}_{digest}_")
+    _best_effort_delete_dir(spark, state)
+    return state
+
+
 def _shared_artifact(spark, sf_dir, what, build):
     app = spark.sparkContext.applicationId
     key = (app, sf_dir, what)

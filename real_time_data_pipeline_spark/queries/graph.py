@@ -278,10 +278,10 @@ def _graph_ingest_state_shared(spark: SparkSession, sf_dir: str) -> str:
     Sharing cannot change values: each batch's delta is a pure
     deterministic function of the batch (exact integer cents), and
     the state is immutable once batch 3 commits. Directory placement
-    and lifecycle: `_recall_state_root` (shared FS on a real cluster,
+    and lifecycle: `artifacts.ingest_state_root` (shared FS on a real cluster,
     tempdir only in single-JVM local mode)."""
-    from real_time_data_pipeline_spark.queries.similarity import (
-        _recall_state_root,
+    from real_time_data_pipeline_spark.queries.artifacts import (
+        ingest_state_root,
     )
     from real_time_data_pipeline_spark.streaming.graph_ingest import (
         merge_trade_flows_batch,
@@ -293,7 +293,7 @@ def _graph_ingest_state_shared(spark: SparkSession, sf_dir: str) -> str:
         cust = load_table(spark, sf_dir, "customer")
         supp = load_table(spark, sf_dir, "supplier")
         nation = load_table(spark, sf_dir, "nation")
-        state = _recall_state_root(spark, sf_dir, "rtdp_graph_ingest")
+        state = ingest_state_root(spark, sf_dir, "rtdp_graph_ingest")
         for b in range(INGEST_BATCHES):
             merge_trade_flows_batch(
                 li.where(

@@ -76,7 +76,13 @@ def _with_cache_hygiene(fn: QueryFn) -> QueryFn:
     stays bounded at the uncollected queries' transient caches —
     ONE query's in the sequential driver. Shared index artifacts are
     unaffected: they are checkpoint-materialized, never tracked
-    persists (artifacts.py module doc).
+    persists (artifacts.py module doc). Residual (explicit, r15
+    review): a result ABANDONED without ever running an action keeps
+    its unmaterialized persists registered forever — no registry code
+    path releases them. A long-lived service with abandon-on-error
+    paths must wrap registry calls in `cache_scope` or call
+    `release_caches()` (full drain) at its own safe points; the
+    sequential driver always collects, so it never hits this.
 
     Preconditions (unchanged but now explicit): registry queries on a
     given SparkSession must be invoked from ONE thread — the drain and

@@ -323,6 +323,7 @@ from real_time_data_pipeline_spark.queries.artifacts import (  # noqa: F401
     _SHARED_ARTIFACTS,
     _shared_artifact,
     clear_shared_artifacts,
+    ingest_state_root,
 )
 
 
@@ -343,6 +344,30 @@ def _brute_top5_shared(spark, sf_dir, emb):
         lambda: ann_brute_topk(
             emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding", k=5
         ).select("query_id", "neighbor_id"),
+    )
+
+
+def _recall_vs_brute(brute: DataFrame, served: DataFrame) -> DataFrame:
+    """recall@5 of a served top-k against the brute-force ground
+    truth: left-join brute's (query_id, neighbor_id) pairs to the
+    served pairs and count hits per query. Used by the ingest-recall
+    twins (r15 review: this block had been copied verbatim four
+    times; the two r13/r14-green ANN recall queries keep their
+    in-place copies until their next natural rotation window so this
+    round's edit set stays light — migrate them here then)."""
+    served = served.select(
+        F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
+    )
+    joined = brute.join(
+        served,
+        (F.col("query_id") == F.col("__q"))
+        & (F.col("neighbor_id") == F.col("__n")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("__n").alias("n_hit"),
+        F.count(F.lit(1)).alias("k"),
+        F.round(F.count("__n") / F.count(F.lit(1)), 6).alias("recall_at_5"),
     )
 
 
@@ -3477,41 +3502,6 @@ _INGEST_RECALL_ORACLE = """
 """
 
 
-def _recall_state_root(spark: SparkSession, sf_dir: str, prefix: str) -> str:
-    """A cleared directory for a maintained-index state build, rooted
-    under the session's RELIABLE checkpoint dir when one is
-    configured: on a real cluster that is shared storage every
-    executor can read, whereas a ``tempfile.mkdtemp`` path is
-    driver-local — executors would write ``file:`` partitions to
-    their own disks and probes on other nodes would see partial state
-    (ADVICE r14 #3). The fallback to a driver tempdir is exactly
-    `reliable_materialize`'s local-mode fallback: in a single JVM,
-    driver-local IS executor-local. Lifecycle: the per-app checkpoint
-    dir is UUID-unique (so no cross-session collision) and dead-app
-    eviction in queries/artifacts.py deletes it wholesale; the
-    local-mode tempdir is one small directory per process, freed by
-    the OS temp policy. A stale dir from a cleared memo
-    (executor-loss recovery) would trip the checkpoint-reset guard
-    when batch 0 replays, so the target is cleared before return."""
-    import re as _re
-    import tempfile
-
-    from real_time_data_pipeline_spark.queries.artifacts import (
-        _best_effort_delete_dir,
-    )
-
-    ckpt = spark.sparkContext.getCheckpointDir()
-    if ckpt is not None:
-        tag = _re.sub(
-            r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        )
-        state = ckpt.rstrip("/") + f"/{prefix}_{tag}"
-    else:
-        state = tempfile.mkdtemp(prefix=f"{prefix}_")
-    _best_effort_delete_dir(spark, state)
-    return state
-
-
 def _ingest_recall_state_shared(spark: SparkSession, sf_dir: str) -> str:
     """State path of the 4-batch incrementally-ingested IVF index,
     built ONCE per (session, sf_dir) through `_shared_artifact` — the
@@ -3519,7 +3509,7 @@ def _ingest_recall_state_shared(spark: SparkSession, sf_dir: str) -> str:
     wall-clock lands in `shared_artifact_build_breakdown()` under
     ``ivf_ingest_recall_state`` instead of recurring in every
     invocation's timed cell (VERDICT r14 #4). Directory placement and
-    lifecycle: `_recall_state_root`."""
+    lifecycle: `artifacts.ingest_state_root`."""
     from real_time_data_pipeline_spark.operators.similarity import (
         stride_centroids,
     )
@@ -3530,7 +3520,7 @@ def _ingest_recall_state_shared(spark: SparkSession, sf_dir: str) -> str:
     def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = stride_centroids(emb, "vec_id", "embedding", stride=29)
-        state = _recall_state_root(spark, sf_dir, "rtdp_ingest_recall")
+        state = ingest_state_root(spark, sf_dir, "rtdp_ingest_recall")
         for b in range(INGEST_RECALL_BATCHES):
             merge_ivf_batch(
                 emb.where(
@@ -3588,19 +3578,8 @@ def q_ann_recall_after_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _ingest_recall_state_shared(spark, sf_dir)
     served = ivf_probe_state(
         spark, state, queries_df, centroids, k=5, nprobe=3
-    ).select(F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n"))
-    brute = _brute_top5_shared(spark, sf_dir, emb)
-    joined = brute.join(
-        served,
-        (F.col("query_id") == F.col("__q"))
-        & (F.col("neighbor_id") == F.col("__n")),
-        "left",
     )
-    return joined.groupBy("query_id").agg(
-        F.count("__n").alias("n_hit"),
-        F.count(F.lit(1)).alias("k"),
-        F.round(F.count("__n") / F.count(F.lit(1)), 6).alias("recall_at_5"),
-    )
+    return _recall_vs_brute(_brute_top5_shared(spark, sf_dir, emb), served)
 
 
 # The PQ mirror (r15, VERDICT r14 #5): the NINTH twin
@@ -3748,7 +3727,7 @@ def _ivfpq_ingest_recall_state_shared(spark: SparkSession, sf_dir: str) -> str:
     incrementally-ingested IVF-PQ index, built once per (session,
     sf_dir), build seconds attributed under
     ``ivfpq_ingest_recall_state``. Placement/lifecycle:
-    `_recall_state_root`."""
+    `artifacts.ingest_state_root`."""
     from real_time_data_pipeline_spark.operators.similarity import (
         stride_centroids,
     )
@@ -3760,7 +3739,7 @@ def _ivfpq_ingest_recall_state_shared(spark: SparkSession, sf_dir: str) -> str:
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = stride_centroids(emb, "vec_id", "embedding", stride=29)
         books = _pq_codebooks_shared(spark, sf_dir, emb)
-        state = _recall_state_root(spark, sf_dir, "rtdp_ingest_recall_pq")
+        state = ingest_state_root(spark, sf_dir, "rtdp_ingest_recall_pq")
         for b in range(INGEST_RECALL_BATCHES):
             merge_ivfpq_batch(
                 emb.where(
@@ -3819,19 +3798,8 @@ def q_pq_ann_recall_after_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _ivfpq_ingest_recall_state_shared(spark, sf_dir)
     served = ivfpq_probe_state(
         spark, state, queries_df, centroids, books, k=5, nprobe=3
-    ).select(F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n"))
-    brute = _brute_top5_shared(spark, sf_dir, emb)
-    joined = brute.join(
-        served,
-        (F.col("query_id") == F.col("__q"))
-        & (F.col("neighbor_id") == F.col("__n")),
-        "left",
     )
-    return joined.groupBy("query_id").agg(
-        F.count("__n").alias("n_hit"),
-        F.count(F.lit(1)).alias("k"),
-        F.round(F.count("__n") / F.count(F.lit(1)), 6).alias("recall_at_5"),
-    )
+    return _recall_vs_brute(_brute_top5_shared(spark, sf_dir, emb), served)
 
 
 # ---------------------------------------------------------------------------

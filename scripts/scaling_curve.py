@@ -387,9 +387,6 @@ def main() -> None:
     from real_time_data_pipeline_spark.operators.materialize import (
         release_caches,
     )
-    from real_time_data_pipeline_spark.operators.ranking import (
-        release_rank_caches,
-    )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # local-mode driver heap defaults to 1g — 32 MB per local[32] task
@@ -433,27 +430,28 @@ def main() -> None:
             # would be invisible. Shared ARTIFACTS stay warm by design
             # (production index-build semantics); per-request transient
             # caches do not survive requests in production either.
-            # BOTH release calls are required (r15 finding): this loop
-            # invokes REGISTRY[..].fn RAW, so the queries() hygiene
-            # drain never runs — releasing only the rank caches let
-            # general tracked persists (pagerank edge frames, dedup
-            # postings, basket corpus) pile up across queries × scales
-            # × runs. Invisible at 1x/10x; at a 10x+30x multi-query
-            # session it produced rising series and two false gate
-            # failures (docs/bench/scaling_r15_x30.json adjudication).
-            # materialized_only: each run's noop write has fully
-            # executed, so everything registered IS materialized; the
-            # guard is for the same de-canonicalization hazard the
-            # registry drain documents.
-            release_rank_caches()
-            release_caches(materialized_only=True)
+            # Full drain of the tracked-persist registry between timed
+            # runs. One call suffices: release_rank_caches() IS this
+            # drain (it delegates to release_caches with
+            # materialized_only=False, operators/ranking.py), so the
+            # r15 commit that added a second materialized_only=True
+            # call beside it added a guaranteed no-op — the r15
+            # "tracked-persist leak" diagnosis was a MISATTRIBUTION
+            # (this loop always drained everything; post-hoc review
+            # caught it). The contaminated 10x+30x multi-query session
+            # (docs/bench/scaling_r15_x30.json) was a co-resident-
+            # session/box-load effect, dissolved by the real fixes:
+            # per-query isolation (fresh JVM), runs>=3, and letting
+            # early x30 runs settle. Everything registered is
+            # materialized after the noop write, so the drain cannot
+            # de-canonicalize a pending ranking persist here.
+            release_caches()
             runs = []
             for _ in range(args.runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
-                release_rank_caches()
-                release_caches(materialized_only=True)
+                release_caches()
             per_scale[f"x{s}"] = round(sorted(runs)[len(runs) // 2], 3)
             print(f"{name} x{s}: {per_scale[f'x{s}']}s (runs: {[round(r,3) for r in runs]})", file=sys.stderr)
         lo, hi = scales[0], scales[-1]

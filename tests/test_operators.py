@@ -921,3 +921,31 @@ def test_artifact_build_breakdown_sums_to_total(spark, sf_dir):
     )
     for k in [k for k in _SHARED_ARTIFACTS if k[2] == "__bd_test"]:
         del _SHARED_ARTIFACTS[k]
+
+
+def test_ingest_state_root_keys_on_full_sf_dir(spark, tmp_path):
+    """Two corpora with the SAME basename must get distinct maintained-
+    index state dirs (r15 review: basename-only keying let /a/sf1 and
+    /b/sf1 clear and then serve each other's state), and the same
+    corpus must map to the same deterministic dir name under the
+    session checkpoint dir."""
+    from real_time_data_pipeline_spark.queries.artifacts import (
+        ingest_state_root,
+    )
+
+    sc = spark.sparkContext
+    had = sc.getCheckpointDir()
+    if had is None:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        a1 = ingest_state_root(spark, "/corpora/a/sf1", "__isr_test")
+        a2 = ingest_state_root(spark, "/corpora/a/sf1", "__isr_test")
+        b = ingest_state_root(spark, "/corpora/b/sf1", "__isr_test")
+        assert a1 == a2, "same corpus must be deterministic"
+        assert a1 != b, "same-basename corpora must not share state"
+        # trailing-slash normalization: one corpus, one dir
+        assert ingest_state_root(spark, "/corpora/a/sf1/", "__isr_test") == a1
+    finally:
+        if had is None:
+            # restore: PySpark has no unset; point back at a tmp dir
+            sc.setCheckpointDir(str(tmp_path / "ckpt"))

@@ -16,20 +16,18 @@ def _specs():
 @pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
 def test_query_matches_oracle(spark, sf_dir, spec):
     from real_time_data_pipeline_spark.operators.materialize import release_caches
-    from real_time_data_pipeline_spark.operators.ranking import release_rank_caches
 
     df = spec.fn(spark, sf_dir)
     assert_matches(df, spec.oracle, sf_dir)
     # The parity suite is a long-lived session running all registry
     # queries via spec.fn RAW — the queries() hygiene drain never
-    # runs here, the same gap that silently piled up tracked persists
-    # in the scaling harness (r15, docs/bench/scaling_r15_x30.json).
-    # Release both the ranking helpers' shared range-shuffle caches
-    # and the general materialized tracked persists per query (safe:
+    # runs here, so drain the tracked-persist registry per query
+    # ourselves (this one call releases the ranking helpers' shared
+    # range shuffles AND every other persist_tracked frame —
+    # release_rank_caches delegates to the same drain). Safe:
     # assert_matches collected the result, so everything registered
-    # is materialized and recomputation cannot change values).
-    release_rank_caches()
-    release_caches(materialized_only=True)
+    # is materialized and recomputation cannot change values.
+    release_caches()
 
 
 def test_registry_nonempty():
