@@ -296,17 +296,34 @@ def directional_containment_pairs(
     scored = inter.join(ca.hint("shuffle_hash"), "id_a").join(
         cb.hint("shuffle_hash"), "id_b"
     )
-    a_in_b = scored.where(F.col("inter") / F.col("n_a") >= threshold).select(
-        F.col("id_a").alias("src_id"),
-        F.col("id_b").alias("dst_id"),
-        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    # Emit both directions from ONE pass (r15 optimization): the old
+    # a_in_b/b_in_a UNION re-executed the whole postings pipeline —
+    # shingle explode, bucket shuffle, pair expansion, both joins —
+    # once per branch (Catalyst does not CSE across union inputs).
+    # A 2-element in-row explode scores each unordered pair once and
+    # keeps whichever directions clear the threshold: identical row
+    # set, half the work at any scale.
+    both = F.array(
+        F.struct(
+            F.col("id_a").alias("src_id"),
+            F.col("id_b").alias("dst_id"),
+            (F.col("inter") / F.col("n_a")).alias("ratio"),
+        ),
+        F.struct(
+            F.col("id_b").alias("src_id"),
+            F.col("id_a").alias("dst_id"),
+            (F.col("inter") / F.col("n_b")).alias("ratio"),
+        ),
     )
-    b_in_a = scored.where(F.col("inter") / F.col("n_b") >= threshold).select(
-        F.col("id_b").alias("src_id"),
-        F.col("id_a").alias("dst_id"),
-        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+    return (
+        scored.select(F.explode(both).alias("r"))
+        .where(F.col("r.ratio") >= threshold)
+        .select(
+            F.col("r.src_id").alias("src_id"),
+            F.col("r.dst_id").alias("dst_id"),
+            F.round(F.col("r.ratio"), 6).alias("containment"),
+        )
     )
-    return a_in_b.unionAll(b_in_a)
 
 
 def minhash_signatures(
@@ -1566,7 +1583,11 @@ def cross_jaccard_pairs(
     )
     if max_df is not None:
         buckets = buckets.where(F.size("ids_a") + F.size("ids_b") <= max_df)
-    buckets = reliable_materialize(buckets)
+    # persist, not checkpoint (r15 optimization): three consumers
+    # (ca, cb, inter) share one lazy tracked persist — same plan as
+    # `_bucketed_pair_counts`' bucket cache, no eager job, no disk
+    # round-trip, executor loss recomputes via lineage.
+    buckets = persist_tracked(buckets)
     ca = (
         buckets.select(F.explode("ids_a").alias("id_a"))
         .groupBy("id_a")

@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from real_time_data_pipeline_spark.operators.materialize import reliable_materialize
+from real_time_data_pipeline_spark.operators.materialize import (
+    persist_tracked,
+    reliable_materialize,
+)
 from real_time_data_pipeline_spark.operators.similarity import (
     CENTROID_K_MAX,
     ann_brute_topk,
@@ -210,7 +213,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # they feed BOTH the pair-role explode and the broadcast candidate
     # id set below, and Catalyst does not reuse the signature pipeline
     # across a shuffle branch and a broadcast branch.
-    cands = lsh_candidate_pairs(sigs, "doc_id").transform(reliable_materialize)
+    # persist, not checkpoint (r15 optimization): the frame is REUSED,
+    # not iterated — a lazy tracked persist shares the one computation
+    # across both branches with no eager job and no FS round-trip, and
+    # executor loss recomputes through lineage instead of failing.
+    cands = lsh_candidate_pairs(sigs, "doc_id").transform(persist_tracked)
 
     # Verify candidates with exact Jaccard. Shingle sets are computed
     # ONCE, and ONLY for candidate docs: the candidate id set (tiny —
@@ -1509,11 +1516,14 @@ def q_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n1.join(losers, "doc_id", "left_anti")
     old_hashes = old.select(F.md5("text").alias("__h")).distinct()
     # Materialized: feeds both the cross-pair build and the final anti.
+    # persist, not checkpoint (r15 optimization): reused by two
+    # branches, never iterated — lazy tracked persist avoids the eager
+    # checkpoint job + disk round-trip (materialize.py module doc).
     n3 = (
         n2.withColumn("__h", F.md5("text"))
         .join(old_hashes, "__h", "left_anti")
         .drop("__h")
-        .transform(reliable_materialize)
+        .transform(persist_tracked)
     )
     dup_arrivals = (
         cross_jaccard_pairs(
@@ -2079,10 +2089,15 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = ctrl.unionByName(swarm)
     # signatures feed both candidate paths AND the stats accounting
-    sigs = minhash_signatures(corpus, "doc_id", "text", n=3).transform(reliable_materialize)
+    # persist, not checkpoint (r15 optimization): sigs/hashes are
+    # REUSED (bucket builds, verify joins), never iterated — the lazy
+    # tracked persists drop four eager checkpoint jobs + disk round
+    # trips from every invocation; executor loss recomputes via
+    # lineage (materialize.py module doc).
+    sigs = minhash_signatures(corpus, "doc_id", "text", n=3).transform(persist_tracked)
     hashes = corpus.select(
         "doc_id", F.xxhash64("text").alias("_h")
-    ).transform(reliable_materialize)
+    ).transform(persist_tracked)
     n_docs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
     cands_by_cap = lsh_candidate_pairs_by_cap(
         sigs, "doc_id", caps=[_SWARM_CAP, None]
@@ -2122,7 +2137,7 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus.select("doc_id")
             .join(dropped, "doc_id", "left_anti")
             .select(F.col("doc_id").alias("sid"))
-            .transform(reliable_materialize)  # feeds a count, a diff, and a min
+            .transform(persist_tracked)  # feeds a count, a diff, and a min
         )
 
     surv_cap = survivors(_SWARM_CAP)
@@ -2217,7 +2232,9 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov_ut.where(F.col("dim_i") < F.col("dim_j")).select(
             F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cov"
         )
-    ).transform(reliable_materialize)  # d² rows; reused every iteration
+    ).transform(reliable_materialize)  # d² rows; the power loop references it
+    # every iteration — checkpoint keeps the 2^iters analysis copies tiny
+    # (measured: persist variant 2.6 s vs 1.8 s checkpointed at sf0.1)
     v = spark.range(1, _PCA_DIM + 1).select(
         F.col("id").alias("dim"), F.lit(1.0).alias("val")
     )

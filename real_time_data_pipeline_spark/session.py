@@ -70,6 +70,21 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    if master.startswith("local"):
+        # In local[N] the driver JVM IS the only executor, and Spark's
+        # 1 GiB driver default leaves ~430 MB of unified memory for N
+        # concurrent tasks' joins/aggregations/caches — measured on
+        # this box (guide §5): constant spill/eviction churn that
+        # dominates the dedup/embed families. Size the one JVM like
+        # the executor it is. Plain Spark conf, env-overridable; on a
+        # real cluster the master is non-local and driver/executor
+        # memory comes from spark-submit, so this never applies there.
+        # Takes effect only at JVM launch (first session in the
+        # process); getOrCreate on a live JVM ignores it, exactly like
+        # every other launch-time conf.
+        conf["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "10g"
+        )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     else:
