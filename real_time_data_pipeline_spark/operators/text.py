@@ -93,15 +93,28 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(w) >= n, gram).otherwise(F.array().cast("array<string>"))
 
 
+def stopword_hits(col: Column | str, stops: "list[str]") -> Column:
+    """Total stopword occurrences in lowercased text — ONE regex pass.
+
+    Counts matches of the alternation ``\\b(w1|w2|...)\\b``, which
+    equals the sum of the per-word ``\\b{w}\\b`` counts exactly: every
+    match of any single-word pattern is one whole maximal word run
+    (both \\b anchors), distinct stopwords can never claim the same
+    run, and the engine's backtracking tries every alternative at each
+    run, so no per-word match is missed (shared prefixes included —
+    pinned by tests/test_operators.py). One pass over the text instead
+    of one per stopword: the N-regex form was the dominant per-row
+    cost of the quality/lang queries (r15 optimization, guide §1.2
+    "per-task work")."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(stops) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat)).cast("long")
+
+
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit counts over lowercased text."""
-    c = F.col(col) if isinstance(col, str) else col
-    low = F.lower(c)
     return {
-        lang: sum(
-            (F.regexp_count(low, F.lit(rf"\b{wd}\b")) for wd in stops),
-            F.lit(0),
-        ).cast("long")
+        lang: stopword_hits(col, stops)
         for lang, stops in LANG_STOPWORDS.items()
     }
 
@@ -137,10 +150,7 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     n_tok = token_count_ws(c)
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
-    stop_hits = sum(
-        (F.regexp_count(F.lower(c), F.lit(rf"\b{wd}\b")) for wd in LANG_STOPWORDS["en"]),
-        F.lit(0),
-    ).cast("long")
+    stop_hits = stopword_hits(c, LANG_STOPWORDS["en"])
     return {
         "n_chars": n_chars,
         "n_tokens": n_tok,

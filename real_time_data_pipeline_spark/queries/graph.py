@@ -187,10 +187,15 @@ def _pagerank_ranks(edges: DataFrame) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("r")).alias("c"))
         )
+        # ONE scalar broadcast per iteration (r15 optimization): dm and
+        # n ride in a single 1-row frame instead of two independent
+        # broadcast exchanges — same values (each scalar is computed by
+        # the same aggregate as before), one less broadcast build per
+        # iteration at any graph size.
+        scalars = dangling.crossJoin(nn)
         ranks = (
             nodes.join(contrib, nodes.name == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(scalars))
             .select(
                 "name",
                 (

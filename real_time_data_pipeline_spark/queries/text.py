@@ -768,7 +768,7 @@ def q_dup_sentence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length(F.trim(F.col("s"))) >= SENT_MIN_CHARS)
         .select("doc_id", F.md5(F.lower(F.trim(F.col("s")))).alias("h"))
         .distinct()
-        .transform(reliable_materialize)  # feeds both the df count and the join back
+        .transform(persist_tracked)  # feeds both the df count and the join back (lazy persist, r15)
     )
     dfreq = sents.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     per = sents.join(dfreq, "h").select("doc_id", "df")
@@ -952,7 +952,7 @@ def q_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__lang") == "en")
         )
         .select("doc_id", "text", "n_chars", "n_tokens")
-        .transform(reliable_materialize)
+        .transform(persist_tracked)  # reused by two branches, never iterated (r15)
     )
     bench = (
         _fan_out(docs.where((F.col("doc_id") < 20) & (F.length(F.trim("text")) > 0)))
@@ -1307,7 +1307,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode(words("text")).alias("word"))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .transform(reliable_materialize)  # feeds df-agg, n-src agg, and the score join
+        .transform(persist_tracked)  # feeds df-agg, n-src agg, and the score join (lazy persist, r15)
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     nsrc = tf.agg(F.count_distinct("source").alias("n"))
@@ -1436,7 +1436,7 @@ def _bm25_corpus_scored_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("word").isin(*BM25_QUERY_TERMS))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .transform(reliable_materialize)  # feeds both df-agg and the score join
+        .transform(persist_tracked)  # feeds both df-agg and the score join (lazy persist, r15)
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     return bm25_scored(
@@ -1948,7 +1948,7 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         _fan_out(docs.where(F.length(F.trim("text")) > 0), "doc_id")
         .select(F.explode(words("text")).alias("word"))
-        .transform(reliable_materialize)  # feeds exact counts AND all sketch rows
+        .transform(persist_tracked)  # feeds exact counts AND all sketch rows (lazy persist, r15)
     )
 
     def bucket(word_col, salt: str):
@@ -2057,39 +2057,62 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_pipeline_spark.operators.text import hash32
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
+    # ONE gram-grain aggregate (r15 optimization) replaces the old
+    # doc-grain postings distinct + checkpoint + per-side gram
+    # distincts + exact-membership broadcast join: each distinct gram
+    # carries which side(s) it appears on, so `true_hit` for a
+    # candidate gram is just its bench flag — same distinct-gram
+    # semantics (the oracle's bench/cand CTEs), one shuffle instead of
+    # four and no disk round-trip, at any corpus size.
+    gstats = (
         _fan_out(docs.where(F.length(F.trim("text")) > 0), "doc_id")
-        .select("doc_id", F.explode(word_shingles("text", 5)).alias("g"))
-        .distinct()
-        .transform(reliable_materialize)  # feeds bench set, candidate set, exact join
+        .select(
+            (F.col("doc_id") < 20).alias("is_bench"),
+            F.explode(word_shingles("text", 5)).alias("g"),
+        )
+        .groupBy("g")
+        .agg(
+            F.max("is_bench").alias("in_bench"),
+            F.max(~F.col("is_bench")).alias("in_cand"),
+        )
+        .transform(persist_tracked)  # feeds the bits build + the cand flag chain
     )
-    bench = grams.where(F.col("doc_id") < 20).select("g").distinct()
-    cand = grams.where(F.col("doc_id") >= 20).select("g").distinct()
+    bench = gstats.where(F.col("in_bench")).select("g")
 
     def pos(col, salt: str):
         return (hash32(F.concat(F.lit(salt), col)) % BLOOM_BITS)
 
-    bits = None
+    # Build the bit array ON THE DRIVER and ship it as a literal — the
+    # guide §3.2 Bloom pattern (r15 optimization). The array is BOUNDED
+    # BY CONSTRUCTION at BLOOM_BITS bits (2 KiB here; a few hundred MB
+    # in production it would move to a broadcast variable) regardless
+    # of corpus size, exactly like the registry's other bounded-
+    # metadata collects. This removes the per-salt semi-join chain and
+    # its broadcast builds: membership tests become one row-local
+    # substring per salt inside the same codegen stage as the flags.
+    set_positions = {
+        r["pos"]
+        for r in bench.select(
+            F.explode(
+                F.array(*[pos(F.col("g"), s) for s in BLOOM_SALTS])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    }
+    bitstr = "".join(
+        "1" if i in set_positions else "0" for i in range(BLOOM_BITS)
+    )
+    bloom_maybe = None
     for s in BLOOM_SALTS:
-        b = bench.select(pos(F.col("g"), s).alias("pos")).distinct()
-        bits = b if bits is None else bits.unionAll(b).distinct()
-    flagged = cand
-    for i, s in enumerate(BLOOM_SALTS):
-        hit = bits.select(F.col("pos").alias(f"p{i}"))
-        flagged = (
-            flagged.withColumn(f"p{i}", pos(F.col("g"), s))
-            .join(F.broadcast(hit), f"p{i}", "left_semi")
+        hit = (
+            F.substring(F.lit(bitstr), (pos(F.col("g"), s) + 1).cast("int"), 1)
+            == "1"
         )
-    # left-semi chain keeps only all-bits-set grams = the maybe set
-    maybe = flagged.select("g").withColumn("bloom_maybe", F.lit(True))
-    truth = bench.select("g").withColumn("true_hit", F.lit(True))
-    hits = (
-        cand.join(F.broadcast(maybe), "g", "left")
-        .join(F.broadcast(truth), "g", "left")
-        .select(
-            F.coalesce("bloom_maybe", F.lit(False)).alias("bloom_maybe"),
-            F.coalesce("true_hit", F.lit(False)).alias("true_hit"),
-        )
+        bloom_maybe = hit if bloom_maybe is None else (bloom_maybe & hit)
+    hits = gstats.where(F.col("in_cand")).select(
+        bloom_maybe.alias("bloom_maybe"),
+        F.col("in_bench").alias("true_hit"),
     )
     t, f_ = F.col("bloom_maybe"), F.col("true_hit")
     return hits.agg(

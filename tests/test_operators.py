@@ -949,3 +949,35 @@ def test_ingest_state_root_keys_on_full_sf_dir(spark, tmp_path):
         if had is None:
             # restore: PySpark has no unset; point back at a tmp dir
             sc.setCheckpointDir(str(tmp_path / "ckpt"))
+
+
+def test_stopword_alternation_equals_per_word_sum(spark):
+    # The one-pass alternation (r15 optimization) must count exactly
+    # what the old per-word `\b{w}\b` sum counted — including shared
+    # prefixes (a/and, le/les), punctuation-adjacent words, repeated
+    # and abutting hits, and mixed case.
+    from real_time_data_pipeline_spark.operators.text import (
+        LANG_STOPWORDS,
+        stopword_hits,
+    )
+
+    texts = [
+        "the a is and of the-and a.of and,the",
+        "le les une et dans les. le,les",
+        "thethe andand ofof",          # no boundaries -> zero hits
+        "The AND Of a IS",             # case folding
+        "el los una y que y-y el",
+        "der und das ein nicht und",
+        "",
+        "a a a a a and an the of is",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for lang, stops in LANG_STOPWORDS.items():
+        legacy = sum(
+            (F.regexp_count(F.lower("text"), F.lit(rf"\b{wd}\b")) for wd in stops),
+            F.lit(0),
+        ).cast("long")
+        rows = df.select(
+            legacy.alias("old"), stopword_hits("text", stops).alias("new")
+        ).collect()
+        assert [r.old for r in rows] == [r.new for r in rows], lang
