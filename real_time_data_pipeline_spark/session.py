@@ -82,8 +82,32 @@ def get_spark(
         # Takes effect only at JVM launch (first session in the
         # process); getOrCreate on a live JVM ignores it, exactly like
         # every other launch-time conf.
+        # 4g measured best across the whole 230-query bench: the 1 GiB
+        # default starves concurrent tasks (spill/eviction churn on the
+        # heavy joins), while 10g lets session garbage accumulate into
+        # long GC tails that tax the many sub-second queries (A/B'd at
+        # 1g / 4g / 10g over full bench runs, docs/bench/r15_opt_*).
         conf["spark.driver.memory"] = os.environ.get(
-            "SPARK_GRAFT_DRIVER_MEM", "10g"
+            "SPARK_GRAFT_DRIVER_MEM", "4g"
+        )
+        # The ContextCleaner reclaims broadcasts / shuffle files / RDD
+        # blocks only when driver GC collects their references. The
+        # 1 GiB default heap GC'd constantly (prompt cleanup, terrible
+        # memory); a sized heap almost never GCs, so a multi-hundred-
+        # query session accumulates dead broadcasts until late queries
+        # pay multi-second pauses (measured: the graph family 9.8 ->
+        # 26.7 s at the tail of a 230-query bench). Spark's stock
+        # answer is periodic GC; its 30 min default is longer than the
+        # whole bench — shorten it for local sessions.
+        conf.setdefault("spark.cleaner.periodicGC.interval", "90s")
+        # ...and make that explicit GC a CONCURRENT G1 cycle instead of
+        # a single-threaded stop-the-world full collection: the
+        # periodic System.gc() otherwise lands multi-second pauses on
+        # whichever query is running when the timer fires (measured:
+        # one bench cell absorbed ~19 s). Reference processing (what
+        # the cleaner needs) happens in the concurrent cycle too.
+        conf.setdefault(
+            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
         )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
