@@ -1130,10 +1130,22 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
-    tr = assigned.where(F.col("split") == "train").select("user_id").distinct()
-    te = assigned.where(F.col("split") == "test").select("user_id").distinct()
-    overlap = tr.join(te, "user_id").agg(
-        F.count(F.lit(1)).alias("n_shared_users")
+    # ONE user-grain aggregate replaces two per-side distincts + a join
+    # (r15 optimization, guide §2.3 "aggregate before you shuffle"):
+    # a user is shared iff they have rows in both train and test —
+    # count those flags directly. Same value as |distinct(train) ∩
+    # distinct(test)|.
+    overlap = (
+        assigned.groupBy("user_id")
+        .agg(
+            F.max((F.col("split") == "train").cast("int")).alias("t"),
+            F.max((F.col("split") == "test").cast("int")).alias("e"),
+        )
+        .agg(
+            F.count(F.when((F.col("t") == 1) & (F.col("e") == 1), 1)).alias(
+                "n_shared_users"
+            )
+        )
     )
     return summary.crossJoin(F.broadcast(overlap))
 

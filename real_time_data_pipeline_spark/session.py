@@ -81,12 +81,11 @@ def get_spark(
         # memory comes from spark-submit, so this never applies there.
         # Takes effect only at JVM launch (first session in the
         # process); getOrCreate on a live JVM ignores it, exactly like
-        # every other launch-time conf.
-        # 4g measured best across the whole 230-query bench: the 1 GiB
-        # default starves concurrent tasks (spill/eviction churn on the
-        # heavy joins), while 10g lets session garbage accumulate into
-        # long GC tails that tax the many sub-second queries (A/B'd at
-        # 1g / 4g / 10g over full bench runs, docs/bench/r15_opt_*).
+        # every other launch-time conf. 4g measured best across the
+        # whole 230-query bench: 1g starves concurrent tasks, 10g lets
+        # session garbage accumulate into long GC tails that tax the
+        # many sub-second queries (A/B'd at 1g/4g/10g over full bench
+        # runs, docs/bench/r15_opt_*).
         conf["spark.driver.memory"] = os.environ.get(
             "SPARK_GRAFT_DRIVER_MEM", "4g"
         )

@@ -386,6 +386,16 @@ def commit_partitioned_batch(
         )
     (
         inc.withColumn("src_batch", F.lit(batch_id).cast("bigint"))
+        # Cluster by the partition key before the write (guide §6,
+        # r15): without it every shuffle task holding rows for a
+        # (key, batch) value emits its own file — up to
+        # shuffle.partitions tiny files per state partition, paid on
+        # every commit AND every read (listing + per-file open). One
+        # narrow shuffle of the micro-batch-sized delta buys one file
+        # per live partition; rows and values are unchanged, so the
+        # structural-idempotency contract (a retry rewrites identical
+        # partitions) is untouched.
+        .repartition(F.col(key_col), F.col("src_batch"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(key_col, "src_batch")
