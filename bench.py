@@ -8,6 +8,18 @@ Prints ONE JSON line:
 Each query executes to a `noop` sink — full computation of every
 output column, zero driver-side collection — so timings reflect the
 distributed plan, not toPandas serialization.
+
+Measurement-methodology fix (r16, VERDICT r15 #1): tracked caches are
+now DRAINED between the untimed warm run and the timed run (and
+between canary repetitions). Previously `release_caches()` ran only
+in the `finally`, so a `persist_tracked`-bearing query's timed run
+read the warm run's InMemoryRelation instead of recomputing — the
+r15 checkpoint→persist swaps inflated their measured wins through
+exactly that hole. The drain is BLOCKING and sits outside the timed
+window, so the timed run pays full computation from the parquet
+inputs. Same queries, same scale, same noop sink, same JSON line;
+persist-family numbers are expected to read HIGHER than r15 — that
+is the honest level, not a regression (OPTIMIZATION_r16.md).
 """
 
 from __future__ import annotations
@@ -111,6 +123,14 @@ def main() -> None:
         try:
             df = spec.fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()  # warm (JIT, listing)
+            # Drain warm-run caches BEFORE the clock starts (r16
+            # methodology fix, header note): the timed run must pay
+            # full computation, not read the warm run's
+            # InMemoryRelation. Blocking, so block removal cannot
+            # bleed into the timed window. Safe here: the warm noop
+            # save materialized every tracked persist.
+            release_rank_caches(blocking=True)
+            release_caches(blocking=True)
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
@@ -120,6 +140,10 @@ def main() -> None:
                 # query leave ±20% round-to-round noise on the canary.
                 runs = [timings[name]]
                 for _ in range(4):
+                    # same drain between repetitions (r16): every rep
+                    # recomputes from the parquet inputs
+                    release_rank_caches(blocking=True)
+                    release_caches(blocking=True)
                     t0 = time.perf_counter()
                     spec.fn(spark, SF_DIR).write.format("noop").mode(
                         "overwrite"

@@ -4,7 +4,9 @@
 For each named query (or --all), builds the frame exactly as bench.py
 does, writes `.explain("formatted")` to plans/<round>/<query>_<tag>.txt,
 and optionally times `noop`-sink executions (one untimed warm run, then
-N timed runs — the bench methodology, guide §1.4).
+N timed runs — the bench methodology, guide §1.4). Since r16, tracked
+caches are drained before EVERY timed run (bench.py's warm-run cache
+hole, VERDICT r15 #1), so medians measure full recomputation.
 
 Usage:
   python scripts/plan_dump.py --tag before --queries a b c --runs 3
@@ -77,6 +79,12 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()  # warm
                 runs = []
                 for _ in range(args.runs):
+                    # r16 methodology fix (VERDICT r15 #1, same as
+                    # bench.py): drain tracked caches before every
+                    # timed run so it pays full computation instead of
+                    # reading the previous run's InMemoryRelation.
+                    release_rank_caches(blocking=True)
+                    release_caches(blocking=True)
                     t0 = time.perf_counter()
                     spec.fn(spark, SF_DIR).write.format("noop").mode(
                         "overwrite"
