@@ -57,6 +57,7 @@ __all__ = [
     "grouped_row_number",
     "grouped_multi_metric_ntiles",
     "grouped_exact_ntile",
+    "grouped_percentile_cont",
     "global_prefix_sum",
     "global_prefix_sums",
     "global_running_max",
@@ -486,6 +487,94 @@ def grouped_exact_ntile(
     )
     bucket = _closed_form_ntile("_gr_rn", "_gr_n", n_buckets)
     return ranked.withColumn(out_col, bucket.cast("int")).drop("_gr_rn", "_gr_n")
+
+
+def grouped_percentile_cont(
+    df: DataFrame,
+    group_by: "list[str]",
+    value_col: str,
+    pcts: "list[float]",
+    out_cols: "list[str]",
+    tie_break: "list[Column | str] | None" = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact interpolated (type-7 / ``quantile_cont``) percentiles per
+    group WITHOUT Spark's exact ``percentile`` aggregate — the
+    rank-pick pattern (`data_psi_drift`, `event_time_to_convert`)
+    generalized to grouped frames and several fractions in ONE ranking
+    pass.
+
+    Why: ``F.percentile``'s aggregation buffer is a per-group map of
+    every DISTINCT input value, merged in one reducer per group — the
+    classic §5 memory hazard on unbounded-cardinality columns at
+    100 TB (tests/test_plans.py audits every exact-percentile site).
+    Here the heavy work is `grouped_row_number`'s range shuffle +
+    pid-partitioned windows (mega-group safe, spillable sort), then a
+    codegen filter keeps only the ≤ 2·|pcts| boundary rows per group
+    and one hash aggregate interpolates.
+
+    Semantics match ``percentile(value, p)`` / DuckDB
+    ``quantile_cont``: NULL values are ignored (filtered before
+    ranking); with n non-null values the result is
+    ``x[floor(h)] + (h - floor(h)) * (x[ceil(h)] - x[floor(h)])`` at
+    ``h = 1 + p*(n-1)`` over the ascending 1-indexed order — the same
+    closed form `data_psi_drift` ships (interpolation-parity pinned by
+    tests/test_operators.py). Groups whose values are ALL NULL produce
+    no output row (``F.percentile`` would yield NULL — left-join the
+    result if those groups must survive).
+
+    ``tie_break``: extra order columns making the sort a total order
+    (the `grouped_row_number` determinism contract). Equal values at a
+    boundary rank pick the same VALUE either way, so this guards plan
+    determinism, not correctness.
+
+    Returns one row per group: ``group_by`` + ``out_cols[i]`` (double)
+    = the ``pcts[i]`` percentile.
+    """
+    if len(pcts) != len(out_cols):
+        raise ValueError("pcts and out_cols must pair up")
+    order = [F.asc(value_col)] + list(tie_break or [])
+    ranked = grouped_row_number(
+        df.where(F.col(value_col).isNotNull()),
+        group_by,
+        order,
+        rn_col="_gp_rn",
+        num_partitions=num_partitions,
+        total_col="_gp_n",
+    )
+
+    def _pos(p: float) -> Column:
+        return F.lit(1.0) + F.lit(p) * (F.col("_gp_n") - F.lit(1))
+
+    keep = None
+    for p in pcts:
+        c = (F.col("_gp_rn") == F.floor(_pos(p))) | (
+            F.col("_gp_rn") == F.ceil(_pos(p))
+        )
+        keep = c if keep is None else (keep | c)
+    aggs = [F.max("_gp_n").alias("_gp_n")]
+    for i, p in enumerate(pcts):
+        aggs.append(
+            F.min(
+                F.when(F.col("_gp_rn") == F.floor(_pos(p)), F.col(value_col))
+            ).alias(f"_gp_lo_{i}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("_gp_rn") == F.ceil(_pos(p)), F.col(value_col))
+            ).alias(f"_gp_hi_{i}")
+        )
+    picked = ranked.where(keep).groupBy(*group_by).agg(*aggs)
+    outs = []
+    for i, (p, oc) in enumerate(zip(pcts, out_cols)):
+        frac = _pos(p) - F.floor(_pos(p))
+        outs.append(
+            (
+                F.col(f"_gp_lo_{i}")
+                + frac * (F.col(f"_gp_hi_{i}") - F.col(f"_gp_lo_{i}"))
+            ).alias(oc)
+        )
+    return picked.select(*group_by, *outs)
 
 
 def global_prefix_sum(

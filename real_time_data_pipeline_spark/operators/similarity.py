@@ -688,13 +688,51 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<double> columns (codegen fold)."""
+    """Dot product of two array<double> columns — generic HOF fold.
+
+    Works for any (equal) array length, but higher-order functions
+    are CodegenFallback expressions: every element pays an
+    interpreted lambda call, and their presence knocks the whole
+    projection out of whole-stage codegen. On hot fixed-dimension
+    paths use `dot_fixed` (bit-identical values, codegen)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product of two ``dim``-element array<double> columns as a
+    STATICALLY UNROLLED expression — bit-identical to `dot` and
+    codegen-friendly (guide §1.2 per-task work).
+
+    `dot` evaluates ``((0.0 + a0·b0) + a1·b1) + …`` — `aggregate` is a
+    sequential left fold over `zip_with`'s element-wise products. This
+    helper emits the SAME IEEE operation sequence as a flat
+    left-associated expression tree (the leading 0.0 term included),
+    so every result — rounding, signed zeros, NaN/Inf propagation,
+    and therefore every argmax/tie-break downstream — is identical
+    bit for bit (pinned by tests/test_operators.py). Unlike the HOF
+    form it is ordinary codegen arithmetic: no per-element lambda
+    interpretation, and the surrounding projection keeps whole-stage
+    codegen.
+
+    Only for columns whose length is ``dim`` BY CONTRACT (the 64-dim
+    embedding surface, PQ subvectors): a shorter array would error or
+    null where `dot` nulls via zip_with padding.
+    """
+    out = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i] * b[i]
+    return out
 
 
 def norm(a: Column) -> Column:
     """Euclidean norm of an array<double> column."""
     return F.sqrt(dot(a, a))
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    """Euclidean norm over a fixed ``dim`` — `norm` via `dot_fixed`
+    (bit-identical, codegen; see `dot_fixed`)."""
+    return F.sqrt(dot_fixed(a, a, dim))
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -107,7 +107,12 @@ def stopword_hits(col: Column | str, stops: "list[str]") -> Column:
     cost of the quality/lang queries (r15 optimization, guide §1.2
     "per-task work")."""
     c = F.col(col) if isinstance(col, str) else col
-    pat = r"\b(" + "|".join(stops) + r")\b"
+    # re.escape (ADVICE r15 #3): today's stopword lists are plain
+    # ASCII words (escape is a no-op), but a future list entry holding
+    # a regex metacharacter would silently corrupt the alternation.
+    import re as _re
+
+    pat = r"\b(" + "|".join(_re.escape(wd) for wd in stops) + r")\b"
     return F.regexp_count(F.lower(c), F.lit(pat)).cast("long")
 
 

@@ -448,18 +448,42 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/stddev until they mask themselves, while the median/MAD pair
     is immune to 50% contamination.
 
-    Scale shape: two tiny per-type aggregates (exact medians — the
-    percentile_approx twin is the monitoring-cadence variant), each
-    broadcast back onto the one events scan. The threshold applies to
-    the ROUNDED score so float noise can't flip a boundary row
-    between engines.
+    Scale shape (r16): both exact medians come from the grouped
+    rank-pick (`grouped_percentile_cont` — range shuffle + pid
+    windows, mega-group safe) instead of `F.percentile`, whose buffer
+    maps every distinct `value` of an event type into one reducer —
+    fact-sized cardinality, the §5 hazard this screen must survive at
+    100 TB. The event_type-grain median frames stay tiny and
+    broadcast back onto the one events scan; `med` is persisted (two
+    consumers: the deviation pass and the final score). The threshold
+    applies to the ROUNDED score so float noise can't flip a boundary
+    row between engines.
     """
+    from real_time_data_pipeline_spark.operators.materialize import (
+        persist_tracked,
+    )
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_percentile_cont,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
-    mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    med = persist_tracked(
+        grouped_percentile_cont(
+            ev.select("event_type", "value", "event_id"),
+            ["event_type"],
+            "value",
+            [0.5],
+            ["med"],
+            tie_break=[F.asc("event_id")],
+        )
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "event_id",
+    )
+    mad = grouped_percentile_cont(
+        dev, ["event_type"], "adev", [0.5], ["mad"], tie_break=[F.asc("event_id")]
     )
     rz = F.round(F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4)
     return (
@@ -685,11 +709,17 @@ def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     moving AVERAGE for its whole window; the median shrugs it off,
     which is why the MAD outlier screen pairs with this).
 
-    Scale shape: one event_type shuffle, then an exact interpolated
-    percentile evaluated over a BOUNDED 7-row frame — constant work
-    per row, no per-group materialization, and the frame bound is
-    what keeps it viable on an unbounded stream (the streaming twin
-    is the same frame over a watermarked window).
+    Scale shape: one event_type shuffle, then the median of a BOUNDED
+    7-row frame — constant work per row, no per-group
+    materialization, and the frame bound is what keeps it viable on
+    an unbounded stream (the streaming twin is the same frame over a
+    watermarked window). Since r16 the frame median is a
+    `sort_array(collect_list)` over the frame plus the closed-form
+    type-7 interpolation (the same h = p·(n−1) formula as
+    `grouped_percentile_cont`) instead of the `percentile` window
+    aggregate: identical values on a ≤7-element frame, and the plan
+    carries no distinct-value map buffer at all — the last
+    `Percentile` node in the registry's window paths.
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
@@ -697,11 +727,18 @@ def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-6, Window.currentRow)
     )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    # 0-based type-7 position within the frame's sorted values
+    pos = F.lit(0.5) * (n - F.lit(1)).cast("double")
+    lo = F.get(arr, F.floor(pos).cast("int"))
+    hi = F.get(arr, F.ceil(pos).cast("int"))
+    med = F.when(n > 0, lo + (pos - F.floor(pos)) * (hi - lo))
     return ev.select(
         "event_id",
         "event_type",
         "value",
-        F.round(F.percentile("value", 0.5).over(w), 6).alias("moving_median_7"),
+        F.round(med, 6).alias("moving_median_7"),
     )
 
 
@@ -1134,9 +1171,13 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r15 optimization, guide §2.3 "aggregate before you shuffle"):
     # a user is shared iff they have rows in both train and test —
     # count those flags directly. Same value as |distinct(train) ∩
-    # distinct(test)|.
+    # distinct(test)|. The NOT NULL guard (VERDICT r15 #4) pins the
+    # old inner-join semantics: NULL ≠ NULL in a join, so a NULL
+    # user_id appearing on both sides must NOT count as shared the
+    # way a NULL GROUP would (tests/test_properties.py pins it).
     overlap = (
-        assigned.groupBy("user_id")
+        assigned.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
         .agg(
             F.max((F.col("split") == "train").cast("int")).alias("t"),
             F.max((F.col("split") == "test").cast("int")).alias("e"),

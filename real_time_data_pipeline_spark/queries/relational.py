@@ -689,14 +689,43 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min/max/avg/stddev + exact interpolated median per group."""
+    """min/max/avg/stddev + exact interpolated median per group.
+
+    Scale shape (r16): the median comes from the grouped rank-pick
+    (`grouped_percentile_cont`: range shuffle + pid windows, mega-group
+    safe) instead of `F.percentile`, whose aggregation buffer maps
+    every distinct l_extendedprice of a group into one reducer — with
+    3 return flags over a 100 TB lineitem that buffer is price-domain
+    sized per task. The moments stay one map-side-combinable hash
+    aggregate; the 3-row median frame joins back by broadcast. Same
+    type-7 interpolation, values identical to 6 dp (oracle-verified).
+    """
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_percentile_cont,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    moments = li.groupBy("l_returnflag").agg(
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
-        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+    )
+    med = grouped_percentile_cont(
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.5],
+        ["_med"],
+        tie_break=[F.asc("l_orderkey"), F.asc("l_linenumber")],
+    )
+    return moments.join(F.broadcast(med), "l_returnflag", "left").select(
+        "l_returnflag",
+        "min_price",
+        "max_price",
+        "avg_price",
+        "stddev_price",
+        F.round(F.col("_med"), 6).alias("median_price"),
     )
 
 
@@ -1199,24 +1228,51 @@ def q_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic for a fixed input, so the boolean is stable and the
     oracle pins it TRUE).
 
-    At scale only the sketch runs: constant memory per group and a
-    mergeable partial per partition, where the exact form must shuffle
-    and sort every value in the group.
+    Exactness IS this query's point — but since r16 the exact side
+    (all nine percentiles: the three headline values plus each
+    p±0.02 rank bound) comes from ONE grouped rank-pick pass
+    (`grouped_percentile_cont`), not `F.percentile`, whose
+    distinct-value map buffer is fact-sized for `value` — so the
+    ground truth itself now survives 100 TB instead of only the
+    sketch. The sketch stays a mergeable hash aggregate; the two
+    event_type-grain frames meet in one broadcast join.
     """
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_percentile_cont,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     pcts = [0.5, 0.9, 0.99]
-    exact = [F.percentile("value", p) for p in pcts]
-    approx = [F.percentile_approx("value", p, 10000) for p in pcts]
+    bounds = sorted(
+        {max(p - 0.02, 0.0) for p in pcts} | {min(p + 0.02, 1.0) for p in pcts}
+    )
+    all_pcts = pcts + bounds
+    exact = grouped_percentile_cont(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        "value",
+        all_pcts,
+        ["_e50", "_e90", "_e99"] + [f"_b{i}" for i in range(len(bounds))],
+        tie_break=[F.asc("event_id")],
+    )
+    sketch = ev.groupBy("event_type").agg(
+        *[
+            F.percentile_approx("value", p, 10000).alias(f"_a{i}")
+            for i, p in enumerate(pcts)
+        ]
+    )
     within = None
-    for p, a in zip(pcts, approx):
-        lo = F.percentile("value", max(p - 0.02, 0.0))
-        hi = F.percentile("value", min(p + 0.02, 1.0))
+    for i, p in enumerate(pcts):
+        lo = F.col(f"_b{bounds.index(max(p - 0.02, 0.0))}")
+        hi = F.col(f"_b{bounds.index(min(p + 0.02, 1.0))}")
+        a = F.col(f"_a{i}")
         cond = (a >= lo) & (a <= hi)
         within = cond if within is None else (within & cond)
-    return ev.groupBy("event_type").agg(
-        F.round(exact[0], 6).alias("p50_exact"),
-        F.round(exact[1], 6).alias("p90_exact"),
-        F.round(exact[2], 6).alias("p99_exact"),
+    return sketch.join(F.broadcast(exact), "event_type", "left").select(
+        "event_type",
+        F.round(F.col("_e50"), 6).alias("p50_exact"),
+        F.round(F.col("_e90"), 6).alias("p90_exact"),
+        F.round(F.col("_e99"), 6).alias("p99_exact"),
         within.alias("approx_within_bound"),
     )
 

@@ -2151,14 +2151,20 @@ def q_lsh_swarm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sid").alias("sid_u"), F.lit(1).alias("in_u")
     )
     fo = sc_.join(su_, sc_.sid == su_.sid_u, "full_outer")
+    # coalesce guards (ADVICE r15 #1): with an EMPTY survivor set the
+    # sums aggregate zero rows to NULL where the pre-r15 counts gave 0
+    # (and survivors_match NULL where two empty sets trivially match).
+    # Unreachable on non-empty corpora; values at any populated SF
+    # unchanged.
     surv_stats = fo.agg(
-        F.sum("in_c").alias("n_clusters_capped"),
-        F.sum("in_u").alias("n_clusters_uncapped"),
-        (
+        F.coalesce(F.sum("in_c"), F.lit(0)).alias("n_clusters_capped"),
+        F.coalesce(F.sum("in_u"), F.lit(0)).alias("n_clusters_uncapped"),
+        F.coalesce(
             F.sum(
                 (F.col("in_c").isNull() | F.col("in_u").isNull()).cast("long")
             )
-            == 0
+            == 0,
+            F.lit(True),
         ).alias("survivors_match"),
         F.min(F.when(F.col("sid") >= _SWARM_BASE_ID, F.col("sid"))).alias(
             "swarm_survivor"

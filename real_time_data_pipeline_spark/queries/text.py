@@ -2052,6 +2052,14 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     set pays the exact verification join — same prefilter-then-verify
     architecture as the LSH families. Positions are deterministic
     salted md5, so both engines build bit-identical filters.
+
+    CONSTRUCTION-TIME EAGERNESS (ADVICE r15 #2): unlike the other q_*
+    builders this function runs a Spark job (the bounded
+    bench-position collect that builds the bit literal) when the
+    DataFrame is BUILT, not when it is executed — plan-only callers
+    (explain, plan dumps) pay that job. Accepted per the repo's
+    bounded-metadata-collect pattern; the filter build is the
+    prefilter's point.
     """
     from real_time_data_pipeline_spark.operators.similarity import _fan_out
     from real_time_data_pipeline_spark.operators.text import hash32

@@ -494,29 +494,39 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of order value per market
-    segment — Spark's `percentile` and DuckDB's `quantile_cont` share
-    the same linear-interpolation definition, verified to 6 dp.
+    segment, verified to 6 dp against DuckDB's `quantile_cont`.
 
-    Plan at scale: customer (dim) broadcasts into orders; exact
-    percentiles sort within each group's aggregation buffer — fine for
-    bounded group cardinality like segments. For high-cardinality
-    groups at 100 TB, swap in approx_percentile (t-digest sketch,
-    mergeable map-side) and accept rank error instead of a sort.
+    Plan at scale (r16): customer (dim) broadcasts into orders; all
+    four percentiles then come from ONE grouped rank-pick pass
+    (`grouped_percentile_cont`: range shuffle + pid windows,
+    mega-group safe) instead of `F.percentile`, whose aggregation
+    buffer maps every distinct o_totalprice of a segment into one
+    reducer — fact-sized cardinality over 5 segments at 100 TB. Same
+    type-7 interpolation, exactness kept; no approx fallback needed.
     """
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_percentile_cont,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    df = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-    pct = F.expr("percentile(o_totalprice, array(0.25, 0.50, 0.75, 0.95))")
-    return (
-        df.groupBy("c_mktsegment")
-        .agg(pct.alias("__p"))
-        .select(
-            "c_mktsegment",
-            F.round(F.col("__p")[0], 6).alias("p25"),
-            F.round(F.col("__p")[1], 6).alias("p50"),
-            F.round(F.col("__p")[2], 6).alias("p75"),
-            F.round(F.col("__p")[3], 6).alias("p95"),
-        )
+    df = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "o_totalprice", "o_orderkey")
+    pct = grouped_percentile_cont(
+        df,
+        ["c_mktsegment"],
+        "o_totalprice",
+        [0.25, 0.50, 0.75, 0.95],
+        ["_p25", "_p50", "_p75", "_p95"],
+        tie_break=[F.asc("o_orderkey")],
+    )
+    return pct.select(
+        "c_mktsegment",
+        F.round(F.col("_p25"), 6).alias("p25"),
+        F.round(F.col("_p50"), 6).alias("p50"),
+        F.round(F.col("_p75"), 6).alias("p75"),
+        F.round(F.col("_p95"), 6).alias("p95"),
     )
 
 

@@ -85,7 +85,10 @@ def get_spark(
         # whole 230-query bench: 1g starves concurrent tasks, 10g lets
         # session garbage accumulate into long GC tails that tax the
         # many sub-second queries (A/B'd at 1g/4g/10g over full bench
-        # runs, docs/bench/r15_opt_*).
+        # runs, docs/bench/r15_opt_*). On hosts with less than ~5 GB
+        # of RAM the 4g default can over-commit or fail JVM launch
+        # (ADVICE r15 #4) — set SPARK_GRAFT_DRIVER_MEM=1g (or any
+        # size) to override; every knob here is env-first.
         conf["spark.driver.memory"] = os.environ.get(
             "SPARK_GRAFT_DRIVER_MEM", "4g"
         )

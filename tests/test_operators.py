@@ -981,3 +981,181 @@ def test_stopword_alternation_equals_per_word_sum(spark):
             legacy.alias("old"), stopword_hits("text", stops).alias("new")
         ).collect()
         assert [r.old for r in rows] == [r.new for r in rows], lang
+
+
+def test_grouped_percentile_cont_matches_exact_percentile(spark):
+    # Interpolation-parity property test (r16, VERDICT r15 #1): the
+    # grouped rank-pick must reproduce F.percentile / DuckDB
+    # quantile_cont on adversarial group shapes — singleton groups,
+    # even/odd sizes, heavy duplicates (boundary ranks inside a tie
+    # run), negatives, and fractions at every interpolation position.
+    #
+    # Interpolation-formula note: the helper computes the lerp form
+    # x_lo + frac·(x_hi − x_lo) — DuckDB quantile_cont's formula, the
+    # one the oracles check — while F.percentile computes the weighted
+    # form (1−frac)·x_lo + frac·x_hi. The two differ only in the last
+    # ulp. So: DYADIC fractions (0, 1/4, 1/2, 3/4, 1) over dyadic
+    # values are exact in both forms and compared BIT FOR BIT;
+    # non-dyadic fractions are compared at the queries' round-6
+    # precision.
+    from real_time_data_pipeline_spark.operators.ranking import (
+        grouped_percentile_cont,
+        release_rank_caches,
+    )
+
+    groups = {
+        "one": [4.25],
+        "two": [1.0, 2.0],
+        "odd": [3.0, -1.5, 7.25, 0.5, 3.0],
+        "even": [10.0, 0.25, -4.0, 2.5, 2.5, 8.0],
+        "dups": [5.0, 5.0, 5.0, 5.0, 1.0, 9.0, 5.0],
+        "wide": [float(i) * 0.25 for i in range(16)],
+    }
+    rows = [
+        (g, v, i) for g, vs in groups.items() for i, v in enumerate(vs)
+    ]
+    # NULL handling: ignored within a group; an all-NULL group yields
+    # no output row (F.percentile would yield NULL — callers left-join)
+    rows += [("odd", None, 99), ("allnull", None, 0), ("allnull", None, 1)]
+    df = spark.createDataFrame(rows, "g string, v double, k int")
+    pcts = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 1.0]
+    out_cols = [f"p{i}" for i in range(len(pcts))]
+    got = {
+        r["g"]: [r[c] for c in out_cols]
+        for r in grouped_percentile_cont(
+            df, ["g"], "v", pcts, out_cols, tie_break=[F.asc("k")]
+        ).collect()
+    }
+    release_rank_caches()
+    exp = {
+        r["g"]: [r[c] for c in out_cols]
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", p).alias(c) for p, c in zip(pcts, out_cols)])
+        .collect()
+    }
+    assert "allnull" not in got
+    assert set(got) == set(exp) - {"allnull"}
+    dyadic = {0.0, 0.25, 0.5, 0.75, 1.0}
+    for g in got:
+        for p, mine, ref in zip(pcts, got[g], exp[g]):
+            if p in dyadic:
+                assert mine == ref, f"group {g} p={p}: {mine} != {ref}"
+            else:
+                assert round(mine, 6) == round(ref, 6), (
+                    f"group {g} p={p}: {mine} !~ {ref}"
+                )
+
+
+def test_moving_frame_median_formula_matches_percentile_window(spark):
+    # The r16 window_moving_median rewrite: sort_array(collect_list)
+    # over the bounded frame + closed-form type-7 interpolation must
+    # equal percentile(value, 0.5) OVER the same frame for every
+    # frame size 1..7 (ramp-up rows exercise each n).
+    from pyspark.sql import Window
+
+    rows = [
+        ("a", i, float(v))
+        for i, v in enumerate([5.0, 1.25, 3.0, 3.0, -2.5, 8.75, 0.5, 4.0, 4.0])
+    ] + [("b", 0, 2.25), ("b", 1, -1.0)]
+    df = spark.createDataFrame(rows, "g string, seq int, value double")
+    w = Window.partitionBy("g").orderBy("seq").rowsBetween(-6, Window.currentRow)
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    pos = F.lit(0.5) * (n - F.lit(1)).cast("double")
+    lo = F.get(arr, F.floor(pos).cast("int"))
+    hi = F.get(arr, F.ceil(pos).cast("int"))
+    new = F.when(n > 0, lo + (pos - F.floor(pos)) * (hi - lo))
+    old = F.percentile("value", 0.5).over(w)
+    rows = df.select(new.alias("new"), old.alias("old")).collect()
+    # exact binary fractions: both formulas are exact, compare strictly
+    for r in rows:
+        assert r.new == r.old
+
+
+def test_temporal_overlap_flag_aggregate_ignores_null_users(spark):
+    # Pins the NULL guard on data_temporal_split's overlap aggregate
+    # (VERDICT r15 #4): the r15 flag-aggregate rewrite of
+    # |distinct(train) ∩ distinct(test)| must keep INNER-JOIN
+    # semantics, where NULL ≠ NULL — a NULL user_id on both sides is
+    # NOT a shared user. Same expression shape as
+    # queries/events_analytics.py::q_temporal_split.
+    rows = [
+        (1, "train"), (1, "test"),      # shared
+        (2, "train"),                    # train-only
+        (3, "test"),                     # test-only
+        (None, "train"), (None, "test"), # NULLs on both sides
+        (4, "train"), (4, "purged"),     # purged does not count
+    ]
+    df = spark.createDataFrame(rows, "user_id int, split string")
+    got = (
+        df.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("split") == "train").cast("int")).alias("t"),
+            F.max((F.col("split") == "test").cast("int")).alias("e"),
+        )
+        .agg(
+            F.count(F.when((F.col("t") == 1) & (F.col("e") == 1), 1)).alias(
+                "n_shared_users"
+            )
+        )
+        .collect()[0]["n_shared_users"]
+    )
+    joined = (
+        df.where("split = 'train'").select("user_id").distinct()
+        .join(df.where("split = 'test'").select("user_id").distinct(), "user_id")
+        .count()
+    )
+    assert got == joined == 1
+
+
+def test_dot_fixed_bit_identical_to_hof_dot(spark):
+    # dot_fixed must reproduce the HOF fold BIT FOR BIT (r16): the
+    # assignment argmaxes and oracle-replayed cosines tie-break on
+    # exact doubles, so "close" is not enough. Adversarial inputs:
+    # signed zeros, denormals, huge/tiny magnitude mixes (rounding
+    # order matters), NaN/Inf propagation.
+    import math
+    import random
+    import struct
+
+    from real_time_data_pipeline_spark.operators.similarity import (
+        dot,
+        dot_fixed,
+        norm,
+        norm_fixed,
+    )
+
+    rng = random.Random(63)
+    dim = 64
+
+    def vec(kind):
+        if kind == 0:
+            return [rng.uniform(-1, 1) for _ in range(dim)]
+        if kind == 1:
+            return [
+                rng.choice([0.0, -0.0, 1e308, -1e308, 5e-324, -5e-324, 1.0])
+                for _ in range(dim)
+            ]
+        if kind == 2:
+            v = [rng.uniform(-1, 1) * 10 ** rng.randint(-150, 150) for _ in range(dim)]
+            return v
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        v[rng.randrange(dim)] = rng.choice([float("nan"), float("inf"), -float("inf")])
+        return v
+
+    rows = [(vec(i % 4), vec((i + 1) % 4)) for i in range(24)]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = df.select(
+        dot(F.col("a"), F.col("b")).alias("hof"),
+        dot_fixed(F.col("a"), F.col("b"), dim).alias("fixed"),
+        norm(F.col("a")).alias("nh"),
+        norm_fixed(F.col("a"), dim).alias("nf"),
+    ).collect()
+    for r in got:
+        for x, y in ((r.hof, r.fixed), (r.nh, r.nf)):
+            if x is None or (isinstance(x, float) and math.isnan(x)):
+                assert y is None or math.isnan(y)
+            else:
+                # bit-level comparison, not ==: distinguishes -0.0/+0.0
+                assert struct.pack("<d", x) == struct.pack("<d", y)

@@ -445,24 +445,13 @@ def test_no_unbounded_global_window_anywhere(spark, sf_dir):
 _BOUNDED_EXACT_PERCENTILES = {
     "graph_kcore_peeling": "median over the <=|nations|^2-row flow frame",
     "agg_order_to_ship_latency": "day differences: bounded ints, ~120 distinct",
-    "window_moving_median": "percentile over a 7-row window frame buffer",
-    "agg_quantile_accuracy": (
-        "exact side is the contract's ground truth; docstring states only "
-        "the sketch runs at scale"
-    ),
-    "agg_stats_by_returnflag": (
-        "l_extendedprice distinct <= 50x|part| (price schedule) — "
-        "dimension-sized; approx twin (agg_quantile_accuracy pattern) is "
-        "the scale path"
-    ),
-    "agg_percentiles_by_segment": (
-        "o_totalprice distinct is fact-sized; docstring documents the "
-        "approx_percentile swap at 100 TB"
-    ),
-    "event_outlier_mad": (
-        "events.value distinct is fact-sized; docstring documents the "
-        "percentile_approx twin as the monitoring-cadence variant"
-    ),
+    # r16: window_moving_median, agg_quantile_accuracy,
+    # agg_stats_by_returnflag, agg_percentiles_by_segment and
+    # event_outlier_mad left this list — their exact percentiles now
+    # come from the grouped rank-pick (`grouped_percentile_cont`) or,
+    # for the 7-row moving frame, a bounded sort_array interpolation;
+    # no distinct-value map buffer remains in those plans
+    # (VERDICT r15 next-round #1).
 }
 
 
