@@ -3553,22 +3553,41 @@ def _ingest_recall_state_shared(spark: SparkSession, sf_dir: str) -> str:
         stride_centroids,
     )
     from real_time_data_pipeline_spark.streaming.ivf_ingest import (
-        merge_ivf_batch,
+        ivf_assignment_increments,
+    )
+    from real_time_data_pipeline_spark.streaming.sinks import (
+        commit_partitioned_batches_overlapped,
     )
 
     def build() -> DataFrame:
+        # One assignment pass for the whole replay (r16, VERDICT r15
+        # #4): `merge_ivf_batch`'s increments are a ROW-LOCAL
+        # deterministic function of each vector (the chunked-replay
+        # parity the twin's tests pin), so assigning the corpus once
+        # and slicing per batch commits byte-identical rows to the old
+        # merge-per-batch loop while paying the centroid cross join
+        # one time instead of INGEST_RECALL_BATCHES times. Every
+        # batch still goes through the guarded idempotent commit (the
+        # foreachBatch body's commit half) — writes overlapped per
+        # guide §2.6 (`commit_partitioned_batches_overlapped`: the
+        # replay is known-final, partitions disjoint); the streaming
+        # sink itself (`merge_ivf_batch`) is unchanged and covered by
+        # its own per-batch tests.
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = stride_centroids(emb, "vec_id", "embedding", stride=29)
+        all_inc = reliable_materialize(
+            ivf_assignment_increments(emb, centroids)
+        )
         state = ingest_state_root(spark, sf_dir, "rtdp_ingest_recall")
-        for b in range(INGEST_RECALL_BATCHES):
-            merge_ivf_batch(
-                emb.where(
-                    F.pmod(F.col("vec_id"), F.lit(INGEST_RECALL_BATCHES)) == b
-                ),
-                state,
-                b,
-                centroids,
-            )
+        commit_partitioned_batches_overlapped(
+            [
+                all_inc.where(
+                    F.pmod(F.col("nid"), F.lit(INGEST_RECALL_BATCHES)) == b
+                )
+                for b in range(INGEST_RECALL_BATCHES)
+            ],
+            state,
+        )
         return spark.createDataFrame([(state,)], "state_path string")
 
     marker = _shared_artifact(spark, sf_dir, "ivf_ingest_recall_state", build)
@@ -3583,11 +3602,13 @@ def q_ann_recall_after_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike `embed_ann_recall` (one-shot batch index), this runs the
     REAL maintenance machinery end to end: the corpus arrives in 4
-    deterministic batches (vec_id mod 4), each committed through
-    `merge_ivf_batch` (the exact foreachBatch body of
-    `ivf_ingest_sink`) into partitioned parquet state, and top-5 is
-    served FROM that state by `ivf_probe_state` (partition-pruned
-    probes, dequantized exact-cosine rerank). The oracle replays
+    deterministic batches (vec_id mod 4), each committed through the
+    same guarded idempotent commit the foreachBatch body
+    (`merge_ivf_batch`) uses, into partitioned parquet state — the
+    replay's assignment pass is batched across the 4 commits (r16;
+    row-identical by the chunked-replay determinism the twin's tests
+    pin) — and top-5 is served FROM that state by `ivf_probe_state`
+    (partition-pruned probes, dequantized exact-cosine rerank). The oracle replays
     assignment + scalar quantization + probing in SQL — so the
     determinism claim the exactly-once design rests on ("the one-shot
     build IS the per-batch function", streaming/ivf_ingest.py:102-125)
@@ -3771,24 +3792,34 @@ def _ivfpq_ingest_recall_state_shared(spark: SparkSession, sf_dir: str) -> str:
         stride_centroids,
     )
     from real_time_data_pipeline_spark.streaming.ivfpq_ingest import (
-        merge_ivfpq_batch,
+        ivfpq_increments,
+    )
+    from real_time_data_pipeline_spark.streaming.sinks import (
+        commit_partitioned_batches_overlapped,
     )
 
     def build() -> DataFrame:
+        # One assign+encode pass, sliced per guarded commit with the
+        # writes overlapped — same replay-batching rationale as
+        # `_ingest_recall_state_shared` (row-local deterministic
+        # increments ⇒ byte-identical rows; the streaming sink
+        # `merge_ivfpq_batch` is unchanged).
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = stride_centroids(emb, "vec_id", "embedding", stride=29)
         books = _pq_codebooks_shared(spark, sf_dir, emb)
+        all_inc = reliable_materialize(
+            ivfpq_increments(emb, centroids, books)
+        )
         state = ingest_state_root(spark, sf_dir, "rtdp_ingest_recall_pq")
-        for b in range(INGEST_RECALL_BATCHES):
-            merge_ivfpq_batch(
-                emb.where(
-                    F.pmod(F.col("vec_id"), F.lit(INGEST_RECALL_BATCHES)) == b
-                ),
-                state,
-                b,
-                centroids,
-                books,
-            )
+        commit_partitioned_batches_overlapped(
+            [
+                all_inc.where(
+                    F.pmod(F.col("nid"), F.lit(INGEST_RECALL_BATCHES)) == b
+                )
+                for b in range(INGEST_RECALL_BATCHES)
+            ],
+            state,
+        )
         return spark.createDataFrame([(state,)], "state_path string")
 
     marker = _shared_artifact(spark, sf_dir, "ivfpq_ingest_recall_state", build)
@@ -3805,9 +3836,11 @@ def q_pq_ann_recall_after_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r14 #5).
 
     The corpus arrives in 4 deterministic batches (vec_id mod 4), each
-    committed through `merge_ivfpq_batch` (the exact foreachBatch body
-    of `ivfpq_ingest_sink`) into (cent_id, src_batch)-partitioned
-    state; top-5 is served by `ivfpq_probe_state` — nprobe coarse
+    committed through the guarded idempotent commit the foreachBatch
+    body (`merge_ivfpq_batch`) uses, into (cent_id, src_batch)-
+    partitioned state (the replay's assign+encode pass is batched
+    across the 4 commits, r16 — row-identical by the chunked-replay
+    determinism); top-5 is served by `ivfpq_probe_state` — nprobe coarse
     lists per query, partition-pruned scan, ADC scoring as the integer
     sum of per-subspace table lookups. The oracle replays codebook
     training, encoding, coarse assignment, probing, and ADC ranking in

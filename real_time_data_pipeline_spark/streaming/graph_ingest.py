@@ -84,6 +84,7 @@ def trade_flow_increments(
     supplier: DataFrame,
     nation: DataFrame,
     n_buckets: int = DEFAULT_EDGE_BUCKETS,
+    batch_col: "F.Column | None" = None,
 ) -> DataFrame:
     """One fact batch's nation-grain edge delta: (bkt, src, dst,
     w_cents) — supplier nation → customer nation, revenue summed as
@@ -94,7 +95,15 @@ def trade_flow_increments(
     Pure deterministic function of the batch, which is what the
     structural exactly-once commit requires; the one-shot build over
     the full fact table IS this function (`trade_flows_build`),
-    making chunked-replay parity exact."""
+    making chunked-replay parity exact.
+
+    ``batch_col`` (r16): an optional batch-id expression over the fact
+    columns. When given, the output carries it as ``_rb`` and the
+    aggregate groups by (batch, edge) — the WHOLE corpus's per-batch
+    deltas from ONE star join. Because the sums are exact integers,
+    slicing that frame on ``_rb`` is row-identical to calling this
+    function once per batch (the artifact replay uses exactly this;
+    the streaming sink keeps the per-batch form)."""
     cn = nation.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
     )
@@ -104,15 +113,22 @@ def trade_flow_increments(
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
-    return (
+    keys = ["src", "dst"]
+    joined = (
         batch_li.join(orders, batch_li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .join(supplier, batch_li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
-        .groupBy("src", "dst")
+    )
+    if batch_col is not None:
+        joined = joined.withColumn("_rb", batch_col)
+        keys = ["_rb", "src", "dst"]
+    return (
+        joined.groupBy(*keys)
         .agg(F.sum(cents).alias("w_cents"))
         .select(
+            *(["_rb"] if batch_col is not None else []),
             F.pmod(F.xxhash64("src"), F.lit(n_buckets))
             .cast("bigint")
             .alias("bkt"),

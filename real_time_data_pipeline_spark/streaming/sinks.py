@@ -404,6 +404,65 @@ def commit_partitioned_batch(
     return True
 
 
+def commit_partitioned_batches_overlapped(
+    slices: "list[DataFrame]",
+    state_path: str,
+    key_col: str = "cent_id",
+    max_workers: int = 2,
+) -> None:
+    """Replay a KNOWN-FINAL batch sequence through the guarded commit
+    with the writes overlapped (guide §2.6: independent jobs from a
+    small thread pool back-fill each other's task tails).
+
+    ``slices[b]`` commits as batch id ``b`` via the same
+    `commit_partitioned_batch` a live foreachBatch uses. Overlap is
+    safe HERE and only here: the batches touch disjoint
+    (key, src_batch=b) partitions (distinct staging dirs, no partition
+    overlap for dynamic-overwrite to collide on), and each batch's
+    guard is read INLINE in submission order — when batch b's guard
+    runs, only writes 0..b−1 have been submitted, so the observed
+    stored_max is at most b−1 and the ``batch_id < stored_max`` reset
+    check can never false-fire. Only the WRITE jobs overlap. A live
+    stream must keep the strictly sequential `commit_partitioned_*`
+    path — micro-batches there are not known-final.
+
+    Used by the ingest-state ARTIFACT builds (VERDICT r15 #4): the
+    replay's wall-clock was dominated by serial per-commit write jobs.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = slices[0].sparkSession
+    # sequential guards, overlapped writes: run the guard inline, then
+    # hand the write to the pool
+    def _write(inc: DataFrame, batch_id: int) -> None:
+        (
+            inc.withColumn("src_batch", F.lit(batch_id).cast("bigint"))
+            .repartition(F.col(key_col), F.col("src_batch"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(key_col, "src_batch")
+            .parquet(state_path)
+        )
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = []
+        for b, inc in enumerate(slices):
+            stored_max = committed_max_batch(spark, state_path)
+            committed_marker_check(stored_max, b)
+            if (
+                stored_max is not None
+                and b == stored_max
+                and not live_batch_partitions_exist(spark, state_path, b, key_col)
+            ):
+                raise ValueError(
+                    f"retry of batch {b} arrived after compaction folded "
+                    f"its partitions (see commit_partitioned_batch)"
+                )
+            futures.append(pool.submit(_write, inc, b))
+        for f in futures:
+            f.result()  # propagate the first failure
+
+
 def compact_partitioned_state(
     spark: SparkSession,
     state_path: str,
