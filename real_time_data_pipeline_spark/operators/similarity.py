@@ -139,16 +139,25 @@ def _bucketed_pair_counts(
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_sh"))
         )
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x: F.transform(
-                    F.col("ids"), lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+    # i<j expansion DIRECTLY (r16, guide §1.2 per-task work): the ids
+    # are sorted strictly ascending (distinct per bucket), so pairing
+    # each element with only its tail emits exactly the id_a < id_b
+    # structs, in the same order the old build-all-d²-then-filter form
+    # produced them — identical rows, half the struct allocations and
+    # no d²-element filter pass inside the interpreted HOF stage.
+    # Guarded by size >= 2 below, so sequence(1, d-1) is never
+    # descending.
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids)),
+                lambda y: F.struct(
+                    F.element_at(ids, i).alias("id_a"), y.alias("id_b")
                 ),
-            )
-        ),
-        lambda s: s["id_a"] < s["id_b"],
+            ),
+        )
     )
     inter = (
         buckets.where(F.size("ids") >= 2)
@@ -688,51 +697,21 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<double> columns — generic HOF fold.
+    """Dot product of two array<double> columns (sequential HOF fold).
 
-    Works for any (equal) array length, but higher-order functions
-    are CodegenFallback expressions: every element pays an
-    interpreted lambda call, and their presence knocks the whole
-    projection out of whole-stage codegen. On hot fixed-dimension
-    paths use `dot_fixed` (bit-identical values, codegen)."""
+    Measured note (r16): a statically UNROLLED 64-term expression
+    (bit-identical left fold) was prototyped against this form on the
+    centroid-assignment path and ran 3.5× SLOWER (isolated A/B at
+    sf0.1, 2.44 s vs 0.70 s): the 192-node expression tree blows the
+    generated method past JIT limits and the stage falls back to
+    interpreted evaluation of every node, which loses to the HOF
+    fold's one interpreted loop. Keep the fold."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Dot product of two ``dim``-element array<double> columns as a
-    STATICALLY UNROLLED expression — bit-identical to `dot` and
-    codegen-friendly (guide §1.2 per-task work).
-
-    `dot` evaluates ``((0.0 + a0·b0) + a1·b1) + …`` — `aggregate` is a
-    sequential left fold over `zip_with`'s element-wise products. This
-    helper emits the SAME IEEE operation sequence as a flat
-    left-associated expression tree (the leading 0.0 term included),
-    so every result — rounding, signed zeros, NaN/Inf propagation,
-    and therefore every argmax/tie-break downstream — is identical
-    bit for bit (pinned by tests/test_operators.py). Unlike the HOF
-    form it is ordinary codegen arithmetic: no per-element lambda
-    interpretation, and the surrounding projection keeps whole-stage
-    codegen.
-
-    Only for columns whose length is ``dim`` BY CONTRACT (the 64-dim
-    embedding surface, PQ subvectors): a shorter array would error or
-    null where `dot` nulls via zip_with padding.
-    """
-    out = F.lit(0.0)
-    for i in range(dim):
-        out = out + a[i] * b[i]
-    return out
 
 
 def norm(a: Column) -> Column:
     """Euclidean norm of an array<double> column."""
     return F.sqrt(dot(a, a))
-
-
-def norm_fixed(a: Column, dim: int) -> Column:
-    """Euclidean norm over a fixed ``dim`` — `norm` via `dot_fixed`
-    (bit-identical, codegen; see `dot_fixed`)."""
-    return F.sqrt(dot_fixed(a, a, dim))
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -1107,55 +1107,3 @@ def test_temporal_overlap_flag_aggregate_ignores_null_users(spark):
         .count()
     )
     assert got == joined == 1
-
-
-def test_dot_fixed_bit_identical_to_hof_dot(spark):
-    # dot_fixed must reproduce the HOF fold BIT FOR BIT (r16): the
-    # assignment argmaxes and oracle-replayed cosines tie-break on
-    # exact doubles, so "close" is not enough. Adversarial inputs:
-    # signed zeros, denormals, huge/tiny magnitude mixes (rounding
-    # order matters), NaN/Inf propagation.
-    import math
-    import random
-    import struct
-
-    from real_time_data_pipeline_spark.operators.similarity import (
-        dot,
-        dot_fixed,
-        norm,
-        norm_fixed,
-    )
-
-    rng = random.Random(63)
-    dim = 64
-
-    def vec(kind):
-        if kind == 0:
-            return [rng.uniform(-1, 1) for _ in range(dim)]
-        if kind == 1:
-            return [
-                rng.choice([0.0, -0.0, 1e308, -1e308, 5e-324, -5e-324, 1.0])
-                for _ in range(dim)
-            ]
-        if kind == 2:
-            v = [rng.uniform(-1, 1) * 10 ** rng.randint(-150, 150) for _ in range(dim)]
-            return v
-        v = [rng.uniform(-1, 1) for _ in range(dim)]
-        v[rng.randrange(dim)] = rng.choice([float("nan"), float("inf"), -float("inf")])
-        return v
-
-    rows = [(vec(i % 4), vec((i + 1) % 4)) for i in range(24)]
-    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
-    got = df.select(
-        dot(F.col("a"), F.col("b")).alias("hof"),
-        dot_fixed(F.col("a"), F.col("b"), dim).alias("fixed"),
-        norm(F.col("a")).alias("nh"),
-        norm_fixed(F.col("a"), dim).alias("nf"),
-    ).collect()
-    for r in got:
-        for x, y in ((r.hof, r.fixed), (r.nh, r.nf)):
-            if x is None or (isinstance(x, float) and math.isnan(x)):
-                assert y is None or math.isnan(y)
-            else:
-                # bit-level comparison, not ==: distinguishes -0.0/+0.0
-                assert struct.pack("<d", x) == struct.pack("<d", y)
