@@ -508,10 +508,15 @@ def grouped_percentile_cont(
     every DISTINCT input value, merged in one reducer per group — the
     classic §5 memory hazard on unbounded-cardinality columns at
     100 TB (tests/test_plans.py audits every exact-percentile site).
-    Here the heavy work is `grouped_row_number`'s range shuffle +
-    pid-partitioned windows (mega-group safe, spillable sort), then a
-    codegen filter keeps only the ≤ 2·|pcts| boundary rows per group
-    and one hash aggregate interpolates.
+    Here the heavy work is ONE range shuffle (`grouped_row_number`'s
+    layout: each group occupies a contiguous partition run); the
+    per-(partition, group) COUNTS then locate which partitions hold
+    each group's boundary ranks, and only THOSE slices are sorted and
+    ranked (≤ 2·|pcts| boundary partitions per group — the full
+    grouped rank's every-partition sort is skipped everywhere else);
+    a codegen filter keeps the ≤ 2·|pcts| boundary rows per group and
+    one hash aggregate interpolates. Mega-group safe: no task ever
+    holds more than one range partition's rows.
 
     Semantics match ``percentile(value, p)`` / DuckDB
     ``quantile_cont``: NULL values are ignored (filtered before
@@ -533,19 +538,84 @@ def grouped_percentile_cont(
     """
     if len(pcts) != len(out_cols):
         raise ValueError("pcts and out_cols must pair up")
-    order = [F.asc(value_col)] + list(tie_break or [])
-    ranked = grouped_row_number(
-        df.where(F.col(value_col).isNotNull()),
-        group_by,
-        order,
-        rn_col="_gp_rn",
-        num_partitions=num_partitions,
-        total_col="_gp_n",
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    order = [F.asc(value_col)] + list(tie_break or [])
+    # Range-partition once (same layout `grouped_row_number` uses: a
+    # group occupies a contiguous partition RUN), but never rank —
+    # let alone sort — the whole frame: the per-(partition, group)
+    # COUNTS locate which partitions hold each group's boundary
+    # ranks, and only THOSE partitions' group rows are sorted and
+    # rank-picked. At n pcts that is ≤ 2n boundary partitions per
+    # group out of num_partitions — the sort the full rank pays on
+    # every partition is skipped on all the rest.
+    part = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("_gp_g", F.struct(*group_by))
+        .repartitionByRange(n_parts, F.col("_gp_g"), *order)
+        .withColumn("_gp_pid", F.spark_partition_id())
+    )
+    part = _persist_tracked(part)  # ONE shared range exchange (module doc)
+    counts = part.groupBy("_gp_pid", "_gp_g").agg(
+        F.count(F.lit(1)).alias("_gp_c")
+    )
+    w_off = (
+        Window.partitionBy("_gp_g")
+        .orderBy("_gp_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "_gp_pid",
+        "_gp_g",
+        F.coalesce(F.sum("_gp_c").over(w_off), F.lit(0)).alias("_gp_off"),
+        "_gp_c",
+    )
+    totals = counts.groupBy("_gp_g").agg(F.sum("_gp_c").alias("_gp_n"))
 
     def _pos(p: float) -> Column:
         return F.lit(1.0) + F.lit(p) * (F.col("_gp_n") - F.lit(1))
 
+    # Every boundary rank each group needs (floor+ceil per fraction),
+    # as a tiny (group, rank) frame.
+    tgt = totals.select(
+        "_gp_g",
+        "_gp_n",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        f(_pos(p)).cast("long")
+                        for p in pcts
+                        for f in (F.floor, F.ceil)
+                    ]
+                )
+            )
+        ).alias("_gp_rk"),
+    )
+    # Which (partition, group) slices hold a boundary rank — |groups|
+    # × ≤2·|pcts| rows, broadcast back onto the partitioned frame.
+    wanted = (
+        offs.join(tgt, "_gp_g")
+        .where(
+            (F.col("_gp_rk") > F.col("_gp_off"))
+            & (F.col("_gp_rk") <= F.col("_gp_off") + F.col("_gp_c"))
+        )
+        .select("_gp_pid", "_gp_g")
+        .distinct()
+    )
+    cand = part.join(F.broadcast(wanted), ["_gp_pid", "_gp_g"], "left_semi")
+    # Rank ONLY the candidate slices; the offset join restores the
+    # group-global rank, so picked values are identical to the full
+    # grouped row_number's (same arithmetic, restricted to the rows
+    # that can match a boundary rank).
+    w = Window.partitionBy("_gp_pid", "_gp_g").orderBy(*order)
+    ranked = (
+        cand.join(F.broadcast(offs.drop("_gp_c")), ["_gp_pid", "_gp_g"])
+        .withColumn("_gp_rn", F.row_number().over(w) + F.col("_gp_off"))
+        .join(F.broadcast(totals), "_gp_g")
+    )
     keep = None
     for p in pcts:
         c = (F.col("_gp_rn") == F.floor(_pos(p))) | (
@@ -564,7 +634,12 @@ def grouped_percentile_cont(
                 F.when(F.col("_gp_rn") == F.ceil(_pos(p)), F.col(value_col))
             ).alias(f"_gp_hi_{i}")
         )
-    picked = ranked.where(keep).groupBy(*group_by).agg(*aggs)
+    picked = (
+        ranked.where(keep)
+        .select(*group_by, value_col, "_gp_rn", "_gp_n")
+        .groupBy(*group_by)
+        .agg(*aggs)
+    )
     outs = []
     for i, (p, oc) in enumerate(zip(pcts, out_cols)):
         frac = _pos(p) - F.floor(_pos(p))
