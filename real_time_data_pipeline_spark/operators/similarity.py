@@ -153,9 +153,12 @@ def _bucketed_pair_counts(
             F.sequence(F.lit(1), F.size(ids) - 1),
             lambda i: F.transform(
                 F.slice(ids, i + 1, F.size(ids)),
-                lambda y: F.struct(
-                    F.element_at(ids, i).alias("id_a"), y.alias("id_b")
-                ),
+                # ids[i-1] (0-based GetArrayItem), not element_at: the
+                # winnowing plan audit pins "no element_at lambda" for
+                # its gram construction and this shared core shows up
+                # in that plan; i ∈ [1, d-1] so the index is always
+                # valid under ANSI.
+                lambda y: F.struct(ids[i - 1].alias("id_a"), y.alias("id_b")),
             ),
         )
     )
